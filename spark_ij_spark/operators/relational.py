@@ -1,0 +1,470 @@
+"""Relational query surface (TPC-H-ish) — pure built-in DataFrame ops.
+
+The reference delegates ALL relational algebra to Spark SQL unchanged
+(reference: SURVEY.md §2.8; no joins/sorts/set-ops of its own anywhere
+in src/main). This module is therefore idiomatic PySpark DataFrame
+code: Catalyst handles pushdown, pruning, join selection; AQE handles
+skew and partition coalescing at scale.
+
+Determinism contract with the DuckDB oracle: floating-point SUMs are
+order-dependent, so every money aggregate is computed as an exact
+DECIMAL sum (per-row cast rounds the double product to a scale where
+the exact value is representable) and only then cast back to DOUBLE.
+Both engines then produce bit-identical values regardless of
+partitioning / aggregation order.
+
+Scale notes (100 TB):
+- `region`/`nation` are O(10) rows at any SF → broadcast-joined.
+- Aggregations are partial (map-side combine) by construction of
+  groupBy().agg() on associative decimal sums.
+- Top-k queries sort only grouped output (small), never the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ij_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# determinism-safe aggregate helpers
+# ---------------------------------------------------------------------------
+
+
+def dsum(expr: str, scale: int = 6, alias: str | None = None):
+    """Exact decimal SUM of a double expression, returned as DOUBLE.
+
+    ``expr`` must evaluate to a value whose exact decimal form fits in
+    ``scale`` fractional digits (TPC-H money columns have 2; products of
+    two/three such columns have 4/6). The per-row double is within 1 ulp
+    of that exact value, so rounding to ``scale`` digits recovers it
+    identically in Spark and DuckDB; decimal summation is then exact and
+    order-independent.
+    """
+    c = F.expr(f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)")
+    return c.alias(alias) if alias else c
+
+
+def dsum_sql(expr: str, scale: int = 6) -> str:
+    """The oracle-SQL twin of :func:`dsum` (identical text in DuckDB)."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter → groupBy → agg → sort.
+
+    Single shuffle on the two low-cardinality group keys; partial
+    aggregation makes the shuffle O(groups), not O(rows).
+    """
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1999-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2, "sum_qty"),
+            dsum("l_extendedprice", 2, "sum_base_price"),
+            dsum("l_extendedprice * (1 - l_discount)", 6, "sum_disc_price"),
+            dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6, "sum_charge"),
+            F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)").alias(
+                "avg_qty"
+            ),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)"
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity', 2)} AS sum_qty,
+       {dsum_sql('l_extendedprice', 2)} AS sum_base_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join, filtered both sides, top-10 revenue.
+
+    Join order: filter each input before joining so the shuffled sides
+    are minimal; the final sort runs on grouped output only. Ties broken
+    by l_orderkey so top-k is deterministic for the oracle.
+    """
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].where(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 6, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-way join through region, revenue by nation.
+
+    `region`/`nation` are broadcast (O(10) rows at any SF) so the only
+    shuffles are the big fact-side joins, which AQE plans.
+    """
+    t = load_tables(
+        spark, sf_dir, ["region", "nation", "customer", "supplier", "orders", "lineitem"]
+    )
+    region = F.broadcast(t["region"].where(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(t["nation"])
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    orders = t["orders"].where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 6, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan-filter-aggregate — all predicates push
+    to the parquet scan (verify with .explain: PushedFilters)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum("l_extendedprice * l_discount", 4, "revenue"))
+    )
+
+
+Q6_SQL = f"""
+SELECT {dsum_sql('l_extendedprice * l_discount', 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-3 orders by totalprice per customer.
+
+    row_number over (custkey) — shuffles once on the partition key;
+    deterministic tie-break on o_orderkey.
+    """
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "rnk",
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+Q_TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, rnk, totalprice FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+         o_totalprice AS totalprice
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate over (status, priority) — grouping-set surface."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2, "sum_totalprice"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
+        )
+    )
+
+
+Q_ROLLUP_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice', 2)} AS sum_totalprice
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + conditional aggregation: revenue share of one nation's
+    suppliers per order-year (TPC-H Q8 flavor, simplified)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier", "nation"])
+    nation = F.broadcast(t["nation"])
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("volume", F.expr("l_extendedprice * (1 - l_discount)"))
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN n_name = 'CHINA' "
+                "THEN CAST(volume AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)"
+            ).alias("nation_volume"),
+            dsum("volume", 6, "total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q_MARKET_SHARE_SQL = f"""
+SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n_name = 'CHINA'
+                THEN CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(28,6))
+                ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS nation_volume,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS total_volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY EXTRACT(YEAR FROM o_orderdate)
+ORDER BY o_year
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti/outer pattern (TPC-H Q13 flavor): customers by order
+    count, including zero-order customers."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q_CUSTDIST_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 flavor: join part, conditional share of promo revenue."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    joined = t["lineitem"].join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' "
+            "THEN CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(28,6)) "
+            "ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)"
+        ).alias("promo_revenue"),
+        dsum("l_extendedprice * (1 - l_discount)", 6, "total_revenue"),
+    )
+
+
+Q_PROMO_SQL = f"""
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+              THEN CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(28,6))
+              ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS promo_revenue,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling-window aggregate: events per
+    (hour, type) with value sum. The streaming variant lives in
+    spark_ij_spark.streaming.events."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6, "sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+Q_EVENTS_HOURLY_SQL = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
+       {dsum_sql('value', 6)} AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour, event_type
+"""
+
+
+def q_supplier_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + HAVING + semi-join shape: suppliers whose shipped
+    revenue exceeds a threshold."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    rev = (
+        t["lineitem"]
+        .groupBy("l_suppkey")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 6, "supplier_revenue"))
+        .where(F.col("supplier_revenue") > 1000.0)
+    )
+    return (
+        rev.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "supplier_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q_SUPPLIER_HAVING_SQL = f"""
+SELECT s_suppkey, s_name, supplier_revenue FROM (
+  SELECT l_suppkey, {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS supplier_revenue
+  FROM lineitem GROUP BY l_suppkey
+  HAVING supplier_revenue > 1000.0
+) JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY s_suppkey
+"""
+
+
+def q_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode / LATERAL VIEW surface (reference: IJSqlTest.scala:40-74
+    asserts explode cardinality over an int-array column). Rebuilt over
+    real data: split each document into whitespace tokens, explode, and
+    count distinct tokens per language."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_distinct_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_EXPLODE_SQL = """
+SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct_tokens
+FROM (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+) WHERE token <> ''
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q_top_orders_per_customer": q_top_orders_per_customer,
+    "q_order_rollup": q_order_rollup,
+    "q_market_share": q_market_share,
+    "q_customer_distribution": q_customer_distribution,
+    "q_promo_revenue": q_promo_revenue,
+    "q_events_hourly": q_events_hourly,
+    "q_supplier_agg_having": q_supplier_agg_having,
+    "q_explode_lateral": q_explode_lateral,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q_top_orders_per_customer": Q_TOP_ORDERS_SQL,
+    "q_order_rollup": Q_ROLLUP_SQL,
+    "q_market_share": Q_MARKET_SHARE_SQL,
+    "q_customer_distribution": Q_CUSTDIST_SQL,
+    "q_promo_revenue": Q_PROMO_SQL,
+    "q_events_hourly": Q_EVENTS_HOURLY_SQL,
+    "q_supplier_agg_having": Q_SUPPLIER_HAVING_SQL,
+    "q_explode_lateral": Q_EXPLODE_SQL,
+}

@@ -1,0 +1,92 @@
+"""SparkSession factory + table loading for the engine.
+
+Scale-minded defaults: AQE enabled (runtime re-planning, skew-join
+handling, partition coalescing), Arrow execution for pandas UDFs, and
+shuffle partitions sized for the local test harness (on a real cluster
+AQE coalesces; set ``spark.sql.shuffle.partitions`` to ~2-3x total
+cores there).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at any scale factor the
+# TPC-H-ish generator produces (region=5, nation=25 rows always).
+BROADCAST_TABLES = {"region", "nation"}
+
+
+def get_spark(app_name: str = "spark_ij_spark", cpus: int | None = None) -> SparkSession:
+    """Create (or fetch) a SparkSession with engine defaults.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all local cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark's reader
+        # rejects it unless read as long (converted back in load_tables)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver-generated parquet tables under ``sf_dir``.
+
+    Returns ``{name: DataFrame}`` for every table that exists. Reads are
+    plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown and
+    column pruning at the scan.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            if name == "events":
+                # ts is TIMESTAMP(NANOS) in parquet, surfaced as long via
+                # nanosAsLong; truncate to micros exactly like DuckDB does.
+                df = df.withColumn(
+                    "ts", F.expr("timestamp_micros(CAST(FLOOR(ts / 1000) AS LONG))")
+                )
+            out[name] = df
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view for SQL access."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

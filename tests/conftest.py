@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from spark_ij_spark.session import get_spark
+
+    spark = get_spark("spark_ij_spark-tests", cpus=8)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with the testdata tables registered as views,
+    mirroring the driver's oracle setup."""
+    import duckdb
+
+    con = duckdb.connect()
+    from spark_ij_spark.session import TABLE_NAMES
+
+    for name in TABLE_NAMES:
+        path = os.path.join(SF_DIR, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{path}'"
+            )
+    yield con
+    con.close()
+
+
+def assert_oracle_match(spark, duck, query_fn, sql, sf_dir=SF_DIR, float_tol=0.0):
+    """Local replica of the driver's correctness gate: row count, column
+    names, and (order-insensitive) values must match DuckDB."""
+    import math
+
+    sdf = query_fn(spark, sf_dir)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [tuple(row[c] for c in spark_cols) for row in sdf.collect()]
+
+    ddf = duck.execute(sql).fetchdf()
+    duck_cols = sorted(ddf.columns.tolist())
+    assert spark_cols == duck_cols, f"columns differ: {spark_cols} vs {duck_cols}"
+    duck_rows = [tuple(row[c] for c in duck_cols) for _, row in ddf.iterrows()]
+
+    assert len(spark_rows) == len(duck_rows), (
+        f"row counts differ: {len(spark_rows)} vs {len(duck_rows)}"
+    )
+
+    def norm(v):
+        if v is None:
+            return None
+        if hasattr(v, "to_pydatetime"):
+            v = v.to_pydatetime()
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            if float_tol:
+                return round(v / max(abs(v), 1e-300), 0) * round(abs(v), 6)
+            return v
+        if hasattr(v, "item"):
+            return v.item()
+        return v
+
+    s_sorted = sorted([tuple(norm(v) for v in r) for r in spark_rows], key=repr)
+    d_sorted = sorted([tuple(norm(v) for v in r) for r in duck_rows], key=repr)
+    mism = [
+        (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
+    ]
+    assert not mism, f"{len(mism)} mismatched rows; first: {mism[:3]}"
