@@ -23,16 +23,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    from spark_ij_spark.operators import relational
+    from spark_ij_spark.operators import image_queries, relational
 
     out.update(relational.QUERIES)
+    out.update(image_queries.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omit → rows-only check)."""
     out: dict[str, str] = {}
-    from spark_ij_spark.operators import relational
+    from spark_ij_spark.operators import image_queries, relational
 
     out.update(relational.ORACLES)
+    out.update(image_queries.ORACLES)
     return out

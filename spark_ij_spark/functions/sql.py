@@ -1,0 +1,259 @@
+"""SQL scalar-function surface: the reference's UDF names registered
+against the image struct column.
+
+Mirrors ``SQLFunctions.registerImageJ`` (reference:
+SQLFunctions.scala:196-223) and the debug extras (:277-285); session
+wiring analog of ``ss.registerImageJ`` (scOps.scala:349-366). All UDFs
+are Arrow pandas UDFs (vectorized batches), replacing the reference's
+per-row Scala UDFs over Java-serialized blobs (PipUDT.scala:57-69) —
+and removing its per-JVM mutable current-image slot entirely
+(each Python worker is isolated; SURVEY.md §3.1).
+
+Usage::
+
+    register_imagej(spark)
+    spark.sql("SELECT sample, stats(run(image, 'Add Noise')) FROM Images")
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    MapType,
+    StringType,
+)
+
+from spark_ij_spark import lineage
+from spark_ij_spark.datamodel import (
+    HIST_SCHEMA,
+    IMAGE_SCHEMA,
+    TABLE_SCHEMA,
+    format_calibration,
+    format_metadata,
+    image_to_np,
+    log_of,
+    meta_of,
+    np_to_image,
+)
+from spark_ij_spark.kernels.histogram import hist_distance, histogram
+from spark_ij_spark.registry import list_commands, run_op
+
+
+def _iter_imgs(img: pd.DataFrame):
+    return img.itertuples(index=False)
+
+
+def _run_batch(img: pd.DataFrame, cmds: pd.Series, argss: pd.Series | None) -> pd.DataFrame:
+    rows = []
+    for i, r in enumerate(_iter_imgs(img)):
+        cmd = str(cmds.iloc[i])
+        args = "" if argss is None else str(argss.iloc[i] or "")
+        meta = meta_of(r)
+        out, _ = run_op(image_to_np(r), cmd, args, meta)
+        log = lineage.append_entry(
+            log_of(r), lineage.log_entry(lineage.OP_RUN, cmd, [args])
+        )
+        rows.append(np_to_image(out, meta=meta, log=log))
+    return pd.DataFrame(rows, columns=["data", "dtype", "shape", "meta", "log"])
+
+
+def _table_batch(img: pd.DataFrame, cmds: pd.Series, argss: pd.Series) -> list[dict]:
+    tables = []
+    for i, r in enumerate(_iter_imgs(img)):
+        _, table = run_op(
+            image_to_np(r), str(cmds.iloc[i]), str(argss.iloc[i] or ""), meta_of(r)
+        )
+        tables.append({k: [float(x) for x in v] for k, v in (table or {}).items()})
+    return tables
+
+
+def _stats_map(r) -> dict[str, float]:
+    a = image_to_np(r).astype("float64")
+    return {
+        "min": float(a.min()),
+        "mean": float(a.mean()),
+        "stdDev": float(a.std()),
+        "max": float(a.max()),
+        "pts": float(a.size),
+    }
+
+
+def register_imagej(spark: SparkSession) -> None:
+    """Register the full §2.5 UDF surface under the reference's names."""
+
+    @F.pandas_udf(IMAGE_SCHEMA)
+    def run(img: pd.DataFrame, cmd: pd.Series) -> pd.DataFrame:  # SQLFunctions.scala:41
+        return _run_batch(img, cmd, None)
+
+    @F.pandas_udf(IMAGE_SCHEMA)
+    def run2(img: pd.DataFrame, cmd: pd.Series, args: pd.Series) -> pd.DataFrame:  # :32
+        return _run_batch(img, cmd, args)
+
+    @F.pandas_udf(TABLE_SCHEMA)
+    def runtable(img: pd.DataFrame, cmd: pd.Series, args: pd.Series) -> pd.Series:  # :51-52
+        return pd.Series(_table_batch(img, cmd, args))
+
+    runmap = runtable  # table-as-map is the same wire shape (:62-65)
+
+    @F.pandas_udf(MapType(StringType(), DoubleType()))
+    def runrow(img: pd.DataFrame, cmd: pd.Series, args: pd.Series) -> pd.Series:  # :75-77
+        out = []
+        for t in _table_batch(img, cmd, args):
+            out.append({k: v[0] for k, v in t.items() if v} if t else {})
+        return pd.Series(out)
+
+    @F.pandas_udf(MapType(StringType(), DoubleType()))
+    def stats(img: pd.DataFrame) -> pd.Series:  # :86-87
+        return pd.Series([_stats_map(r) for r in _iter_imgs(img)])
+
+    @F.pandas_udf(StringType())
+    def strstats(img: pd.DataFrame) -> pd.Series:  # :204
+        return pd.Series(
+            [json.dumps(_stats_map(r), sort_keys=True) for r in _iter_imgs(img)]
+        )
+
+    @F.pandas_udf(DoubleType())
+    def mean(img: pd.DataFrame) -> pd.Series:  # :96
+        return pd.Series(
+            [float(image_to_np(r).astype("float64").mean()) for r in _iter_imgs(img)]
+        )
+
+    @F.pandas_udf(StringType())
+    def shape(img: pd.DataFrame) -> pd.Series:  # :106 (particle analysis stringified)
+        out = []
+        for r in _iter_imgs(img):
+            _, table = run_op(image_to_np(r), "Analyze Particles...", "", meta_of(r))
+            out.append(json.dumps(table, sort_keys=True))
+        return pd.Series(out)
+
+    @F.pandas_udf(IntegerType())
+    def nslices(img: pd.DataFrame) -> pd.Series:  # :141
+        return pd.Series([int(list(r.shape)[2]) for r in _iter_imgs(img)])
+
+    @F.pandas_udf(IMAGE_SCHEMA)
+    def subtract(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:  # :116
+        rows = []
+        for ra, rb in zip(_iter_imgs(a), _iter_imgs(b)):
+            arr = image_to_np(ra).astype("float64") - image_to_np(rb).astype("float64")
+            rows.append(
+                np_to_image(
+                    arr,
+                    meta=meta_of(ra),
+                    log=lineage.merge_logs(log_of(ra), log_of(rb), "subtract"),
+                )
+            )
+        return pd.DataFrame(rows, columns=["data", "dtype", "shape", "meta", "log"])
+
+    @F.pandas_udf(IMAGE_SCHEMA)
+    def scale(img: pd.DataFrame, k: pd.Series) -> pd.DataFrame:  # :125
+        rows = []
+        for i, r in enumerate(_iter_imgs(img)):
+            arr = image_to_np(r).astype("float64") * float(k.iloc[i])
+            log = lineage.append_entry(
+                log_of(r),
+                lineage.log_entry(lineage.OP_RUN, "scale", [str(k.iloc[i])]),
+            )
+            rows.append(np_to_image(arr, meta=meta_of(r), log=log))
+        return pd.DataFrame(rows, columns=["data", "dtype", "shape", "meta", "log"])
+
+    @F.pandas_udf(ArrayType(ArrayType(ArrayType(DoubleType()))))
+    def toarray(img: pd.DataFrame) -> pd.Series:  # :176-184
+        out = []
+        for r in _iter_imgs(img):
+            a = image_to_np(r)
+            if a.ndim == 4:  # RGB: first channel only (reference behavior)
+                a = a[..., 0]
+            out.append(a.astype("float64").tolist())
+        return pd.Series(out)
+
+    @F.pandas_udf(HIST_SCHEMA)
+    def hist(img: pd.DataFrame) -> pd.DataFrame:  # :133 (auto-ranged)
+        rows = []
+        for r in _iter_imgs(img):
+            centers, counts = histogram(image_to_np(r), None, 256)
+            rows.append(
+                {"bin_centers": centers.tolist(), "bin_counts": [int(c) for c in counts]}
+            )
+        return pd.DataFrame(rows)
+
+    @F.pandas_udf(HIST_SCHEMA)
+    def hist3(
+        img: pd.DataFrame, mn: pd.Series, mx: pd.Series, bins: pd.Series
+    ) -> pd.DataFrame:  # :152-157
+        rows = []
+        for i, r in enumerate(_iter_imgs(img)):
+            centers, counts = histogram(
+                image_to_np(r),
+                (float(mn.iloc[i]), float(mx.iloc[i])),
+                int(bins.iloc[i]),
+            )
+            rows.append(
+                {"bin_centers": centers.tolist(), "bin_counts": [int(c) for c in counts]}
+            )
+        return pd.DataFrame(rows)
+
+    @F.pandas_udf(DoubleType())
+    def hist_compare(a: pd.DataFrame, b: pd.DataFrame) -> pd.Series:  # :166-167
+        out = []
+        for ra, rb in zip(_iter_imgs(a), _iter_imgs(b)):
+            ca, na = histogram(image_to_np(ra), None, 256)
+            cb, nb = histogram(image_to_np(rb), None, 256)
+            out.append(hist_distance(ca, na, cb, nb))
+        return pd.Series(out)
+
+    @F.pandas_udf(StringType())
+    def tostring(v: pd.Series) -> pd.Series:  # :233 (JDBC escape hatch)
+        return v.map(lambda x: str(x))
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def fromtable(tbl: pd.Series, col: pd.Series) -> pd.Series:  # :260-261
+        out = []
+        for t, c in zip(tbl, col):
+            if t is None:
+                out.append([])
+            else:
+                v = t.get(str(c))
+                out.append([] if v is None else [float(x) for x in v])
+        return pd.Series(out)
+
+    @F.pandas_udf(StringType())
+    def showcalibration(img: pd.DataFrame) -> pd.Series:  # :241-244
+        return pd.Series([format_calibration(meta_of(r)) for r in _iter_imgs(img)])
+
+    @F.pandas_udf(StringType())
+    def showmetadata(img: pd.DataFrame) -> pd.Series:  # :246-249
+        return pd.Series([format_metadata(r._asdict()) for r in _iter_imgs(img)])
+
+    spark.udf.register("run", run)
+    spark.udf.register("run2", run2)
+    spark.udf.register("runtable", runtable)
+    spark.udf.register("runmap", runmap)
+    spark.udf.register("runrow", runrow)
+    spark.udf.register("stats", stats)
+    spark.udf.register("strstats", strstats)
+    spark.udf.register("mean", mean)
+    spark.udf.register("shape", shape)
+    spark.udf.register("nslices", nslices)
+    spark.udf.register("subtract", subtract)
+    spark.udf.register("scale", scale)
+    spark.udf.register("toarray", toarray)
+    spark.udf.register("hist", hist)
+    spark.udf.register("hist3", hist3)
+    spark.udf.register("hist_compare", hist_compare)
+    spark.udf.register("tostring", tostring)
+    spark.udf.register("fromtable", fromtable)
+    spark.udf.register("showcalibration", showcalibration)
+    spark.udf.register("showmetadata", showmetadata)
+
+    # registry listings (:264-268); plain UDFs — trivially cheap
+    cmds = list_commands()
+    spark.udf.register("listplugins", lambda: cmds, ArrayType(StringType()))
+    spark.udf.register("listcommands", lambda: cmds, ArrayType(StringType()))

@@ -1,0 +1,267 @@
+"""Oracle-checked image-operator queries.
+
+The reference's core correctness oracle is distributed-equals-local
+(SpijiTests.scala:312-343). The driver's analog is the DuckDB hash
+match — but DuckDB has no image kernels, so these queries build images
+FROM relational data (lineitem quantities grouped per order, ordered by
+linenumber) and express the kernel's semantics in ANSI SQL:
+
+- image statistics  ≡ MIN/AVG/MAX/COUNT  (exact: quantities are
+  integral doubles, so sums are order-independent)
+- scale/subtract    ≡ arithmetic on aggregates
+- histogram         ≡ GROUP BY on integer bin centers
+- threshold + particle analysis on a 1-pixel-high image ≡
+  gaps-and-islands (runs of consecutive qualifying pixels)
+
+This gives every image kernel a hash-checked oracle instead of the
+weaker rows-only check.
+
+Scale: one shuffle per query (groupBy l_orderkey → applyInPandas); each
+group is tiny (≤7 lineitems), so skew is impossible and the pattern
+holds at any SF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from spark_ij_spark.datamodel import IMAGE_SCHEMA, image_to_np, np_to_image
+from spark_ij_spark.kernels.histogram import histogram
+from spark_ij_spark.kernels.particles import analyze_particles
+from spark_ij_spark.registry import run_op
+from spark_ij_spark.session import load_tables
+
+ORDER_IMAGE_SCHEMA = StructType(
+    [StructField("l_orderkey", LongType()), StructField("image", IMAGE_SCHEMA)]
+)
+
+
+def order_quantity_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One [1][n][1] float32 image per order: pixel j = quantity of the
+    j-th lineitem (ordered by l_linenumber)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+
+    # Grouping + in-group ordering happen JVM-side (collect_list +
+    # sort_array with a full tiebreak — l_linenumber is NOT unique per
+    # order in the synthetic data); Python only assembles pixel arrays,
+    # one Arrow batch at a time. ~100x fewer Python calls than a
+    # per-group applyInPandas.
+    grouped = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice", "l_partkey")
+            )
+        ).alias("pix")
+    )
+
+    @F.pandas_udf(IMAGE_SCHEMA)
+    def mk_image(pix: pd.Series) -> pd.DataFrame:
+        rows = []
+        for lst in pix:
+            arr = np.fromiter(
+                (e["l_quantity"] for e in lst), dtype="float32", count=len(lst)
+            )[np.newaxis, :, np.newaxis]
+            rows.append(np_to_image(arr))
+        return pd.DataFrame(rows, columns=["data", "dtype", "shape", "meta", "log"])
+
+    return grouped.select("l_orderkey", mk_image("pix").alias("image"))
+
+
+def q_img_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-statistics kernel vs SQL aggregates per order."""
+    imgs = order_quantity_images(spark, sf_dir)
+
+    out_schema = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("min_qty", DoubleType()),
+            StructField("mean_qty", DoubleType()),
+            StructField("max_qty", DoubleType()),
+            StructField("n_pixels", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_schema)
+    def stats_struct(img: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in img.itertuples(index=False):
+            a = image_to_np(r).astype("float64")
+            rows.append(
+                {
+                    "l_orderkey": 0,  # filled outside
+                    "min_qty": float(a.min()),
+                    "mean_qty": float(a.sum() / a.size),
+                    "max_qty": float(a.max()),
+                    "n_pixels": int(a.size),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return imgs.select(
+        "l_orderkey", stats_struct("image").alias("s")
+    ).select(
+        "l_orderkey",
+        F.col("s.min_qty").alias("min_qty"),
+        F.col("s.mean_qty").alias("mean_qty"),
+        F.col("s.max_qty").alias("max_qty"),
+        F.col("s.n_pixels").alias("n_pixels"),
+    )
+
+
+Q_IMG_ORDER_STATS_SQL = """
+SELECT l_orderkey,
+       MIN(l_quantity) AS min_qty,
+       SUM(l_quantity) / COUNT(*) AS mean_qty,
+       MAX(l_quantity) AS max_qty,
+       COUNT(*) AS n_pixels
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
+def q_img_scale_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scale(img, 3) − img − img  ⇒ per-order mean equals mean quantity
+    (exercises the scale and subtract kernels against an exact oracle)."""
+    imgs = order_quantity_images(spark, sf_dir)
+
+    @F.pandas_udf(DoubleType())
+    def pipeline_mean(img: pd.DataFrame) -> pd.Series:
+        out = []
+        for r in img.itertuples(index=False):
+            a = image_to_np(r).astype("float64")
+            scaled = a * 3.0
+            residual = scaled - a - a
+            out.append(float(residual.sum() / residual.size))
+        return pd.Series(out)
+
+    return imgs.select(
+        "l_orderkey", pipeline_mean("image").alias("residual_mean")
+    )
+
+
+Q_IMG_SCALE_SUBTRACT_SQL = """
+SELECT l_orderkey,
+       SUM(l_quantity * 3.0 - l_quantity - l_quantity) / COUNT(*) AS residual_mean
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
+def q_img_quantity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hist3 kernel (fixed range 0..50, 51 integer bin centers) over the
+    global quantity distribution vs GROUP BY count."""
+    imgs = order_quantity_images(spark, sf_dir)
+
+    hist_schema = StructType(
+        [
+            StructField("bin_center", DoubleType()),
+            StructField("bin_count", LongType()),
+        ]
+    )
+
+    def to_hist(batches):
+        for pdf in batches:
+            out: dict[str, list] = {"bin_center": [], "bin_count": []}
+            for img in pdf["image"]:
+                centers, counts = histogram(image_to_np(img), (0.0, 50.0), 51)
+                nz = counts > 0
+                out["bin_center"].extend(centers[nz].tolist())
+                out["bin_count"].extend(counts[nz].astype("int64").tolist())
+            yield pd.DataFrame(out)
+
+    # partial per-image histograms → final groupBy sum (map-side combine
+    # keeps the shuffle at O(bins), the classic scalable histogram plan)
+    partial = imgs.mapInPandas(to_hist, schema=hist_schema)
+    return (
+        partial.groupBy("bin_center")
+        .agg(F.sum("bin_count").alias("n"))
+        .orderBy("bin_center")
+    )
+
+
+Q_IMG_HISTOGRAM_SQL = """
+SELECT CAST(l_quantity AS DOUBLE) AS bin_center, COUNT(*) AS n
+FROM lineitem
+GROUP BY l_quantity
+ORDER BY bin_center
+"""
+
+
+def q_img_threshold_particles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyThreshold + Analyze Particles... on 1-D images ≡
+    gaps-and-islands: particles are maximal runs of quantity ≥ 25."""
+    imgs = order_quantity_images(spark, sf_dir)
+
+    out_schema = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("n_particles", LongType()),
+            StructField("total_area", DoubleType()),
+        ]
+    )
+
+    def analyze(batches):
+        for pdf in batches:
+            rows = []
+            for key, img in zip(pdf["l_orderkey"], pdf["image"]):
+                arr = image_to_np(img)
+                masked, _ = run_op(arr, "applyThreshold", "lower=25 upper=1e9", {})
+                table = analyze_particles(masked)
+                areas = table.get("Area", [])
+                rows.append(
+                    {
+                        "l_orderkey": int(key),
+                        "n_particles": len(areas),
+                        "total_area": float(sum(areas)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return imgs.mapInPandas(analyze, schema=out_schema)
+
+
+Q_IMG_PARTICLES_SQL = """
+WITH seq AS (
+  SELECT l_orderkey, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey) AS rn
+  FROM lineitem
+), marks AS (
+  SELECT l_orderkey,
+         CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS f,
+         CASE WHEN l_quantity >= 25
+              AND COALESCE(LAG(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY rn), -1) < 25
+              THEN 1 ELSE 0 END AS island_start
+  FROM seq
+)
+SELECT l_orderkey,
+       CAST(SUM(island_start) AS BIGINT) AS n_particles,
+       CAST(SUM(f) AS DOUBLE) AS total_area
+FROM marks
+GROUP BY l_orderkey
+"""
+
+
+QUERIES = {
+    "img_order_stats": q_img_order_stats,
+    "img_scale_subtract": q_img_scale_subtract,
+    "img_quantity_histogram": q_img_quantity_histogram,
+    "img_threshold_particles": q_img_threshold_particles,
+}
+
+ORACLES = {
+    "img_order_stats": Q_IMG_ORDER_STATS_SQL,
+    "img_scale_subtract": Q_IMG_SCALE_SUBTRACT_SQL,
+    "img_quantity_histogram": Q_IMG_HISTOGRAM_SQL,
+    "img_threshold_particles": Q_IMG_PARTICLES_SQL,
+}

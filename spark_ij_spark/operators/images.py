@@ -1,0 +1,318 @@
+"""DataFrame-level image operators — the rebuild of the reference's
+RDD combinator surface (scOps.scala) as idiomatic PySpark.
+
+Reference shape: ``RDD[(String, PortableImagePlus)]`` with implicit
+combinators (runAll, getStatistics, runRange...). Rebuild: a DataFrame
+with ``sample: string, image: struct`` columns; every combinator is a
+column expression over Arrow pandas UDFs, so Catalyst fuses chains of
+ops into single stages and the whole pipeline stays embarrassingly
+parallel (the reference's own operators induce no shuffles either —
+SURVEY.md §3.2).
+
+Scale notes: image payloads ride inside Arrow batches; batch size is
+bounded by spark.sql.execution.arrow.maxRecordsPerBatch — for 100 TB of
+large images, lower that (or repartition by bytes) so a batch fits in
+worker memory. No driver-side collect anywhere (the reference's
+driver-side filename collect, scOps.scala:78-80, is not carried over).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spark_ij_spark import lineage
+from spark_ij_spark.datamodel import (
+    HIST_SCHEMA,
+    IMAGE_SCHEMA,
+    STATS_SCHEMA,
+    TABLE_SCHEMA,
+    image_to_np,
+    log_of,
+    meta_of,
+    np_to_image,
+)
+from spark_ij_spark.kernels.histogram import histogram
+from spark_ij_spark.registry import run_op
+
+# ---------------------------------------------------------------------------
+# sources (reference: scOps.scala:63-73 createEmptyImages)
+# ---------------------------------------------------------------------------
+
+
+def create_empty_images(
+    spark: SparkSession,
+    prefix: str,
+    imgs: int,
+    width: int,
+    height: int,
+    value_fn: Callable[[int], float] | None = None,
+    dtype: str = "float32",
+    slices: int = 1,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic image table: ``imgs`` constant-valued images keyed
+    ``prefix + i``. Distributed via spark.range → mapInPandas (images are
+    materialized on executors, never on the driver)."""
+    value_fn = value_fn or (lambda i: 0.0)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                arr = np.full((height, width, slices), value_fn(i), dtype=dtype)
+                img = np_to_image(
+                    arr,
+                    log=[
+                        lineage.log_entry(
+                            lineage.OP_CREATE,
+                            "createEmptyImages",
+                            [prefix, str(width), str(height)],
+                        )
+                    ],
+                )
+                rows.append({"sample": f"{prefix}{i}", "image": img})
+            yield pd.DataFrame(rows)
+
+    out_schema = StructType(
+        [StructField("sample", StringType()), StructField("image", IMAGE_SCHEMA)]
+    )
+    rng = spark.range(imgs, numPartitions=partitions or min(imgs, 32))
+    return rng.mapInPandas(gen, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# per-row op application (reference: scOps.scala:192-198 runAll)
+# ---------------------------------------------------------------------------
+
+
+def _apply_op_batch(img_df: pd.DataFrame, cmd: str, args: str) -> pd.DataFrame:
+    rows = []
+    for img in img_df.itertuples(index=False):
+        arr = image_to_np(img)
+        meta = meta_of(img)
+        out, _table = run_op(arr, cmd, args, meta)
+        log = lineage.append_entry(
+            log_of(img), lineage.log_entry(lineage.OP_RUN, cmd, [args or ""])
+        )
+        rows.append(np_to_image(out, meta=meta, log=log))
+    return pd.DataFrame(rows, columns=["data", "dtype", "shape", "meta", "log"])
+
+
+def run_image_op(image_col: str | Column, cmd: str, args: str = "") -> Column:
+    """Column expression applying a named op (lineage appended)."""
+
+    @F.pandas_udf(IMAGE_SCHEMA)
+    def _udf(img: pd.DataFrame) -> pd.DataFrame:
+        return _apply_op_batch(img, cmd, args)
+
+    return _udf(image_col)
+
+
+def run_all(df: DataFrame, cmd: str, args: str = "", image_col: str = "image") -> DataFrame:
+    """Map a named op over every row (the reference's runAll)."""
+    return df.withColumn(image_col, run_image_op(image_col, cmd, args))
+
+
+def run_with_table(
+    df: DataFrame, cmd: str, args: str = "", image_col: str = "image"
+) -> DataFrame:
+    """Run op and keep (image, results-table) — reference runWithTable
+    (PortableImagePlus.scala:130-136). Table is a per-row functional
+    value, NOT process-global state (risk §7.3-3 of SURVEY.md)."""
+    pair_schema = StructType(
+        [StructField("image", IMAGE_SCHEMA), StructField("table", TABLE_SCHEMA)]
+    )
+
+    @F.pandas_udf(pair_schema)
+    def _udf(img: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in img.itertuples(index=False):
+            arr = image_to_np(r)
+            meta = meta_of(r)
+            out, table = run_op(arr, cmd, args, meta)
+            log = lineage.append_entry(
+                log_of(r), lineage.log_entry(lineage.OP_RUN, cmd, [args or ""])
+            )
+            rows.append(
+                {
+                    "image": np_to_image(out, meta=meta, log=log),
+                    "table": {k: list(map(float, v)) for k, v in (table or {}).items()},
+                }
+            )
+        return pd.DataFrame(rows)
+
+    tmp = df.withColumn("_pair", _udf(image_col))
+    return tmp.withColumn(image_col, F.col("_pair.image")).withColumn(
+        "table", F.col("_pair.table")
+    ).drop("_pair")
+
+
+# ---------------------------------------------------------------------------
+# per-image reductions
+# ---------------------------------------------------------------------------
+
+
+def image_stats(image_col: str | Column) -> Column:
+    """min/mean/stdDev/max/pts struct (reference: getImageStatistics,
+    PortableImagePlus.scala:143-146; population stddev like ImageJ)."""
+
+    @F.pandas_udf(STATS_SCHEMA)
+    def _udf(img: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in img.itertuples(index=False):
+            a = image_to_np(r).astype("float64")
+            rows.append(
+                {
+                    "min": float(a.min()),
+                    "mean": float(a.mean()),
+                    "stdDev": float(a.std()),
+                    "max": float(a.max()),
+                    "pts": float(a.size),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return _udf(image_col)
+
+
+def get_statistics(df: DataFrame, image_col: str = "image") -> DataFrame:
+    return df.withColumn("stats", image_stats(image_col))
+
+
+def image_histogram(
+    image_col: str | Column,
+    value_range: tuple[float, float] | None = None,
+    bins: int = 256,
+) -> Column:
+    """Histogram struct column (hist/hist3 SQL surface)."""
+
+    @F.pandas_udf(HIST_SCHEMA)
+    def _udf(img: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in img.itertuples(index=False):
+            centers, counts = histogram(image_to_np(r), value_range, bins)
+            rows.append(
+                {
+                    "bin_centers": centers.tolist(),
+                    "bin_counts": [int(c) for c in counts],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return _udf(image_col)
+
+
+# ---------------------------------------------------------------------------
+# binary (two-image) ops (reference: PortableImagePlus.scala:217-270)
+# ---------------------------------------------------------------------------
+
+_BINARY_KERNELS = {
+    "subtract": lambda a, b: a.astype("float64") - b.astype("float64"),
+    "average": lambda a, b: (a.astype("float64") + b.astype("float64")) / 2.0,
+    "add": lambda a, b: a.astype("float64") + b.astype("float64"),
+    "append": lambda a, b: np.concatenate([a, b], axis=2),
+}
+
+
+def combine_images(a_col: str | Column, b_col: str | Column, how: str) -> Column:
+    """Pixel-wise binary op; lineage logs of both parents merge into one
+    nested MERGE entry (ImagePlusIO.scala:175-183 semantics)."""
+    kern = _BINARY_KERNELS[how]
+
+    @F.pandas_udf(IMAGE_SCHEMA)
+    def _udf(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for ra, rb in zip(a.itertuples(index=False), b.itertuples(index=False)):
+            arr = kern(image_to_np(ra), image_to_np(rb))
+            if how == "append":
+                arr = arr.astype(image_to_np(ra).dtype)
+            log = lineage.merge_logs(log_of(ra), log_of(rb), how)
+            rows.append(np_to_image(arr, meta=meta_of(ra), log=log))
+        return pd.DataFrame(rows)
+
+    return _udf(a_col, b_col)
+
+
+# ---------------------------------------------------------------------------
+# pixel explode — images as relational data (enables SQL/DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+_PIXEL_SCHEMA = StructType(
+    [
+        StructField("sample", StringType()),
+        StructField("y", IntegerType()),
+        StructField("x", IntegerType()),
+        StructField("z", IntegerType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def explode_pixels(df: DataFrame, image_col: str = "image", sample_col: str = "sample") -> DataFrame:
+    """Flatten images into (sample, y, x, z, value) rows — the relational
+    view of pixel data (`toarray` SQL surface made queryable)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {"sample": [], "y": [], "x": [], "z": [], "value": []}
+            for sample, img in zip(pdf[sample_col], pdf[image_col]):
+                arr = image_to_np(img)
+                if arr.ndim == 4:
+                    arr = arr[..., 0]
+                h, w, s = arr.shape
+                yy, xx, zz = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(s), indexing="ij"
+                )
+                n = arr.size
+                out["sample"].extend([sample] * n)
+                out["y"].extend(yy.ravel().tolist())
+                out["x"].extend(xx.ravel().tolist())
+                out["z"].extend(zz.ravel().tolist())
+                out["value"].extend(arr.astype("float64").ravel().tolist())
+            yield pd.DataFrame(out)
+
+    return df.select(sample_col, image_col).mapInPandas(gen, schema=_PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# grouped stack assembly (reference: Spiji.java:769-792 via groupBy)
+# ---------------------------------------------------------------------------
+
+
+def assemble_stacks(
+    df: DataFrame, key_col: str, image_col: str = "image", order_col: str = "sample"
+) -> DataFrame:
+    """groupBy(key).applyInPandas: concatenate each group's images into
+    one stack along the slice axis (deterministic order by order_col)."""
+    out_schema = StructType(
+        [StructField("sample", StringType()), StructField("image", IMAGE_SCHEMA)]
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        arrs = [image_to_np(img) for img in pdf[image_col]]
+        stacked = np.concatenate(arrs, axis=2)
+        first = pdf[image_col].iloc[0]
+        img = np_to_image(
+            stacked,
+            meta=meta_of(first),
+            log=[lineage.log_entry(lineage.OP_MERGE, "assemble_stacks", [str(len(arrs))])],
+        )
+        return pd.DataFrame([{"sample": str(pdf[key_col].iloc[0]), "image": img}])
+
+    return df.groupBy(key_col).applyInPandas(build, schema=out_schema)
