@@ -252,8 +252,44 @@ GROUP BY l_orderkey
 """
 
 
+def q_img_sweep_multiply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """runRange parameter sweep (scOps.scala:207-224) over order images:
+    Multiply value=1..3 in 3 steps fans each image to 3 variants via a
+    broadcast cross join; per-variant mean has an exact SQL oracle."""
+    from spark_ij_spark.operators.sweep import run_range
+
+    imgs = order_quantity_images(spark, sf_dir).withColumnRenamed(
+        "l_orderkey", "sample"
+    )
+
+    swept = run_range(
+        imgs.withColumn("sample", F.col("sample").cast("string")),
+        "Multiply...",
+        "value=1",
+        "value=3",
+        steps=3,
+    )
+
+    @F.pandas_udf(DoubleType())
+    def img_mean(img: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            [float(image_to_np(r).astype("float64").mean()) for r in img.itertuples(index=False)]
+        )
+
+    return swept.select(F.col("sample").alias("sweep_key"), img_mean("image").alias("mean_val"))
+
+
+Q_IMG_SWEEP_SQL = """
+SELECT CAST(l_orderkey AS VARCHAR) || '__value_' || CAST(v AS VARCHAR) AS sweep_key,
+       SUM(l_quantity * v) / COUNT(*) AS mean_val
+FROM lineitem CROSS JOIN (VALUES (1), (2), (3)) AS sweep(v)
+GROUP BY l_orderkey, v
+"""
+
+
 QUERIES = {
     "img_order_stats": q_img_order_stats,
+    "img_sweep_multiply": q_img_sweep_multiply,
     "img_scale_subtract": q_img_scale_subtract,
     "img_quantity_histogram": q_img_quantity_histogram,
     "img_threshold_particles": q_img_threshold_particles,
@@ -261,6 +297,7 @@ QUERIES = {
 
 ORACLES = {
     "img_order_stats": Q_IMG_ORDER_STATS_SQL,
+    "img_sweep_multiply": Q_IMG_SWEEP_SQL,
     "img_scale_subtract": Q_IMG_SCALE_SUBTRACT_SQL,
     "img_quantity_histogram": Q_IMG_HISTOGRAM_SQL,
     "img_threshold_particles": Q_IMG_PARTICLES_SQL,
