@@ -23,18 +23,36 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    from spark_ij_spark.operators import image_queries, relational
+    from spark_ij_spark.operators import (
+        dedup,
+        image_queries,
+        relational,
+        similarity,
+        text,
+    )
 
     out.update(relational.QUERIES)
     out.update(image_queries.QUERIES)
+    out.update(text.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omit → rows-only check)."""
     out: dict[str, str] = {}
-    from spark_ij_spark.operators import image_queries, relational
+    from spark_ij_spark.operators import (
+        dedup,
+        image_queries,
+        relational,
+        similarity,
+        text,
+    )
 
     out.update(relational.ORACLES)
     out.update(image_queries.ORACLES)
+    out.update(text.ORACLES)
+    out.update(dedup.ORACLES)
+    out.update(similarity.ORACLES)
     return out

@@ -1,0 +1,454 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+North-star training-data-pipeline ops (SURVEY.md §7.1 M7): exact
+dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, and
+embedding-cosine near-dup. Conceptual seed in the reference is its
+one similarity metric, normalized histogram distance
+(`IJHistogram.scala:34-41`); these generalize it to document/text and
+vector similarity at corpus scale.
+
+All hashing is md5-derived 60-bit ints that DuckDB reproduces
+bit-for-bit, so even the MinHash/SimHash pipelines have exact
+value-hash oracles (same algorithm, independent engine).
+
+Scale design (100 TB):
+- Signature computation (minhash, simhash votes, fingerprints) is
+  map-only or a partial-aggregating groupBy — no cross joins.
+- Candidate generation is an inverted-index self-join (shingle → doc
+  or band → doc): shuffle on the posting key, never an all-pairs
+  product. Hot shingles (stopword-only 3-grams) are the skew risk;
+  AQE skew-join handles moderate skew, and a posting-length cap
+  (drop shingles appearing in >X% of docs) is the standard mitigation
+  documented here for the real cluster.
+- The brute-force embedding pass is the small-N baseline; the LSH
+  bucketed variant in ``similarity.py`` is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ij_spark.operators.text import (
+    SHINGLES_DUCK,
+    SHINGLES_SPARK,
+    TOKENS_DUCK,
+    TOKENS_SPARK,
+    hash60_duck,
+    hash60_spark,
+)
+
+JACCARD_THRESHOLD = 0.2
+MINHASH_K = 8          # permutations
+LSH_BANDS = 4          # bands of r = K / BANDS rows each
+SIMHASH_BITS = 48
+SIMHASH_MAX_HAMMING = 8
+EMBED_COS_THRESHOLD = 0.4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, nrm): L2 norm precomputed map-side so pair
+    joins only evaluate the dot product."""
+    return _emb(spark, sf_dir).select(
+        "vec_id", "embedding", F.expr(SELF_NORM_SPARK).alias("nrm")
+    )
+
+
+def shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) inverted-index postings, distinct word-3-grams."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("s"))
+        .distinct()
+    )
+
+
+_POSTINGS_DUCK = f"""
+  SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK.replace('toks', TOKENS_DUCK.replace('text', 'text'))}) AS s
+  FROM documents
+"""
+
+
+def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """Inverted-index self-join → (da, db, jaccard) for all co-shingled
+    pairs. Shuffles on the shingle key, then on the (da, db) pair key —
+    both partial-aggregated map-side."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .withColumn("jaccard", F.expr("round(CAST(i AS DOUBLE) / (na + nb - i), 6)"))
+    )
+
+
+_JACCARD_PAIRS_DUCK = f"""
+sh AS ({_POSTINGS_DUCK}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT da, db, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON inter.da = sa.doc_id
+  JOIN sizes sb ON inter.db = sb.doc_id)
+"""
+
+
+# --- exact dedup -------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct text,
+    keeping the minimum doc_id. Single hash-agg shuffle; at 100 TB the
+    md5 is computed in the scan stage and only (hash, id) shuffles."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --- n-gram Jaccard near-dup ------------------------------------------
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with word-3-gram Jaccard ≥ threshold, via exact
+    inverted-index join (no approximation)."""
+    return (
+        _jaccard_pairs(shingle_postings(spark, sf_dir))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("da", "db", "jaccard")
+    )
+
+
+Q_DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_JACCARD_PAIRS_DUCK}
+SELECT da, db, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH -----------------------------------------------------
+
+_LSH_ROWS = MINHASH_K // LSH_BANDS  # rows per band
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature: permutation j = min over shingles of
+    hash60('j|' || shingle), j = 0..K-1. Map-only stage — at 100 TB
+    this is one scan emitting K bigints per doc, no shuffle."""
+    base = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKENS_SPARK))
+        .withColumn("shingles", F.expr(SHINGLES_SPARK))
+    )
+    mh = []
+    for j in range(MINHASH_K):
+        h = hash60_spark(f"'{j}|' || s")
+        mh.append(
+            F.expr(f"array_min(transform(shingles, s -> {h}))").alias(f"mh{j}")
+        )
+    return base.select("doc_id", *mh)
+
+
+def _band_exprs() -> list[str]:
+    """Band keys: concatenation of the band's minhash rows."""
+    out = []
+    for j in range(LSH_BANDS):
+        rows = ", ',', ".join(f"mh{j * _LSH_ROWS + r}" for r in range(_LSH_ROWS))
+        out.append(f"concat('{j}:', {rows})")
+    return out
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: K-permutation signatures → band buckets →
+    equi-join candidates → verify with true Jaccard. The candidate join
+    shuffles on the band key only (never all-pairs); this is the
+    shingle→minhash→band→bucket-join scale path for 100 TB dedup."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[F.expr(e) for e in _band_exprs()])).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    jac = _jaccard_pairs(shingle_postings(spark, sf_dir)).select("da", "db", "jaccard")
+    return cand.join(jac, ["da", "db"])
+
+
+def _band_exprs_duck() -> list[str]:
+    out = []
+    for j in range(LSH_BANDS):
+        rows = " || ',' || ".join(f"mh{j * _LSH_ROWS + r}" for r in range(_LSH_ROWS))
+        out.append(f"'{j}:' || {rows}")
+    return out
+
+
+_MINHASH_DUCK_COLS = ", ".join(
+    "list_min(list_transform(shingles, s -> "
+    + hash60_duck(f"'{j}|' || s")
+    + f")) AS mh{j}"
+    for j in range(MINHASH_K)
+)
+
+_MINHASH_SIG_DUCK = f"""
+tok AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
+shing AS (SELECT doc_id, {SHINGLES_DUCK} AS shingles FROM tok),
+sig AS (
+  SELECT doc_id, {_MINHASH_DUCK_COLS}
+  FROM shing)
+"""
+
+Q_DEDUP_MINHASH_SQL = f"""
+WITH {_MINHASH_SIG_DUCK},
+bands AS (
+  SELECT doc_id, unnest([{", ".join(_band_exprs_duck())}]) AS band FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+{_JACCARD_PAIRS_DUCK.strip().rstrip(',').lstrip()}
+SELECT cand.da, cand.db, jac.jaccard
+FROM cand JOIN jac ON cand.da = jac.da AND cand.db = jac.db
+"""
+
+
+# --- SimHash -----------------------------------------------------------
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMHASH_BITS-bit SimHash per doc over word-3-gram shingle
+    features (tokens are too weak on a small shared vocabulary — most
+    docs contain most tokens), computed relationally: explode
+    (doc, distinct shingle) × bit position → per-(doc, bit) vote sum →
+    fingerprint = Σ (vote>0) << bit. Two partial-aggregating groupBys;
+    scales as a distributed aggregation, no per-row loops."""
+    toks = shingle_postings(spark, sf_dir).withColumn(
+        "h", F.expr(hash60_spark("s"))
+    )
+    votes = (
+        toks.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"),
+            "h",
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.expr("sum(2 * ((h >> b) & 1) - 1)").alias("vote"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.expr(
+            "sum(CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END)"
+        ).alias("fp")
+    )
+
+
+_SIMHASH_FP_DUCK = f"""
+shpost AS ({_POSTINGS_DUCK}),
+th AS (SELECT doc_id, {hash60_duck('s')} AS h FROM shpost),
+votes AS (
+  SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS vote
+  FROM th, (SELECT unnest(range(0, {SIMHASH_BITS})) AS b)
+  GROUP BY doc_id, b),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS fp
+  FROM votes GROUP BY doc_id)
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming(fp_a, fp_b) ≤ threshold.
+    Brute-force pair scan here; the pigeonhole scale path (split the
+    fingerprint into hamming+1 blocks, bucket-join on any equal block)
+    drops the cross join to an equi-join at cluster scale."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", F.expr("bit_count(a.fp ^ b.fp)"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            "hamming",
+        )
+    )
+
+
+Q_DEDUP_SIMHASH_SQL = f"""
+WITH {_SIMHASH_FP_DUCK}
+SELECT a.doc_id AS da, b.doc_id AS db, bit_count(xor(a.fp, b.fp)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+# --- embedding cosine near-dup ----------------------------------------
+
+DOT_SPARK = (
+    "aggregate(zip_with(a.embedding, b.embedding,"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+SELF_NORM_SPARK = (
+    "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+# cos over pre-normed pair aliases a/b: norms are computed once per
+# vector (map-only) instead of once per pair — identical IEEE result,
+# since sqrt(Σx²) per side is the exact same expression either way.
+COS_SPARK = f"{DOT_SPARK} / (a.nrm * b.nrm)"
+
+COS_DUCK = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+EMBED_BLOCKS = 8
+EMBED_QUANT = 1000000.0
+
+
+def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv): embedding quantized to 1e6-scaled BIGINTs.
+
+    Why quantize: every dot-product partial sum then stays an exact
+    integer < 2^53, so the cosine is bit-identical no matter what
+    summation order an engine (numpy matmul, DuckDB, Spark) uses —
+    float-accumulation order stops being a correctness hazard."""
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {EMBED_QUANT}) AS BIGINT))"
+        ).alias("qv"),
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ threshold) via block
+    nested-loop matmul: vectors are hashed into EMBED_BLOCKS blocks,
+    each block-pair is cogrouped once, and a numpy int64 matmul scores
+    the whole tile. Replication factor is EMBED_BLOCKS per side (tune
+    to executor memory at scale); no all-pairs row join ever
+    materializes. This is the 100 TB-shaped exact baseline; the LSH
+    bucketed variant in similarity.py trades recall for candidate
+    pruning."""
+    import numpy as np
+    import pandas as pd
+
+    q = quantized_embeddings(spark, sf_dir).withColumn(
+        "blk", F.expr(f"CAST(vec_id % {EMBED_BLOCKS} AS INT)")
+    )
+    other = spark.range(EMBED_BLOCKS).select(F.col("id").cast("int").alias("ob"))
+    left = (
+        q.crossJoin(F.broadcast(other))
+        .filter(F.col("blk") <= F.col("ob"))
+        .select(F.col("blk").alias("bi"), F.col("ob").alias("bj"), "vec_id", "qv")
+    )
+    q2 = quantized_embeddings(spark, sf_dir).withColumn(
+        "blk", F.expr(f"CAST(vec_id % {EMBED_BLOCKS} AS INT)")
+    )
+    right = (
+        q2.crossJoin(F.broadcast(other))
+        .filter(F.col("ob") <= F.col("blk"))
+        .select(F.col("ob").alias("bi"), F.col("blk").alias("bj"), "vec_id", "qv")
+    )
+
+    thresh = EMBED_COS_THRESHOLD
+
+    def block_cos(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"ia": [], "ib": [], "cos": []})
+        A = np.asarray(list(lpdf["qv"]), dtype=np.int64)
+        B = np.asarray(list(rpdf["qv"]), dtype=np.int64)
+        ai = lpdf["vec_id"].to_numpy()
+        bi = rpdf["vec_id"].to_numpy()
+        dots = (A @ B.T).astype(np.float64)  # exact: |dot| < 2^53
+        na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        cos = dots / (na[:, None] * nb[None, :])
+        mask = cos >= thresh
+        if key[0] == key[1]:
+            # diagonal tile holds both orientations of each pair —
+            # keep one; off-diagonal tiles hold each pair exactly once.
+            mask &= ai[:, None] < bi[None, :]
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "ia": np.minimum(ai[ii], bi[jj]),
+                "ib": np.maximum(ai[ii], bi[jj]),
+                "cos": cos[ii, jj],
+            }
+        )
+
+    out = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(block_cos, "ia long, ib long, cos double")
+    )
+    # round JVM-side: Spark/DuckDB round() agree (half away from zero),
+    # numpy's banker's rounding would not.
+    return out.select("ia", "ib", F.expr("round(cos, 6)").alias("cos_sim"))
+
+
+_QCOS_DUCK = "list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) / (a.nrm * b.nrm)"
+
+Q_DEDUP_EMBEDDING_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {EMBED_QUANT}) AS BIGINT)) AS qv
+  FROM embeddings),
+n AS (
+  SELECT vec_id, qv,
+         sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) AS nrm
+  FROM q)
+SELECT a.vec_id AS ia, b.vec_id AS ib, round({_QCOS_DUCK}, 6) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_QCOS_DUCK} >= {EMBED_COS_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+}
+
+ORACLES = {
+    "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": Q_DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,
+    "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
+    "dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
+}

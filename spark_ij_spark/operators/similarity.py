@@ -1,0 +1,187 @@
+"""Similarity search over the ``embeddings`` table (array<float>[64]).
+
+North-star ops (SURVEY.md §7.1 M7): brute-force cosine top-k as the
+exactness baseline, and a random-hyperplane LSH bucketed variant as
+the 100 TB scale path. Generalizes the reference's single similarity
+metric (histogram distance, `IJHistogram.scala:34-41`) to vector
+search.
+
+Determinism contract (what makes the DuckDB oracle exact):
+- Cosine: Spark `aggregate(zip_with(...))` and DuckDB
+  `list_dot_product` both sum left-to-right in IEEE double —
+  verified bit-identical on this data.
+- LSH hyperplanes: component signs come from md5-derived hashes
+  (reproducible in both engines); projections quantize each float to
+  a 1e6-scaled BIGINT so the bucket bit is a sign of an *integer*
+  sum — no float-accumulation-order hazard in groupBy aggregation.
+
+Scale design: the brute-force path is an all-pairs join (kept for
+small N / verification). The LSH path is: map-only quantize →
+broadcast join with the tiny plane table → two partial-aggregating
+groupBys → equi-join on bucket — no cross join anywhere; candidate
+lists shrink ~2^NBITS-fold. Top-k per query is a window over the
+candidate set, shuffled by query id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ij_spark.operators.dedup import COS_DUCK, COS_SPARK, emb_with_norm
+from spark_ij_spark.operators.text import hash60_duck, hash60_spark
+
+TOPK = 5
+LSH_TOPK = 3
+N_QUERIES = 20      # query set = vec_id < N_QUERIES
+LSH_NBITS = 8
+DIM = 64
+QUANT = 1000000.0   # float → integer quantization scale for projections
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-K nearest neighbors by cosine for each query vector
+    (vec_id < N_QUERIES), brute force. The window ranks within each
+    query's candidate set (shuffle keyed on query id)."""
+    e = emb_with_norm(spark, sf_dir)
+    a = e.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    b = e.alias("b")
+    scored = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            F.expr(COS_SPARK).alias("cos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ia").orderBy(F.desc("cos"), F.asc("ib"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("ia", "ib", "rank", F.expr("round(cos, 6)").alias("cos_sim"))
+    )
+
+
+Q_ANN_TOPK_SQL = f"""
+WITH scored AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {COS_DUCK} AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < {N_QUERIES}),
+ranked AS (
+  SELECT ia, ib, cos,
+         row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
+  FROM scored)
+SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector.
+
+    Hyperplane p has ±1 components: sign(p, d) from the low bit of
+    hash60('p,d'). Bucket bit p = [Σ_d sign(p,d) · q(v_d) > 0] with
+    q = round(v·1e6) as BIGINT. Plane table is NBITS×DIM rows —
+    broadcast; vectors never shuffle until the (vec, plane) groupBy."""
+    dims = _emb(spark, sf_dir).select(
+        "vec_id", F.posexplode("embedding").alias("d", "val")
+    ).withColumn("q", F.expr(f"CAST(round(CAST(val AS DOUBLE) * {QUANT}) AS BIGINT)"))
+    sign_h = hash60_spark("concat(p, ',', d)")
+    planes = (
+        spark.range(LSH_NBITS).withColumnRenamed("id", "p")
+        .crossJoin(spark.range(DIM).withColumnRenamed("id", "d"))
+        .withColumn("sign", F.expr(f"CASE WHEN ({sign_h} & 1) = 1 THEN 1 ELSE -1 END"))
+    )
+    bits = (
+        dims.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.expr("sum(sign * q)").alias("dot"))
+    )
+    return bits.groupBy("vec_id").agg(
+        F.expr(
+            "sum(CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)) ELSE 0 END)"
+        ).alias("bucket")
+    )
+
+
+_LSH_BUCKETS_DUCK = f"""
+dims AS (
+  SELECT vec_id, d, CAST(round(CAST(embedding[d + 1] AS DOUBLE) * {QUANT}) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range(0, {DIM})) AS d)),
+planes AS (
+  SELECT p, d,
+         CASE WHEN ({hash60_duck("p || ',' || d")} & 1) = 1 THEN 1 ELSE -1 END AS sign
+  FROM (SELECT unnest(range(0, {LSH_NBITS})) AS p), (SELECT unnest(range(0, {DIM})) AS d)),
+bits AS (
+  SELECT vec_id, p, sum(sign * q) AS dot
+  FROM dims JOIN planes USING (d)
+  GROUP BY vec_id, p),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS bucket
+  FROM bits GROUP BY vec_id)
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates share the query's bucket; exact
+    cosine re-rank within the bucket, top LSH_TOPK per query. The
+    candidate join is an equi-join on bucket id (the scale path)."""
+    buckets = lsh_buckets(spark, sf_dir)
+    e = emb_with_norm(spark, sf_dir)
+    qa = buckets.filter(F.col("vec_id") < N_QUERIES).alias("qa")
+    qb = buckets.alias("qb")
+    cand = qa.join(
+        qb,
+        (F.col("qa.bucket") == F.col("qb.bucket"))
+        & (F.col("qa.vec_id") != F.col("qb.vec_id")),
+    ).select(F.col("qa.vec_id").alias("ia"), F.col("qb.vec_id").alias("ib"))
+    scored = (
+        cand.join(e.alias("a"), F.col("ia") == F.col("a.vec_id"))
+        .join(e.alias("b"), F.col("ib") == F.col("b.vec_id"))
+        .select("ia", "ib", F.expr(COS_SPARK).alias("cos"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ia").orderBy(F.desc("cos"), F.asc("ib"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= LSH_TOPK)
+        .select("ia", "ib", "rank", F.expr("round(cos, 6)").alias("cos_sim"))
+    )
+
+
+Q_ANN_LSH_SQL = f"""
+WITH {_LSH_BUCKETS_DUCK},
+cand AS (
+  SELECT qa.vec_id AS ia, qb.vec_id AS ib
+  FROM buckets qa JOIN buckets qb
+    ON qa.bucket = qb.bucket AND qa.vec_id <> qb.vec_id
+  WHERE qa.vec_id < {N_QUERIES}),
+scored AS (
+  SELECT ia, ib, {COS_DUCK} AS cos
+  FROM cand
+  JOIN embeddings a ON cand.ia = a.vec_id
+  JOIN embeddings b ON cand.ib = b.vec_id),
+ranked AS (
+  SELECT ia, ib, cos,
+         row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
+  FROM scored)
+SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {LSH_TOPK}
+"""
+
+
+QUERIES = {
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+}
+
+ORACLES = {
+    "ann_topk": Q_ANN_TOPK_SQL,
+    "ann_lsh": Q_ANN_LSH_SQL,
+}

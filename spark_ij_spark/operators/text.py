@@ -1,0 +1,236 @@
+"""Text-analysis operators over the ``documents`` table.
+
+North-star training-data-pipeline ops (SURVEY.md §7.1 M7): token
+counting, quality scoring, language-ID heuristic, and document
+fingerprinting (rolling-hash analog of the reference's per-image
+`hist_compare` similarity seed, `IJHistogram.scala:34-41`).
+
+Design stance: every op here is a pure Catalyst expression — built-in
+`pyspark.sql.functions` and higher-order array functions, zero Python
+UDFs — so the whole pipeline stays inside whole-stage codegen and
+scales as a map-only stage (no shuffle except the final aggregates).
+Fingerprints/shingle hashes use md5-derived 60-bit ints, which DuckDB
+reproduces bit-for-bit (`conv(substring(md5(s),1,15),16,10)` ==
+``('0x'||substring(md5(s),1,15))::BIGINT``), so every op has an exact
+value-hash oracle.
+
+At 100 TB: all per-doc ops are embarrassingly parallel over parquet
+row groups; the only shuffles are the explicit groupBys (token top-k,
+confusion matrix), which partial-aggregate map-side before exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- shared expression fragments (Spark SQL == DuckDB SQL surface) ---
+
+# 60-bit positive hash both engines compute identically from md5 hex.
+def hash60_spark(expr: str) -> str:
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def hash60_duck(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+TOKENS_SPARK = "split(text, ' ')"
+TOKENS_DUCK = "string_split(text, ' ')"
+
+# Marker stopword sets for the language-ID heuristic (public stopword
+# lists, truncated). Scoring = count of tokens in each set; predicted
+# language = first set (en→de→es→fr→zh priority) with maximal score.
+LANG_MARKERS = {
+    "en": ("the", "a", "is", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "los", "de", "es", "un"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "zh": ("的", "是", "了"),
+}
+
+EN_STOPWORDS = ("the", "a", "is", "of", "and", "to", "in", "it")
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _lang_score_spark(lang: str) -> str:
+    return f"size(filter(toks, t -> t IN ({_in_list(LANG_MARKERS[lang])})))"
+
+
+def _lang_score_duck(lang: str) -> str:
+    return f"len(list_filter(toks, t -> t IN ({_in_list(LANG_MARKERS[lang])})))"
+
+
+_PRED_CASE = """CASE
+  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+  WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+  WHEN s_fr >= s_zh THEN 'fr'
+  ELSE 'zh' END"""
+
+
+# --- queries -----------------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token count, type-token ratio,
+    mean token length, stopword ratio, composite quality score.
+    Map-only (no shuffle); every expression is codegen'd JVM-side."""
+    stop = _in_list(EN_STOPWORDS)
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKENS_SPARK))
+        .select(
+            "doc_id",
+            F.expr("size(toks)").alias("n_tokens"),
+            F.expr("size(array_distinct(toks))").alias("n_types"),
+            F.expr(
+                "CAST(length(text) - (size(toks) - 1) AS DOUBLE) / size(toks)"
+            ).alias("mean_token_len"),
+            F.expr(
+                f"CAST(size(filter(toks, t -> t IN ({stop}))) AS DOUBLE)"
+                " / size(toks)"
+            ).alias("stop_ratio"),
+        )
+        .withColumn(
+            "quality_score",
+            F.expr(
+                "round(0.25 * least(n_tokens / 100.0, 1.0)"
+                " + 0.25 * (1.0 - stop_ratio)"
+                " + 0.25 * (CAST(n_types AS DOUBLE) / n_tokens)"
+                " + 0.25 * least(mean_token_len / 8.0, 1.0), 6)"
+            ),
+        )
+        .withColumn("stop_ratio", F.expr("round(stop_ratio, 6)"))
+        .withColumn("mean_token_len", F.expr("round(mean_token_len, 6)"))
+    )
+
+
+Q_TEXT_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, {TOKENS_DUCK} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_types,
+         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len,
+         CAST(len(list_filter(toks, t -> t IN ({_in_list(EN_STOPWORDS)}))) AS DOUBLE)
+           / len(toks) AS stop_ratio
+  FROM t)
+SELECT doc_id, n_tokens, n_types,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(0.25 * least(n_tokens / 100.0, 1.0)
+           + 0.25 * (1.0 - stop_ratio)
+           + 0.25 * (CAST(n_types AS DOUBLE) / n_tokens)
+           + 0.25 * least(mean_token_len / 8.0, 1.0), 6) AS quality_score
+FROM m
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-marker voting) → confusion
+    matrix against the labeled ``lang`` column. One hash-agg shuffle."""
+    df = _docs(spark, sf_dir).withColumn("toks", F.expr(TOKENS_SPARK))
+    for lang in LANG_MARKERS:
+        df = df.withColumn(f"s_{lang}", F.expr(_lang_score_spark(lang)))
+    return (
+        df.withColumn("pred_lang", F.expr(_PRED_CASE))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+Q_TEXT_LANG_ID_SQL = f"""
+WITH t AS (SELECT lang, {TOKENS_DUCK} AS toks FROM documents),
+s AS (
+  SELECT lang,
+         {_lang_score_duck('en')} AS s_en,
+         {_lang_score_duck('de')} AS s_de,
+         {_lang_score_duck('es')} AS s_es,
+         {_lang_score_duck('fr')} AS s_fr,
+         {_lang_score_duck('zh')} AS s_zh
+  FROM t)
+SELECT lang, {_PRED_CASE} AS pred_lang, COUNT(*) AS n_docs
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency top-20 (explode → partial-agg → final
+    agg → top-k). The sort is over the tiny aggregated set only."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+Q_TEXT_TOKEN_TOPK_SQL = f"""
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest({TOKENS_DUCK}) AS token FROM documents)
+GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
+"""
+
+
+# Word-3-gram shingle array (empty when the doc has <3 tokens).
+SHINGLES_SPARK = (
+    "CASE WHEN size(toks) < 3 THEN array()"
+    " ELSE transform(sequence(0, size(toks) - 3),"
+    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END"
+)
+SHINGLES_DUCK = (
+    "list_transform(range(1, greatest(len(toks) - 1, 1)),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min 60-bit hash over word-
+    3-gram shingles (a k=1 MinHash). Map-only, no shuffle — at 100 TB
+    this is a single scan producing one bigint per doc."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKENS_SPARK))
+        .withColumn("shingles", F.expr(SHINGLES_SPARK))
+        .select(
+            "doc_id",
+            F.expr(
+                f"array_min(transform(shingles, s -> {hash60_spark('s')}))"
+            ).alias("fingerprint"),
+        )
+    )
+
+
+Q_TEXT_FINGERPRINT_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
+s AS (SELECT doc_id, {SHINGLES_DUCK} AS shingles FROM t)
+SELECT doc_id,
+       list_min(list_transform(shingles, s -> {hash60_duck('s')})) AS fingerprint
+FROM s
+"""
+
+
+QUERIES = {
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_token_topk": q_text_token_topk,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+ORACLES = {
+    "text_quality": Q_TEXT_QUALITY_SQL,
+    "text_lang_id": Q_TEXT_LANG_ID_SQL,
+    "text_token_topk": Q_TEXT_TOKEN_TOPK_SQL,
+    "text_fingerprint": Q_TEXT_FINGERPRINT_SQL,
+}

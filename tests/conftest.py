@@ -53,10 +53,12 @@ def assert_oracle_match(spark, duck, query_fn, sql, sf_dir=SF_DIR, float_tol=0.0
     spark_cols = sorted(sdf.columns)
     spark_rows = [tuple(row[c] for c in spark_cols) for row in sdf.collect()]
 
-    ddf = duck.execute(sql).fetchdf()
-    duck_cols = sorted(ddf.columns.tolist())
+    cur = duck.execute(sql)
+    raw = cur.fetchall()
+    duck_cols = sorted(d[0] for d in cur.description)
+    colidx = {d[0]: i for i, d in enumerate(cur.description)}
     assert spark_cols == duck_cols, f"columns differ: {spark_cols} vs {duck_cols}"
-    duck_rows = [tuple(row[c] for c in duck_cols) for _, row in ddf.iterrows()]
+    duck_rows = [tuple(r[colidx[c]] for c in duck_cols) for r in raw]
 
     assert len(spark_rows) == len(duck_rows), (
         f"row counts differ: {len(spark_rows)} vs {len(duck_rows)}"

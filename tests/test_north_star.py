@@ -1,0 +1,119 @@
+"""North-star training-data-pipeline ops: text analysis, dedup,
+similarity search — oracle matches plus semantic invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ij_spark.operators import dedup, similarity, text
+
+from .conftest import assert_oracle_match
+
+
+@pytest.mark.parametrize("name", sorted(text.QUERIES))
+def test_text_query_matches_oracle(spark, duck, name):
+    assert_oracle_match(spark, duck, text.QUERIES[name], text.ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(dedup.QUERIES))
+def test_dedup_query_matches_oracle(spark, duck, name):
+    assert_oracle_match(spark, duck, dedup.QUERIES[name], dedup.ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(similarity.QUERIES))
+def test_similarity_query_matches_oracle(spark, duck, name):
+    assert_oracle_match(
+        spark, duck, similarity.QUERIES[name], similarity.ORACLES[name]
+    )
+
+
+def test_jaccard_bounds_and_symmetric_canonical(spark, sf_dir):
+    rows = dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert rows, "threshold should surface the planted near-dup pairs"
+    for r in rows:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.da < r.db  # canonical pair orientation, no mirrored dupes
+
+
+def test_minhash_lsh_candidates_cover_high_jaccard_pairs(spark, sf_dir):
+    """LSH with b=4, r=2 must recall essentially all near-identical
+    pairs (P[candidate] = 1-(1-j^2)^4 → 0.9996 at j=0.9)."""
+    lsh = {
+        (r.da, r.db)
+        for r in dedup.q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    exact_high = {
+        (r.da, r.db)
+        for r in dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+        if r.jaccard >= 0.9
+    }
+    assert exact_high, "data should contain planted near-dups"
+    missed = exact_high - lsh
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_selects_token_similar_pairs(spark, duck, sf_dir):
+    """SimHash is a token-set sketch: pairs it flags as hamming-close
+    must on average have higher unigram Jaccard than the corpus-wide
+    pair average (the discriminative-power invariant)."""
+    rows = dedup.q_dedup_simhash(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.da < r.db
+        assert 0 <= r.hamming <= dedup.SIMHASH_MAX_HAMMING
+    pair_vals = ", ".join(f"({r.da}, {r.db})" for r in rows)
+    uni = f"""
+    WITH sh AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS s FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    jac AS (SELECT da, db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+            FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id)
+    SELECT avg(CASE WHEN (da, db) IN ({pair_vals}) THEN j END) AS sel_avg,
+           avg(j) AS all_avg
+    FROM jac
+    """
+    sel_avg, all_avg = duck.execute(uni).fetchone()
+    assert sel_avg > all_avg, (sel_avg, all_avg)
+
+
+def test_exact_dedup_total_preserved(spark, sf_dir):
+    df = dedup.q_dedup_exact(spark, sf_dir)
+    total = df.agg(F.sum("n_copies")).collect()[0][0]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == n_docs
+
+
+def test_ann_topk_rank_contract(spark, sf_dir):
+    rows = similarity.q_ann_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.ia, []).append(r)
+    assert set(by_q) == set(range(similarity.N_QUERIES))
+    for ia, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, similarity.TOPK + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.ib != ia for r in rs)
+
+
+def test_ann_lsh_subset_of_bruteforce_universe(spark, sf_dir):
+    """LSH results are exact cosines over a candidate subset: any LSH
+    hit that brute-force also ranks in top-K must carry the identical
+    similarity value (same scoring function, different candidate set)."""
+    bf = {
+        (r.ia, r.ib): r.cos_sim
+        for r in similarity.q_ann_topk(spark, sf_dir).collect()
+    }
+    for r in similarity.q_ann_lsh(spark, sf_dir).collect():
+        if (r.ia, r.ib) in bf:
+            assert bf[(r.ia, r.ib)] == r.cos_sim
+
+
+def test_fingerprint_deterministic(spark, sf_dir):
+    a = {r.doc_id: r.fingerprint for r in text.q_text_fingerprint(spark, sf_dir).collect()}
+    b = {r.doc_id: r.fingerprint for r in text.q_text_fingerprint(spark, sf_dir).collect()}
+    assert a == b
+    assert all(v is not None and v >= 0 for v in a.values())
