@@ -25,6 +25,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     from spark_ij_spark.operators import (
         dedup,
+        event_windows,
         image_queries,
         relational,
         similarity,
@@ -36,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(text.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
+    out.update(event_windows.QUERIES)
     return out
 
 
@@ -44,6 +46,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     from spark_ij_spark.operators import (
         dedup,
+        event_windows,
         image_queries,
         relational,
         similarity,
@@ -55,4 +58,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(text.ORACLES)
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
+    out.update(event_windows.ORACLES)
     return out

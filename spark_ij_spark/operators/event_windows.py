@@ -1,0 +1,132 @@
+"""Batch twins of the streaming window operators (events table).
+
+Same transformations as ``spark_ij_spark.streaming.events`` applied to
+the batch loader — these carry the DuckDB oracles for the correctness
+gate (sliding window = 30-min bucket union of 2 offsets; session
+window = gaps-and-islands with lag + running sum), while the streaming
+module is checked by stream==batch equivalence tests.
+
+Double sums use the decimal-sum pattern (relational.dsum) so the
+aggregate is order-independent and hash-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ij_spark.operators.relational import dsum, dsum_sql
+from spark_ij_spark.session import load_tables
+
+SESSION_GAP_MIN = 30
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["events"])["events"]
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 30min per event_type. One shuffle on
+    (window, type); window() expands each event to 2 rows map-side."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", 2, "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+Q_EVENTS_SLIDING_SQL = f"""
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - (k * INTERVAL '30 minutes') AS ws,
+         event_type, value
+  FROM events, (VALUES (0), (1)) AS off(k))
+SELECT ws AS window_start,
+       ws + INTERVAL '1 hour' AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {dsum_sql('value', 2)} AS sum_value
+FROM expanded
+GROUP BY ws, event_type
+"""
+
+
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap), batch session_window.
+    Semantics: window end = last event + gap, exclusive — an event at
+    exactly last+gap starts a new session."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value", 2, "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+Q_EVENTS_SESSION_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev IS NULL
+                OR ts - prev >= INTERVAL '{SESSION_GAP_MIN} minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM o),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,
+       COUNT(*) AS n_events,
+       {dsum_sql('value', 2)} AS sum_value
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+def q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming op: final per-user totals."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", 2, "sum_value"))
+    )
+
+
+Q_EVENTS_RUNNING_TOTALS_SQL = f"""
+SELECT user_id, COUNT(*) AS n_events, {dsum_sql('value', 2)} AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "events_sliding": q_events_sliding,
+    "events_session": q_events_session,
+    "events_running_totals": q_events_running_totals,
+}
+
+ORACLES = {
+    "events_sliding": Q_EVENTS_SLIDING_SQL,
+    "events_session": Q_EVENTS_SESSION_SQL,
+    "events_running_totals": Q_EVENTS_RUNNING_TOTALS_SQL,
+}

@@ -77,9 +77,10 @@ def load_tables(
             if name == "events":
                 # ts is TIMESTAMP(NANOS) in parquet, surfaced as long via
                 # nanosAsLong; truncate to micros exactly like DuckDB does.
-                df = df.withColumn(
-                    "ts", F.expr("timestamp_micros(CAST(FLOOR(ts / 1000) AS LONG))")
-                )
+                # integer DIV, not FLOOR(ts/1000): bigint/1000 is double
+                # division in Spark SQL and its rounding can bump the
+                # microsecond by 1 vs DuckDB's truncating ns→µs cast.
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
             out[name] = df
     return out
 

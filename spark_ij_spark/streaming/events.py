@@ -1,0 +1,163 @@
+"""Structured Streaming operators over the ``events`` stream.
+
+The reference is Spark 2.0.1-era RDD code with no streaming surface
+(SURVEY.md §2.8); these are the north-star stream ops: watermarked
+tumbling / sliding / session windows plus a custom stateful per-user
+aggregate via ``applyInPandasWithState``.
+
+Every op is defined on a DataFrame so the identical transformation
+composes with either a streaming source (``read_events_stream``) or
+the batch loader — the equivalence test drives both and asserts equal
+results, which is this module's correctness oracle (streaming results
+are not SQL-expressible for the DuckDB gate; the driver records
+rows-only checks for the batch twins in event_windows.py instead).
+
+Scale: windowed aggs shuffle once on (window, key) with partial
+aggregation; watermarks bound state. Session windows and the stateful
+op keep per-key state in the state store — at 100 TB/day you size
+state by keys × retention, not data volume, and RocksDB state store +
+watermark eviction keep it flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Raw parquet schema: ts is TIMESTAMP(NANOS) surfaced as long via
+# spark.sql.legacy.parquet.nanosAsLong (set in session.get_spark).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+DEFAULT_WATERMARK = "2 hours"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (same nanos→micros
+    conversion as the batch loader, so both sides see identical ts)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Per-(hour, event_type) count/sum with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Overlapping 1h windows every 30min; each event lands in
+    window/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Per-user session windows: a session extends while consecutive
+    events arrive strictly within ``gap``; window end = last + gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+USER_TOTAL_SCHEMA = "user_id long, n_events long, sum_value double"
+_STATE_SCHEMA = "n long, s double"
+
+
+def _user_totals_fn(key, pdf_iter, state):
+    """applyInPandasWithState body: cumulative per-user totals."""
+    import pandas as pd
+
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count + value
+    total, state kept across micro-batches (the
+    ``applyInPandasWithState`` pattern for operators Spark lacks)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        USER_TOTAL_SCHEMA,
+        _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame, table_name: str, output_mode: str = "complete"
+) -> None:
+    """Execute a streaming DataFrame to completion (availableNow) into
+    an in-memory table for inspection/tests."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

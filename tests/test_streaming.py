@@ -1,0 +1,86 @@
+"""Structured Streaming ops: stream(availableNow) == batch equivalence.
+
+The streaming module's correctness oracle is the batch twin — the
+identical transformation applied via the batch loader must produce the
+same rows once the stream drains (this mirrors the reference's
+distributed-equals-local test strategy, SpijiTests.scala:312-343).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ij_spark.session import load_tables
+from spark_ij_spark.streaming import events as se
+
+from .conftest import SF_DIR
+
+
+def _batch_events(spark):
+    return load_tables(spark, SF_DIR, ["events"])["events"]
+
+
+def _drain(spark, stream_df, name, mode="complete"):
+    se.run_to_memory(stream_df, name, output_mode=mode)
+    return spark.table(name)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "op,cols",
+    [
+        (
+            se.tumbling_counts,
+            ["window_start", "window_end", "event_type", "n_events", "sum_value"],
+        ),
+        (
+            se.sliding_counts,
+            ["window_start", "window_end", "event_type", "n_events", "sum_value"],
+        ),
+    ],
+)
+def test_windowed_stream_equals_batch(spark, op, cols):
+    name = f"mem_{op.__name__}"
+    got = _drain(spark, op(se.read_events_stream(spark, SF_DIR)), name)
+    want = op(_batch_events(spark))
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_stream_equals_batch(spark):
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    got = _drain(
+        spark,
+        se.session_stats(se.read_events_stream(spark, SF_DIR)),
+        "mem_sessions",
+    )
+    want = se.session_stats(_batch_events(spark))
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stateful_running_totals_equal_batch_aggregate(spark):
+    got = _drain(
+        spark,
+        se.user_running_totals(se.read_events_stream(spark, SF_DIR)),
+        "mem_totals",
+        mode="update",
+    )
+    want = (
+        _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    g = {r.user_id: (r.n_events, r.sum_value) for r in got.collect()}
+    w = {r.user_id: (r.n_events, r.sum_value) for r in want.collect()}
+    assert set(g) == set(w)
+    for uid in w:
+        assert g[uid][0] == w[uid][0]
+        assert abs(g[uid][1] - w[uid][1]) < 1e-6
+
+
+def test_watermark_present_in_plan(spark):
+    stream = se.tumbling_counts(se.read_events_stream(spark, SF_DIR))
+    assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
