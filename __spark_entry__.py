@@ -27,6 +27,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         event_windows,
         image_queries,
+        multimodal,
         relational,
         similarity,
         text,
@@ -38,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(event_windows.QUERIES)
+    out.update(multimodal.QUERIES)
     return out
 
 
@@ -48,6 +50,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         event_windows,
         image_queries,
+        multimodal,
         relational,
         similarity,
         text,
@@ -59,4 +62,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(event_windows.ORACLES)
+    out.update(multimodal.ORACLES)
     return out

@@ -1,0 +1,280 @@
+"""Image sources and sinks.
+
+Rebuild of the reference's IO surface (SURVEY.md §2.1/§2.2):
+
+- ``load_images``       ≡ `loadImages` (scOps.scala:75-97): Spark's
+  built-in binaryFile source + per-batch decode pandas UDF — replaces
+  the reference's custom Hadoop input format and its driver-side
+  filename collect (scOps.scala:78-80), which does not scale.
+- ``load_images_locally`` ≡ `loadImagesLocally` (scOps.scala:107-122):
+  parallelize a path list, workers open from shared FS.
+- ``save_images_local`` ≡ `saveImagesLocal` (scOps.scala:262-271):
+  foreachPartition, encode+write one file per image key.
+- ``save_images_parquet`` ≡ Hadoop byte save (scOps.scala:281-300 +
+  ByteOutputFormat.java) — but keyed: (path, bytes) parquet keeps
+  names, fixing the reference's documented name-loss caveat.
+- ``ImageJDataSource``  ≡ the DDL relation provider
+  (AbstractImageSource.scala:20-84): Python DataSource V2 with the
+  same OPTIONS contract (path, count, table simple|abstract, debug),
+  so ``spark.read.format("imagej")`` and
+  ``CREATE TEMPORARY VIEW ... USING imagej OPTIONS (...)`` both work.
+
+Scale: decode happens executor-side per Arrow batch; binaryFile scans
+list files distributed; no driver collects. Column pruning beats the
+reference: the abstract (wide) schema computes metadata from the
+decoded array once at scan, and the DSv2 reader only decodes pixels
+when the ``image`` column is actually required.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spark_ij_spark.datamodel import IMAGE_SCHEMA, image_to_np, np_to_image
+from spark_ij_spark.lineage import log_entry
+from spark_ij_spark.sources.codecs import decode_bytes, encode_array
+
+NAMED_IMAGE_SCHEMA = StructType(
+    [StructField("path", StringType()), StructField("image", IMAGE_SCHEMA)]
+)
+
+# FullSQLImage wide schema (images.scala:27-34): metadata denormalized
+# into queryable scalars so metadata-only queries never touch pixels.
+FULL_IMAGE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("name", StringType()),
+        StructField("parent", StringType()),
+        StructField("fullpath", ArrayType(StringType())),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("slices", IntegerType()),
+        StructField("image", IMAGE_SCHEMA),
+    ]
+)
+
+
+def _load_entry(path: str) -> dict:
+    return log_entry("LOAD", path, optool="spark_ij_spark.sources")
+
+
+def load_images(
+    spark: SparkSession, path: str, pattern: str | None = None
+) -> DataFrame:
+    """Read image files under ``path`` via the binaryFile source and
+    decode per batch (suffix-dispatched codec). Returns (path, image)."""
+    reader = spark.read.format("binaryFile")
+    if pattern:
+        reader = reader.option("pathGlobFilter", pattern)
+    raw = reader.load(path).select("path", "content")
+
+    @F.pandas_udf(IMAGE_SCHEMA)
+    def decode(paths: pd.Series, blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p, b in zip(paths, blobs):
+            arr = decode_bytes(bytes(b), p)
+            rows.append(np_to_image(arr, log=[_load_entry(p)]))
+        return pd.DataFrame(rows, columns=["data", "dtype", "shape", "meta", "log"])
+
+    return raw.select("path", decode("path", "content").alias("image"))
+
+
+def load_images_locally(
+    spark: SparkSession, paths: list[str], partitions: int | None = None
+) -> DataFrame:
+    """Parallelize an explicit path list; each worker opens its file
+    from shared storage (scOps.scala:107-122 semantics)."""
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    if partitions:
+        pdf = pdf.repartition(partitions)
+
+    @F.pandas_udf(IMAGE_SCHEMA)
+    def open_file(ps: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in ps:
+            with open(p, "rb") as fh:
+                arr = decode_bytes(fh.read(), p)
+            rows.append(np_to_image(arr, log=[_load_entry(p)]))
+        return pd.DataFrame(rows, columns=["data", "dtype", "shape", "meta", "log"])
+
+    return pdf.select("path", open_file("path").alias("image"))
+
+
+def save_images_local(
+    df: DataFrame,
+    out_dir: str,
+    suffix: str = ".npy",
+    path_col: str = "path",
+    image_col: str = "image",
+) -> None:
+    """Write one encoded file per image: basename(key) + suffix
+    (saveImagesLocal, scOps.scala:262-271). Executor-side writes to a
+    shared filesystem; no data returns to the driver."""
+    os.makedirs(out_dir, exist_ok=True)
+    cols = df.select(F.col(path_col).alias("p"), F.col(image_col).alias("img"))
+
+    def write_partition(rows) -> None:
+        for row in rows:
+            arr = image_to_np(row.img)
+            base = os.path.splitext(os.path.basename(row.p))[0]
+            with open(os.path.join(out_dir, base + suffix), "wb") as fh:
+                fh.write(encode_array(arr, suffix))
+
+    cols.foreachPartition(write_partition)
+
+
+def save_images_parquet(
+    df: DataFrame,
+    out_path: str,
+    suffix: str = ".npy",
+    path_col: str = "path",
+    image_col: str = "image",
+) -> None:
+    """Keyed byte sink: (path, bytes) parquet. Unlike the reference's
+    `saveAsHadoopFile` (names lost in part-0000 files, its documented
+    caveat) the key column preserves identity."""
+
+    @F.pandas_udf("binary")
+    def encode(imgs: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            [encode_array(image_to_np(r), suffix) for r in imgs.itertuples(index=False)]
+        )
+
+    (
+        df.select(F.col(path_col).alias("path"), encode(image_col).alias("content"))
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def read_images_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Inverse of save_images_parquet: decode the byte column back."""
+
+    @F.pandas_udf(IMAGE_SCHEMA)
+    def decode(paths: pd.Series, blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p, b in zip(paths, blobs):
+            rows.append(
+                np_to_image(decode_bytes(bytes(b), p + ".npy"), log=[_load_entry(p)])
+            )
+        return pd.DataFrame(rows, columns=["data", "dtype", "shape", "meta", "log"])
+
+    raw = spark.read.parquet(path)
+    return raw.select("path", decode("path", "content").alias("image"))
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource V2: the DDL OPTIONS contract
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_array(i: int, width: int, height: int) -> np.ndarray:
+    """Debug image i: constant value i (matches the reference debug
+    source's deterministic content so SQL assertions are possible)."""
+    return np.full((height, width, 1), float(i), dtype=np.float32)
+
+
+class _ImagePartition(InputPartition):
+    def __init__(self, index: int, items: list):
+        self.index = index
+        self.items = items
+
+
+class ImageJReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        # option keys arrive lowercased, like AbstractImageSource.scala:42-46
+        self.debug = str(options.get("debug", "false")).lower() == "true"
+        self.count = int(options.get("count", "5"))
+        self.table = str(options.get("table", "simple")).lower()
+        self.path = options.get("path")
+        self.width = int(options.get("width", "10"))
+        self.height = int(options.get("height", "10"))
+        self.partitions_n = int(options.get("partitions", "4"))
+        if not self.debug and not self.path:
+            raise ValueError(
+                "imagej source requires OPTIONS path unless debug=true "
+                "(AbstractImageSource.scala:36 contract)"
+            )
+
+    def partitions(self):
+        if self.debug:
+            items = [("__debug_%d__" % i, i) for i in range(self.count)]
+        else:
+            names = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if not f.startswith(".")
+            )
+            items = [(p, i) for i, p in enumerate(names)]
+        n = max(1, min(self.partitions_n, len(items)))
+        chunks = [items[i::n] for i in range(n)]
+        return [_ImagePartition(i, c) for i, c in enumerate(chunks) if c]
+
+    def read(self, partition: _ImagePartition) -> Iterator[tuple]:
+        simple = self.table != "abstract"
+        for path, i in partition.items:
+            if self.debug:
+                arr = _synthetic_array(i, self.width, self.height)
+            else:
+                with open(path, "rb") as fh:
+                    arr = decode_bytes(fh.read(), path)
+            img = np_to_image(arr, log=[_load_entry(path)])
+            image_row = (
+                img["data"],
+                img["dtype"],
+                img["shape"],
+                tuple(img["meta"].values()),
+                [],
+            )
+            if simple:
+                yield (path, image_row)
+            else:
+                h, w, s = arr.shape
+                parts = path.split("/")
+                yield (
+                    path,
+                    parts[-1],
+                    "/".join(parts[:-1]),
+                    parts,
+                    int(w),
+                    int(h),
+                    int(s),
+                    image_row,
+                )
+
+
+class ImageJDataSource(DataSource):
+    """`CREATE TEMPORARY VIEW t USING imagej OPTIONS (...)` provider
+    with the reference's OPTIONS contract (path, count, table
+    simple|abstract, debug) — AbstractImageSource.scala:20-84."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "imagej"
+
+    def schema(self):
+        table = str(self.options.get("table", "simple")).lower()
+        return FULL_IMAGE_SCHEMA if table == "abstract" else NAMED_IMAGE_SCHEMA
+
+    def reader(self, schema: StructType) -> ImageJReader:
+        return ImageJReader(schema, dict(self.options))
+
+
+def register_image_source(spark: SparkSession) -> None:
+    """Register the 'imagej' format for read.format() and SQL DDL."""
+    spark.dataSource.register(ImageJDataSource)

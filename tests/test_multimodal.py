@@ -1,0 +1,71 @@
+"""Multimodal binary-column ops: pack/sample/resize/features + oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ij_spark.operators import multimodal as mm
+from spark_ij_spark.operators.images import create_empty_images
+
+from .conftest import assert_oracle_match
+
+
+def test_media_query_matches_oracle(spark, duck):
+    assert_oracle_match(
+        spark,
+        duck,
+        mm.QUERIES["media_frame_sample"],
+        mm.ORACLES["media_frame_sample"],
+    )
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    imgs = create_empty_images(
+        spark, "m", 6, width=8, height=4, value_fn=lambda i: float(i)
+    )
+    return imgs.select(
+        "sample", mm.media_from_image("image", frame_axis=False).alias("media")
+    )
+
+
+def test_pack_meta_and_mime(media_df):
+    r = media_df.collect()[0]
+    assert r.media.mime == mm.NPY_MIME
+    assert (r.media.meta.width, r.media.meta.height) == (8, 4)
+    arr = mm.decode_media_bytes(r.media.data, r.media.mime)
+    assert arr.shape == (4, 8, 1)
+
+
+def test_resize_is_deterministic_nearest_neighbor(spark, media_df):
+    out = media_df.select("sample", mm.resize_media("media", 4, 2).alias("m2"))
+    for r in out.collect():
+        assert (r.m2.meta.width, r.m2.meta.height) == (4, 2)
+        arr = mm.decode_media_bytes(r.m2.data, r.m2.mime)
+        assert arr.shape == (2, 4, 1)
+
+
+def test_features_match_numpy(spark, media_df):
+    out = media_df.select("sample", mm.media_features("media").alias("f"))
+    for r in out.collect():
+        i = float(r.sample.lstrip("m"))
+        assert r.f.mean == i and r.f.std == 0.0
+        assert r.f.n_px == 8 * 4
+
+
+def test_frame_sample_stride(spark):
+    imgs = create_empty_images(
+        spark, "v", 2, width=10, height=1, value_fn=lambda i: 1.0
+    )
+    media = imgs.select("sample", mm.media_from_image("image").alias("media"))
+    r = media.select(mm.frame_sample("media", 3).alias("m")).collect()[0]
+    assert r.m.meta.n_frames == 4  # frames 0,3,6,9 of 10
+
+
+def test_stubbed_mime_raises_not_implemented():
+    with pytest.raises(NotImplementedError, match="plumbing is real"):
+        mm.decode_media_bytes(b"xx", "image/jpeg")
+    with pytest.raises(ValueError):
+        mm.decode_media_bytes(b"xx", "application/unknown")

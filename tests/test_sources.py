@@ -1,0 +1,143 @@
+"""IO surface: binaryFile load, local/parquet sinks, DDL data source."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from spark_ij_spark.datamodel import image_to_np
+from spark_ij_spark.operators.images import create_empty_images
+from spark_ij_spark.sources import codecs
+from spark_ij_spark.sources.images import (
+    ImageJDataSource,
+    load_images,
+    load_images_locally,
+    read_images_parquet,
+    register_image_source,
+    save_images_local,
+    save_images_parquet,
+)
+
+
+def test_npy_codec_roundtrip():
+    arr = np.arange(24, dtype=np.float32).reshape(2, 4, 3)
+    b = codecs.encode_array(arr, ".npy")
+    back = codecs.decode_bytes(b, "x.npy")
+    np.testing.assert_array_equal(arr, back)
+
+
+def test_missing_codec_is_clearly_stubbed():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        codecs.decode_bytes(b"\x89PNG", "x.png")
+    with pytest.raises(ValueError, match="unsupported"):
+        codecs.decode_bytes(b"", "x.xyz")
+
+
+def test_save_load_roundtrip_local(spark, tmp_path):
+    imgs = create_empty_images(spark, "img", 5, width=6, height=4, value_fn=lambda i: 7.5)
+    out = str(tmp_path / "imgs")
+    save_images_local(imgs, out, path_col="sample")
+    files = sorted(os.listdir(out))
+    assert len(files) == 5 and all(f.endswith(".npy") for f in files)
+
+    back = load_images(spark, out, pattern="*.npy")
+    rows = back.collect()
+    assert len(rows) == 5
+    for r in rows:
+        arr = image_to_np(r.image)
+        assert arr.shape == (4, 6, 1)
+        assert float(arr.mean()) == 7.5
+        assert r.image.log[0].optype == "LOAD"
+
+
+def test_load_images_locally_explicit_paths(spark, tmp_path):
+    imgs = create_empty_images(spark, "img", 3, width=3, height=2, value_fn=lambda i: 1.0)
+    out = str(tmp_path / "imgs2")
+    save_images_local(imgs, out, path_col="sample")
+    paths = [os.path.join(out, f) for f in sorted(os.listdir(out))]
+    back = load_images_locally(spark, paths, partitions=2)
+    assert back.count() == 3
+    assert {os.path.basename(r.path) for r in back.collect()} == {
+        os.path.basename(p) for p in paths
+    }
+
+
+def test_parquet_byte_sink_keeps_keys(spark, tmp_path):
+    imgs = create_empty_images(spark, "img", 4, width=3, height=3, value_fn=lambda i: 2.0)
+    out = str(tmp_path / "bytes.parquet")
+    save_images_parquet(imgs, out, path_col="sample")
+    back = read_images_parquet(spark, out)
+    rows = {r.path: image_to_np(r.image) for r in back.collect()}
+    assert len(rows) == 4  # names preserved (unlike reference caveat)
+    for arr in rows.values():
+        assert float(arr.mean()) == 2.0
+
+
+@pytest.fixture(scope="module")
+def imagej_source(spark):
+    register_image_source(spark)
+    return spark
+
+
+def test_ddl_debug_simple_schema(imagej_source):
+    spark = imagej_source
+    df = (
+        spark.read.format("imagej")
+        .option("debug", "true")
+        .option("count", "7")
+        .load()
+    )
+    assert df.columns == ["path", "image"]
+    rows = df.collect()
+    assert len(rows) == 7
+    vals = sorted(float(image_to_np(r.image).mean()) for r in rows)
+    assert vals == [float(i) for i in range(7)]  # constant-i debug images
+
+
+def test_ddl_abstract_wide_schema(imagej_source):
+    spark = imagej_source
+    df = (
+        spark.read.format("imagej")
+        .option("debug", "true")
+        .option("count", "3")
+        .option("table", "abstract")
+        .option("width", "5")
+        .option("height", "4")
+        .load()
+    )
+    assert df.columns == [
+        "path",
+        "name",
+        "parent",
+        "fullpath",
+        "width",
+        "height",
+        "slices",
+        "image",
+    ]
+    r = df.orderBy("path").collect()[0]
+    assert (r.width, r.height, r.slices) == (5, 4, 1)
+    # metadata-only query never fails on pixel decode
+    assert df.select("width").distinct().count() == 1
+
+
+def test_ddl_create_temporary_view_sql(imagej_source):
+    spark = imagej_source
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW DebugImages "
+        "USING imagej OPTIONS (debug 'true', count '5', table 'simple')"
+    )
+    assert spark.sql("SELECT COUNT(*) c FROM DebugImages").collect()[0].c == 5
+    names = [r.tableName for r in spark.sql("SHOW TABLES").collect()]
+    assert any(n.lower() == "debugimages" for n in names)
+
+
+def test_ddl_path_required_without_debug(imagej_source):
+    spark = imagej_source
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises((Py4JJavaError, AnalysisException, Exception)):
+        spark.read.format("imagej").load().collect()
