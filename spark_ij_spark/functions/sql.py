@@ -232,6 +232,56 @@ def register_imagej(spark: SparkSession) -> None:
     def showmetadata(img: pd.DataFrame) -> pd.Series:  # :246-249
         return pd.Series([format_metadata(r._asdict()) for r in _iter_imgs(img)])
 
+    # --- ROI surface (Spiji.java:515-613) ---
+    from spark_ij_spark.kernels import roi as roik
+
+    @F.pandas_udf(IMAGE_SCHEMA)
+    def setroi(
+        img: pd.DataFrame, rtype: pd.Series, xs: pd.Series, ys: pd.Series
+    ) -> pd.DataFrame:
+        rows = []
+        for i, r in enumerate(_iter_imgs(img)):
+            meta = meta_of(r)
+            meta["info"] = roik.set_roi(
+                meta.get("info", ""), list(xs.iloc[i]), list(ys.iloc[i]),
+                str(rtype.iloc[i]),
+            )
+            log = lineage.append_entry(
+                log_of(r),
+                lineage.log_entry("ROI", str(rtype.iloc[i])),
+            )
+            rows.append(np_to_image(image_to_np(r), meta=meta, log=log))
+        return pd.DataFrame(rows, columns=["data", "dtype", "shape", "meta", "log"])
+
+    @F.pandas_udf(StringType())
+    def getroi(img: pd.DataFrame, cal: pd.Series) -> pd.Series:
+        import json
+
+        out = []
+        for i, r in enumerate(_iter_imgs(img)):
+            meta = meta_of(r)
+            roi = roik.get_roi(
+                meta.get("info", ""), meta, calibrated=bool(cal.iloc[i])
+            )
+            out.append(json.dumps(roi) if roi else None)
+        return pd.Series(out)
+
+    @F.pandas_udf(MapType(StringType(), DoubleType()))
+    def roistats(img: pd.DataFrame) -> pd.Series:
+        out = []
+        for r in _iter_imgs(img):
+            meta = meta_of(r)
+            roi = roik.get_roi(meta.get("info", ""), meta)
+            if roi is None:
+                out.append(_stats_map(r))  # no ROI → whole image
+            else:
+                out.append(roik.roi_measure(image_to_np(r), roi))
+        return pd.Series(out)
+
+    spark.udf.register("setroi", setroi)
+    spark.udf.register("getroi", getroi)
+    spark.udf.register("roistats", roistats)
+
     spark.udf.register("run", run)
     spark.udf.register("run2", run2)
     spark.udf.register("runtable", runtable)

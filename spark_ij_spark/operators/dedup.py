@@ -198,8 +198,29 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    jac = _jaccard_pairs(shingle_postings(spark, sf_dir)).select("da", "db", "jaccard")
-    return cand.join(jac, ["da", "db"])
+    # Verify ONLY the candidate pairs: semi-join-reduce the postings to
+    # candidate docs before the inverted-index intersection, instead of
+    # computing Jaccard for every co-shingled pair in the corpus. The
+    # candidate set is tiny (LSH's point), so both joins stay small.
+    sh = shingle_postings(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pa = sh.withColumnRenamed("doc_id", "da")
+    pb = sh.withColumnRenamed("doc_id", "db")
+    inter = (
+        cand.join(pa, "da")          # (da, db, s) for each shingle of da
+        .join(pb, ["db", "s"])       # keep shingles db also has
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .select(
+            "da",
+            "db",
+            F.expr("round(CAST(i AS DOUBLE) / (na + nb - i), 6)").alias("jaccard"),
+        )
+    )
 
 
 def _band_exprs_duck() -> list[str]:

@@ -170,18 +170,34 @@ def q_img_quantity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def to_hist(batches):
+        # Histograms are additive, so bin the whole Arrow batch at once
+        # (one kernel call per batch instead of one per image — the
+        # per-image loop was the entire cost at sf0.1).
         for pdf in batches:
-            out: dict[str, list] = {"bin_center": [], "bin_count": []}
-            for img in pdf["image"]:
-                centers, counts = histogram(image_to_np(img), (0.0, 50.0), 51)
-                nz = counts > 0
-                out["bin_center"].extend(centers[nz].tolist())
-                out["bin_count"].extend(counts[nz].astype("int64").tolist())
-            yield pd.DataFrame(out)
+            if not len(pdf):
+                continue
+            dt = pdf["dtype"].iloc[0]
+            allpix = np.concatenate(
+                [np.frombuffer(d, dtype=dt) for d in pdf["data"]]
+            )
+            centers, counts = histogram(allpix, (0.0, 50.0), 51)
+            nz = counts > 0
+            yield pd.DataFrame(
+                {
+                    "bin_center": centers[nz],
+                    "bin_count": counts[nz].astype("int64"),
+                }
+            )
 
-    # partial per-image histograms → final groupBy sum (map-side combine
-    # keeps the shuffle at O(bins), the classic scalable histogram plan)
-    partial = imgs.mapInPandas(to_hist, schema=hist_schema)
+    # Project to the raw pixel payload before the Python hop: Arrow
+    # moves two flat columns instead of the nested image struct (the
+    # struct→Python conversion dominated the runtime), and partial
+    # per-batch histograms → final groupBy sum keeps the shuffle at
+    # O(bins) — the classic scalable histogram plan.
+    flat = imgs.select(
+        F.col("image.data").alias("data"), F.col("image.dtype").alias("dtype")
+    )
+    partial = flat.mapInPandas(to_hist, schema=hist_schema)
     return (
         partial.groupBy("bin_center")
         .agg(F.sum("bin_count").alias("n"))
@@ -211,23 +227,42 @@ def q_img_threshold_particles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def analyze(batches):
+        # Vectorized batch form of applyThreshold + analyze_particles
+        # for 1-pixel-high images: particles are maximal runs of
+        # qualifying pixels, so one boolean pass over the concatenated
+        # batch replaces 150k per-image kernel calls. Equivalence with
+        # the general kernel is asserted in
+        # tests/test_image_queries.py::test_vectorized_particles_equal_kernel.
         for pdf in batches:
-            rows = []
-            for key, img in zip(pdf["l_orderkey"], pdf["image"]):
-                arr = image_to_np(img)
-                masked, _ = run_op(arr, "applyThreshold", "lower=25 upper=1e9", {})
-                table = analyze_particles(masked)
-                areas = table.get("Area", [])
-                rows.append(
-                    {
-                        "l_orderkey": int(key),
-                        "n_particles": len(areas),
-                        "total_area": float(sum(areas)),
-                    }
-                )
-            yield pd.DataFrame(rows)
+            if not len(pdf):
+                continue
+            dt = pdf["dtype"].iloc[0]
+            pix = [np.frombuffer(d, dtype=dt) for d in pdf["data"]]
+            lens = np.fromiter((len(p) for p in pix), dtype=np.int64, count=len(pix))
+            bounds = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            allpix = np.concatenate(pix)
+            mask = allpix >= 25.0
+            prev = np.concatenate([[False], mask[:-1]])
+            prev[bounds] = False  # runs never span image boundaries
+            starts = mask & ~prev
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"].to_numpy(),
+                    "n_particles": np.add.reduceat(
+                        starts.astype(np.int64), bounds
+                    ),
+                    "total_area": np.add.reduceat(
+                        mask.astype(np.float64), bounds
+                    ),
+                }
+            )
 
-    return imgs.mapInPandas(analyze, schema=out_schema)
+    flat = imgs.select(
+        "l_orderkey",
+        F.col("image.data").alias("data"),
+        F.col("image.dtype").alias("dtype"),
+    )
+    return flat.mapInPandas(analyze, schema=out_schema)
 
 
 Q_IMG_PARTICLES_SQL = """
@@ -287,8 +322,51 @@ GROUP BY l_orderkey, v
 """
 
 
+def q_img_roi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROI pipeline through the registered SQL surface: setroi attaches
+    a RECTANGLE covering the first 3 pixels (x∈[0,3)), roistats measures
+    inside it — mean/pts equal the first-3-lineitems aggregate, which
+    is the exact SQL oracle. Exercises setroi → roistats composition
+    (Spiji.java:515-613) inside Catalyst."""
+    from spark_ij_spark.functions.sql import register_imagej
+
+    register_imagej(spark)
+    order_quantity_images(spark, sf_dir).createOrReplaceTempView("_roi_imgs")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(s['pts'] AS BIGINT) AS roi_pts,
+               round(s['mean'], 6) AS roi_mean
+        FROM (
+          SELECT l_orderkey,
+                 roistats(setroi(image, 'RECTANGLE',
+                                 array(0.0D, 3.0D), array(0.0D, 1.0D))) AS s
+          FROM _roi_imgs
+        )
+        """
+    )
+
+
+Q_IMG_ROI_SQL = """
+WITH ordered AS (
+  SELECT l_orderkey, l_quantity,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey
+         ) AS rn
+  FROM lineitem)
+SELECT l_orderkey,
+       COUNT(*) AS roi_pts,
+       round(SUM(l_quantity) / COUNT(*), 6) AS roi_mean
+FROM ordered
+WHERE rn <= 3
+GROUP BY l_orderkey
+"""
+
+
 QUERIES = {
     "img_order_stats": q_img_order_stats,
+    "img_roi_stats": q_img_roi_stats,
     "img_sweep_multiply": q_img_sweep_multiply,
     "img_scale_subtract": q_img_scale_subtract,
     "img_quantity_histogram": q_img_quantity_histogram,
@@ -297,6 +375,7 @@ QUERIES = {
 
 ORACLES = {
     "img_order_stats": Q_IMG_ORDER_STATS_SQL,
+    "img_roi_stats": Q_IMG_ROI_SQL,
     "img_sweep_multiply": Q_IMG_SWEEP_SQL,
     "img_scale_subtract": Q_IMG_SCALE_SUBTRACT_SQL,
     "img_quantity_histogram": Q_IMG_HISTOGRAM_SQL,

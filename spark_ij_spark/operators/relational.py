@@ -439,6 +439,120 @@ ORDER BY lang
 """
 
 
+def q_semi_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join. Orders with at least
+    one returned lineitem, counted per priority. The semi join shuffles
+    on orderkey with early-out semantics (no fan-out on duplicates)."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    returned = t["lineitem"].where(F.col("l_returnflag") == "R")
+    return (
+        t["orders"]
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_SEMI_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS → left-anti join. Customers with no
+    orders, counted per nation."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "nation"])
+    no_orders = t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        no_orders.join(
+            F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal", 2, "total_acctbal"),
+        )
+    )
+
+
+Q_ANTI_JOIN_SQL = f"""
+SELECT n_name, COUNT(*) AS n_customers,
+       {dsum_sql('c_acctbal', 2)} AS total_acctbal
+FROM customer c JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+GROUP BY n_name
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over part-key predicate sets, tagged
+    and counted (one row per set operator)."""
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    big = t["part"].where(F.col("p_size") >= 30).select("p_partkey")
+    shipped = t["lineitem"].select(F.col("l_partkey").alias("p_partkey")).distinct()
+    rows = [
+        big.union(shipped).distinct().select(
+            F.lit("union").alias("op"), F.lit(1).alias("one")
+        ),
+        big.intersect(shipped).select(F.lit("intersect").alias("op"), F.lit(1).alias("one")),
+        big.exceptAll(shipped).distinct().select(
+            F.lit("except").alias("op"), F.lit(1).alias("one")
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out.groupBy("op").agg(F.count("one").alias("n_keys"))
+
+
+Q_SET_OPS_SQL = """
+WITH big AS (SELECT p_partkey FROM part WHERE p_size >= 30),
+shipped AS (SELECT DISTINCT l_partkey AS p_partkey FROM lineitem),
+tagged AS (
+  SELECT 'union' AS op, p_partkey FROM (SELECT * FROM big UNION SELECT * FROM shipped)
+  UNION ALL
+  SELECT 'intersect' AS op, p_partkey FROM (SELECT * FROM big INTERSECT SELECT * FROM shipped)
+  UNION ALL
+  SELECT 'except' AS op, p_partkey FROM (SELECT * FROM big EXCEPT SELECT * FROM shipped))
+SELECT op, COUNT(*) AS n_keys FROM tagged GROUP BY op
+"""
+
+
+def q_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping set over (returnflag, linestatus) with GROUPING()
+    markers — all four grouping combinations in one shuffle."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_quantity", 2, "sum_qty"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+    )
+
+
+Q_CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {dsum_sql('l_quantity', 2)} AS sum_qty,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -452,6 +566,10 @@ QUERIES = {
     "q_events_hourly": q_events_hourly,
     "q_supplier_agg_having": q_supplier_agg_having,
     "q_explode_lateral": q_explode_lateral,
+    "q_semi_join_priority": q_semi_join_priority,
+    "q_anti_join_customers": q_anti_join_customers,
+    "q_set_ops": q_set_ops,
+    "q_cube_returns": q_cube_returns,
 }
 
 ORACLES = {
@@ -467,4 +585,8 @@ ORACLES = {
     "q_events_hourly": Q_EVENTS_HOURLY_SQL,
     "q_supplier_agg_having": Q_SUPPLIER_HAVING_SQL,
     "q_explode_lateral": Q_EXPLODE_SQL,
+    "q_semi_join_priority": Q_SEMI_JOIN_SQL,
+    "q_anti_join_customers": Q_ANTI_JOIN_SQL,
+    "q_set_ops": Q_SET_OPS_SQL,
+    "q_cube_returns": Q_CUBE_SQL,
 }
