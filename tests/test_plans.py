@@ -1,0 +1,65 @@
+"""Physical-plan quality guards.
+
+These assert the *shape* of the plans Catalyst produces — predicate
+pushdown reaching the parquet scan, column pruning, broadcast joins
+for small dims, JVM-only execution for the pure-Catalyst operators —
+so a refactor that silently de-optimizes a hot path fails the suite
+instead of only showing up at 100 TB.
+"""
+
+from __future__ import annotations
+
+from spark_ij_spark.operators import dedup, relational, text
+
+from .conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = _plan(relational.q6_forecast_revenue(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    assert "PushedFilters: []" not in plan
+
+
+def test_q6_column_pruning(spark):
+    plan = _plan(relational.q6_forecast_revenue(spark, SF_DIR))
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    # revenue query needs only 4 lineitem columns; pruning must drop the rest
+    assert "l_returnflag" not in scan and "l_partkey" not in scan
+
+
+def test_q5_broadcasts_small_dims(spark):
+    plan = _plan(relational.q5_local_supplier_volume(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_whole_stage_codegen_no_python(spark):
+    df = relational.q1_pricing_summary(spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan on execution
+    plan = _plan(df)
+    # '*(n)' prefixes mark whole-stage-codegen spans in plan strings
+    assert "*(1)" in plan and "isFinalPlan=true" in plan
+    assert "EvalPython" not in plan  # pure JVM path
+
+
+def test_text_ops_stay_jvm_side(spark):
+    for q in (text.q_text_quality, text.q_text_fingerprint, text.q_text_token_topk):
+        plan = _plan(q(spark, SF_DIR))
+        assert "EvalPython" not in plan, f"{q.__name__} fell off the JVM path"
+
+
+def test_minhash_lsh_no_cartesian_product(spark):
+    plan = _plan(dedup.q_dedup_minhash_lsh(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    plan = _plan(dedup.q_dedup_exact(spark, SF_DIR))
+    # map-side combine: two HashAggregates around one shuffle on the hash key
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_min" in plan and "Exchange hashpartitioning" in plan

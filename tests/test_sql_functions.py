@@ -141,6 +141,26 @@ def test_multi_stage_temp_tables_and_ctas(spark, images_view):
     spark.sql("DROP TABLE masked_stats")
 
 
+def test_insert_into_image_table(spark, images_view):
+    """INSERT INTO over an image-bearing table (IJSqlTest.scala:225-229)
+    — the image struct round-trips through warehouse parquet."""
+    from spark_ij_spark.datamodel import image_to_np
+
+    spark.sql("DROP TABLE IF EXISTS imgs_copy")
+    spark.sql("CREATE TABLE imgs_copy AS SELECT sample, image FROM Images")
+    spark.sql(
+        "INSERT INTO imgs_copy "
+        "SELECT concat('dup_', sample) AS sample, run(image, 'Invert') AS image "
+        "FROM Images"
+    )
+    assert spark.table("imgs_copy").count() == 10
+    r = spark.sql(
+        "SELECT image FROM imgs_copy WHERE sample LIKE 'dup_%' LIMIT 1"
+    ).first()
+    assert image_to_np(r.image).ndim == 3  # decodes after the round-trip
+    spark.sql("DROP TABLE imgs_copy")
+
+
 def test_explode_cardinality(spark, images_view):
     """Explode over int arrays — cardinality from first principles
     (IJSqlTest.scala:40-74: sum of (i+1))."""
