@@ -155,21 +155,32 @@ SELECT da, db, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
 _LSH_ROWS = MINHASH_K // LSH_BANDS  # rows per band
 
 
+# Affine permutation family over the 31-bit hash domain: one md5 per
+# shingle, then K cheap (a·h + b) mod p permutations — the classic
+# MinHash construction, 8x fewer md5 calls than hashing per permutation.
+# p = 2^31-1 (prime); a/b are fixed odd constants < p, so a·h + b < 2^62
+# never overflows BIGINT and Spark/DuckDB compute it identically.
+_MH_P = 2147483647
+_MH_PARAMS = [(2 * j + 3, 12345 + 777 * j) for j in range(MINHASH_K)]
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature: permutation j = min over shingles of
-    hash60('j|' || shingle), j = 0..K-1. Map-only stage — at 100 TB
-    this is one scan emitting K bigints per doc, no shuffle."""
+    (a_j·h31(shingle) + b_j) mod p. Map-only stage — at 100 TB this is
+    one scan emitting K bigints per doc, no shuffle."""
+    h31 = f"({hash60_spark('s')} & 2147483647) % {_MH_P}"
     base = (
         _docs(spark, sf_dir)
         .withColumn("toks", F.expr(TOKENS_SPARK))
         .withColumn("shingles", F.expr(SHINGLES_SPARK))
+        .withColumn("hs", F.expr(f"transform(shingles, s -> {h31})"))
     )
-    mh = []
-    for j in range(MINHASH_K):
-        h = hash60_spark(f"'{j}|' || s")
-        mh.append(
-            F.expr(f"array_min(transform(shingles, s -> {h}))").alias(f"mh{j}")
-        )
+    mh = [
+        F.expr(
+            f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MH_P}))"
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_MH_PARAMS)
+    ]
     return base.select("doc_id", *mh)
 
 
@@ -232,18 +243,20 @@ def _band_exprs_duck() -> list[str]:
 
 
 _MINHASH_DUCK_COLS = ", ".join(
-    "list_min(list_transform(shingles, s -> "
-    + hash60_duck(f"'{j}|' || s")
-    + f")) AS mh{j}"
-    for j in range(MINHASH_K)
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MH_P})) AS mh{j}"
+    for j, (a, b) in enumerate(_MH_PARAMS)
 )
 
 _MINHASH_SIG_DUCK = f"""
 tok AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
 shing AS (SELECT doc_id, {SHINGLES_DUCK} AS shingles FROM tok),
+hsh AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> ({hash60_duck('s')} & 2147483647) % {_MH_P}) AS hs
+  FROM shing),
 sig AS (
   SELECT doc_id, {_MINHASH_DUCK_COLS}
-  FROM shing)
+  FROM hsh)
 """
 
 Q_DEDUP_MINHASH_SQL = f"""
