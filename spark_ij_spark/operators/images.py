@@ -263,6 +263,38 @@ _PIXEL_SCHEMA = StructType(
 )
 
 
+def processor_for_each(
+    image_col: str | Column,
+    slice_fn: Callable[[np.ndarray], np.ndarray],
+    op_label: str = "processorForEach",
+) -> Column:
+    """Apply a 2-D kernel to every slice of a 3-D stack independently
+    (PortableImagePlus.scala:163-180), appending one lineage entry.
+
+    ``slice_fn`` receives [h][w] and returns [h][w]; slices are
+    re-stacked on axis 2. Runs batch-at-a-time in the pandas UDF, so
+    per-slice Python overhead is amortized across the Arrow batch.
+    """
+    from spark_ij_spark import lineage
+
+    @F.pandas_udf(IMAGE_SCHEMA)
+    def _udf(img: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in img.itertuples(index=False):
+            arr = image_to_np(r)
+            out = np.stack(
+                [slice_fn(arr[:, :, k]) for k in range(arr.shape[2])], axis=2
+            )
+            log = lineage.append_entry(
+                log_of(r), lineage.log_entry("PROC", op_label)
+            )
+            rows.append(np_to_image(out, meta=meta_of(r), log=log))
+        return pd.DataFrame(rows, columns=["data", "dtype", "shape", "meta", "log"])
+
+    col = F.col(image_col) if isinstance(image_col, str) else image_col
+    return _udf(col)
+
+
 def explode_pixels(df: DataFrame, image_col: str = "image", sample_col: str = "sample") -> DataFrame:
     """Flatten images into (sample, y, x, z, value) rows — the relational
     view of pixel data (`toarray` SQL surface made queryable)."""

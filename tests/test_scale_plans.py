@@ -1,0 +1,81 @@
+"""Scale utilities: bucketed shuffle-free joins, salted skew joins,
+per-slice stack processing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ij_spark.plans import scale
+from spark_ij_spark.session import load_tables
+
+from .conftest import SF_DIR
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    t = load_tables(spark, SF_DIR, ["orders", "lineitem"])
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    scale.write_bucketed(
+        t["orders"].withColumnRenamed("o_orderkey", "okey"), "b_orders", "okey", 8
+    )
+    scale.write_bucketed(
+        t["lineitem"].withColumnRenamed("l_orderkey", "okey"),
+        "b_lineitem",
+        "okey",
+        8,
+    )
+    joined = scale.bucketed_join(spark, "b_orders", "b_lineitem", "okey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    assert joined.count() == t["lineitem"].count()
+    spark.sql("DROP TABLE b_orders")
+    spark.sql("DROP TABLE b_lineitem")
+
+
+def test_salted_join_equals_plain_join(spark):
+    t = load_tables(spark, SF_DIR, ["lineitem", "part"])
+    fact = t["lineitem"].select(
+        F.col("l_partkey").alias("pk"), "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    dim = t["part"].select(F.col("p_partkey").alias("pk"), "p_name")
+    plain = fact.join(dim, "pk")
+    salted = scale.salted_join(fact, dim, "pk", salt=4)
+    assert salted.count() == plain.count()
+    cols = sorted(plain.columns)
+    a = sorted(tuple(r[c] for c in cols) for r in plain.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in salted.collect())
+    assert a == b
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one pathological key: every fact row hits pk=1
+    fact = spark.range(1000).select(
+        F.lit(1).alias("pk"), F.col("id").alias("v")
+    )
+    dim = spark.range(3).select(F.col("id").cast("int").alias("pk"), F.lit("x").alias("t"))
+    out = scale.salted_join(fact, dim, "pk", salt=8)
+    assert out.count() == 1000
+    # salt column never leaks into the result
+    assert "__salt" not in out.columns
+
+
+def test_processor_for_each_per_slice(spark):
+    from spark_ij_spark.datamodel import image_to_np
+    from spark_ij_spark.operators.images import create_empty_images, processor_for_each
+
+    imgs = create_empty_images(
+        spark, "s", 2, width=4, height=3, value_fn=lambda i: 1.0, slices=3
+    )
+    out = imgs.select(
+        "sample",
+        processor_for_each(
+            "image", lambda sl: sl + np.float32(2.0), "add2"
+        ).alias("image"),
+    )
+    for r in out.collect():
+        arr = image_to_np(r.image)
+        assert arr.shape == (3, 4, 3)
+        assert float(arr.mean()) == 3.0
+        assert r.image.log[-1].opval == "add2"
