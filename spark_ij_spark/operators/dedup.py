@@ -471,8 +471,73 @@ WHERE {_QCOS_DUCK} >= {EMBED_COS_THRESHOLD}
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the Jaccard≥t
+    pair graph via iterative min-label propagation (the Spark shape of
+    an iterative algorithm: loop of join+groupBy rounds until
+    fixpoint, each round a checkpointable DataFrame). Every doc in a
+    near-dup pair maps to its component's minimum doc_id — the
+    canonical representative a dedup pipeline keeps.
+
+    Scale: rounds = O(component diameter) ≈ small for dup clusters;
+    each round shuffles O(edges). This is the large-graph-safe
+    alternative to collecting edges driver-side."""
+    edges = (
+        _jaccard_pairs(shingle_postings(spark, sf_dir))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("da", "db")
+    )
+    sym = edges.union(edges.select(F.col("db").alias("da"), F.col("da").alias("db")))
+    sym = sym.withColumnRenamed("da", "src").withColumnRenamed("db", "dst").cache()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(20):  # diameter bound; tiny dup clusters converge fast
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate loop lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_DUCK.strip()},
+edges AS (SELECT da, db FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+sym AS (SELECT da AS a, db AS b FROM edges UNION ALL SELECT db, da FROM edges),
+reach(id, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id)
+SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -481,6 +546,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "dedup_ngram_jaccard": Q_DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,
     "dedup_simhash": Q_DEDUP_SIMHASH_SQL,

@@ -78,6 +78,21 @@ def test_simhash_selects_token_similar_pairs(spark, duck, sf_dir):
     assert sel_avg > all_avg, (sel_avg, all_avg)
 
 
+def test_cluster_reps_consistent_with_pairs(spark, sf_dir):
+    """Connected-component invariants: both ends of every near-dup
+    pair share a representative, and the rep is the component min."""
+    rep = {
+        r.doc_id: r.cluster_rep
+        for r in dedup.q_dedup_clusters(spark, sf_dir).collect()
+    }
+    pairs = dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert pairs
+    for p in pairs:
+        assert rep[p.da] == rep[p.db]
+        assert rep[p.da] <= min(p.da, p.db)
+    assert all(rep[r] == r for r in set(rep.values()))  # reps are members
+
+
 def test_exact_dedup_total_preserved(spark, sf_dir):
     df = dedup.q_dedup_exact(spark, sf_dir)
     total = df.agg(F.sum("n_copies")).collect()[0][0]
