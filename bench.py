@@ -32,8 +32,11 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    # Warmup: absorb one-time JVM/codegen/Python-worker startup.
+    # Warmup: absorb one-time JVM/codegen startup (q1, pure JVM) and
+    # Python-worker pool startup (a pandas-UDF query) so timed runs
+    # measure steady-state throughput, not process spawning.
     qs["q1_pricing_summary"](spark, sf_dir).count()
+    qs["img_order_stats"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -1,0 +1,207 @@
+"""Geometry + binary-morphology named ops.
+
+Reference surface: ImageJ menu commands the plugin engine dispatches by
+name (run/run2, PortableImagePlus.scala:116-121; registry listing
+asserted >100 commands in DDLTests.scala:34). These are the standard
+geometry (rotate/flip/translate/crop/bin/resize) and binary morphology
+(erode/dilate/open/close, fill holes, outline) commands, as vectorized
+numpy over the [h][w][slices] convention.
+
+Morphology uses the ImageJ binary convention: foreground = 255,
+3x3 square structuring element, edge-replicate padding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spark_ij_spark.registry import get_float, get_int, register_op
+
+
+def _per_slice(arr: np.ndarray, fn) -> np.ndarray:
+    if arr.ndim == 2:
+        return fn(arr)
+    return np.stack([fn(arr[:, :, k]) for k in range(arr.shape[2])], axis=2)
+
+
+# --- geometry ---------------------------------------------------------
+
+
+@register_op("Rotate 90 Degrees Right")
+def rotate_right(arr, args, meta):
+    return _per_slice(arr, lambda s: np.rot90(s, k=-1)), None
+
+
+@register_op("Rotate 90 Degrees Left")
+def rotate_left(arr, args, meta):
+    return _per_slice(arr, lambda s: np.rot90(s, k=1)), None
+
+
+@register_op("Flip Horizontally")
+def flip_h(arr, args, meta):
+    return _per_slice(arr, lambda s: s[:, ::-1]), None
+
+
+@register_op("Flip Vertically")
+def flip_v(arr, args, meta):
+    return _per_slice(arr, lambda s: s[::-1, :]), None
+
+
+@register_op("Translate...")
+def translate(arr, args, meta):
+    """Shift by (x, y) pixels, zero-filling exposed regions."""
+    dx = get_int(args, "x", 0)
+    dy = get_int(args, "y", 0)
+
+    def sh(s):
+        out = np.zeros_like(s)
+        h, w = s.shape
+        ys, yd = (slice(0, h - dy), slice(dy, h)) if dy >= 0 else (slice(-dy, h), slice(0, h + dy))
+        xs, xd = (slice(0, w - dx), slice(dx, w)) if dx >= 0 else (slice(-dx, w), slice(0, w + dx))
+        out[yd, xd] = s[ys, xs]
+        return out
+
+    return _per_slice(arr, sh), None
+
+
+@register_op("Crop")
+def crop(arr, args, meta):
+    """Crop to [x, x+width) × [y, y+height) (defaults: whole image)."""
+    h, w = arr.shape[0], arr.shape[1]
+    x = get_int(args, "x", 0)
+    y = get_int(args, "y", 0)
+    cw = get_int(args, "width", w - x)
+    ch = get_int(args, "height", h - y)
+    return arr[y : y + ch, x : x + cw], None
+
+
+@register_op("Bin...")
+def bin_op(arr, args, meta):
+    """Downsample by integer factors (x, y) using the selected
+    reduction (average|sum|min|max), ImageJ Image>Transform>Bin."""
+    fx = max(get_int(args, "x", 2), 1)
+    fy = max(get_int(args, "y", 2), 1)
+    how = str(args.get("bin", "average")).lower()
+
+    def red(s):
+        h, w = s.shape
+        th, tw = (h // fy) * fy, (w // fx) * fx
+        v = s[:th, :tw].reshape(th // fy, fy, tw // fx, fx).astype("float64")
+        if how == "sum":
+            r = v.sum(axis=(1, 3))
+        elif how == "min":
+            r = v.min(axis=(1, 3))
+        elif how == "max":
+            r = v.max(axis=(1, 3))
+        else:
+            r = v.mean(axis=(1, 3))
+        return r.astype(s.dtype if how in ("min", "max") else "float32")
+
+    return _per_slice(arr, red), None
+
+
+@register_op("Size...")
+def resize(arr, args, meta):
+    """Nearest-neighbor resize to width × height (Image>Adjust>Size)."""
+    h, w = arr.shape[0], arr.shape[1]
+    tw = get_int(args, "width", w)
+    th = get_int(args, "height", h)
+    yi = (np.arange(th) * h) // th
+    xi = (np.arange(tw) * w) // tw
+    return arr[yi][:, xi], None
+
+
+# --- binary morphology ------------------------------------------------
+
+
+def _pad(s: np.ndarray) -> np.ndarray:
+    return np.pad(s, 1, mode="edge")
+
+
+def _erode2d(s: np.ndarray) -> np.ndarray:
+    p = _pad(s > 0)
+    out = np.ones_like(s, dtype=bool)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            out &= p[dy : dy + s.shape[0], dx : dx + s.shape[1]]
+    return np.where(out, 255, 0).astype(s.dtype)
+
+
+def _dilate2d(s: np.ndarray) -> np.ndarray:
+    p = _pad(s > 0)
+    out = np.zeros_like(s, dtype=bool)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            out |= p[dy : dy + s.shape[0], dx : dx + s.shape[1]]
+    return np.where(out, 255, 0).astype(s.dtype)
+
+
+@register_op("Erode")
+def erode(arr, args, meta):
+    n = get_int(args, "iterations", 1)
+    out = arr
+    for _ in range(n):
+        out = _per_slice(out, _erode2d)
+    return out, None
+
+
+@register_op("Dilate")
+def dilate(arr, args, meta):
+    n = get_int(args, "iterations", 1)
+    out = arr
+    for _ in range(n):
+        out = _per_slice(out, _dilate2d)
+    return out, None
+
+
+@register_op("Open")
+def open_op(arr, args, meta):
+    return _per_slice(_per_slice(arr, _erode2d), _dilate2d), None
+
+
+@register_op("Close-")
+def close_op(arr, args, meta):
+    return _per_slice(_per_slice(arr, _dilate2d), _erode2d), None
+
+
+@register_op("Fill Holes")
+def fill_holes(arr, args, meta):
+    """Flood-fill background from the border; unreached background
+    pixels are holes → foreground. Iterative BFS via dilation masked to
+    background (pure numpy, no scipy)."""
+
+    def fill(s):
+        bg = ~(s > 0)
+        reach = np.zeros_like(bg)
+        reach[0, :] = bg[0, :]
+        reach[-1, :] = bg[-1, :]
+        reach[:, 0] = bg[:, 0]
+        reach[:, -1] = bg[:, -1]
+        while True:
+            p = np.pad(reach, 1, mode="constant")
+            grown = (
+                p[:-2, 1:-1] | p[2:, 1:-1] | p[1:-1, :-2] | p[1:-1, 2:] | reach
+            ) & bg
+            if (grown == reach).all():
+                break
+            reach = grown
+        return np.where(bg & ~reach, 255, s).astype(s.dtype)
+
+    return _per_slice(arr, fill), None
+
+
+@register_op("Outline")
+def outline(arr, args, meta):
+    """Foreground minus its erosion: 1-px boundary of binary objects."""
+
+    def ol(s):
+        er = _erode2d(s)
+        return np.where((s > 0) & ~(er > 0), 255, 0).astype(s.dtype)
+
+    return _per_slice(arr, ol), None
+
+
+@register_op("Invert LUT")
+def invert_lut(arr, args, meta):
+    """For binary images: swap foreground/background (255 ↔ 0)."""
+    return np.where(arr > 0, 0, 255).astype(arr.dtype), None

@@ -488,11 +488,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db")
     )
     sym = edges.union(edges.select(F.col("db").alias("da"), F.col("da").alias("db")))
-    sym = sym.withColumnRenamed("da", "src").withColumnRenamed("db", "dst").cache()
+    # The pair graph is tiny relative to the corpus (that's the point of
+    # dedup) — pin the loop frames to a few partitions so each round is
+    # a handful of tasks, not shuffle.partitions x rounds of overhead.
+    # At true cluster scale, size this to edges/partition ~ 1-10M.
+    sym = (
+        sym.withColumnRenamed("da", "src")
+        .withColumnRenamed("db", "dst")
+        .repartition(4, "src")
+        .cache()
+    )
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .repartition(4, "doc_id")
     )
     for _ in range(20):  # diameter bound; tiny dup clusters converge fast
         neighbor_min = (

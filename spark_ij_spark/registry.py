@@ -64,6 +64,7 @@ def _ensure_loaded() -> None:
     # point (SQL UDF, DataFrame helper, bare get_op) sees the full menu.
     from spark_ij_spark.kernels import core  # noqa: F401
     from spark_ij_spark.kernels import filters  # noqa: F401
+    from spark_ij_spark.kernels import geometry  # noqa: F401
     from spark_ij_spark.kernels import particles  # noqa: F401
 
 

@@ -1,0 +1,92 @@
+"""Geometry + morphology named ops (registry-dispatched)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spark_ij_spark.registry import list_commands, run_op
+
+
+def _img(a):
+    return np.asarray(a, dtype="float32")[:, :, np.newaxis]
+
+
+def test_registry_includes_geometry_ops():
+    cmds = list_commands()
+    for c in (
+        "Rotate 90 Degrees Right",
+        "Flip Horizontally",
+        "Translate...",
+        "Crop",
+        "Bin...",
+        "Erode",
+        "Dilate",
+        "Fill Holes",
+        "Outline",
+    ):
+        assert c in cmds
+
+
+def test_rotate_and_flip_roundtrip():
+    a = _img([[1, 2], [3, 4], [5, 6]])
+    r, _ = run_op(a, "Rotate 90 Degrees Right")
+    assert r.shape[:2] == (2, 3)
+    back, _ = run_op(r, "Rotate 90 Degrees Left")
+    np.testing.assert_array_equal(back, a)
+    f, _ = run_op(a, "Flip Horizontally")
+    ff, _ = run_op(f, "Flip Horizontally")
+    np.testing.assert_array_equal(ff, a)
+
+
+def test_translate_zero_fills():
+    a = _img([[1, 2], [3, 4]])
+    t, _ = run_op(a, "Translate...", "x=1 y=0")
+    assert t[0, 0, 0] == 0 and t[0, 1, 0] == 1
+
+
+def test_crop_and_bin():
+    a = _img(np.arange(16).reshape(4, 4))
+    c, _ = run_op(a, "Crop", "x=1 y=1 width=2 height=2")
+    assert c.shape[:2] == (2, 2) and c[0, 0, 0] == 5
+    b, _ = run_op(a, "Bin...", "x=2 y=2 bin=average")
+    assert b.shape[:2] == (2, 2)
+    assert float(b[0, 0, 0]) == (0 + 1 + 4 + 5) / 4
+
+
+def test_morphology_open_removes_speck_keeps_block():
+    s = np.zeros((7, 7), dtype="float32")
+    s[1, 1] = 255  # isolated speck
+    s[3:6, 3:6] = 255  # 3x3 block
+    a = s[:, :, np.newaxis]
+    opened, _ = run_op(a, "Open")
+    assert opened[1, 1, 0] == 0  # speck gone
+    assert opened[4, 4, 0] == 255  # block survives
+
+
+def test_fill_holes_and_outline():
+    s = np.zeros((7, 7), dtype="float32")
+    s[1:6, 1:6] = 255
+    s[3, 3] = 0  # hole
+    filled, _ = run_op(s[:, :, np.newaxis], "Fill Holes")
+    assert filled[3, 3, 0] == 255
+    ol, _ = run_op(filled, "Outline")
+    assert ol[1, 1, 0] == 255 and ol[3, 3, 0] == 0
+
+
+def test_erode_dilate_inverse_on_big_block():
+    s = np.zeros((9, 9), dtype="float32")
+    s[2:7, 2:7] = 255
+    a = s[:, :, np.newaxis]
+    er, _ = run_op(a, "Erode")
+    assert er[2, 2, 0] == 0 and er[4, 4, 0] == 255
+    di, _ = run_op(er, "Dilate")
+    np.testing.assert_array_equal(di, a)  # closing recovers convex block
+
+
+def test_resize_and_invert_lut():
+    a = _img(np.arange(16).reshape(4, 4))
+    r, _ = run_op(a, "Size...", "width=2 height=2")
+    assert r.shape[:2] == (2, 2)
+    mask = np.where(np.arange(9).reshape(3, 3) % 2 == 0, 255.0, 0.0).astype("float32")
+    inv, _ = run_op(mask[:, :, np.newaxis], "Invert LUT")
+    assert inv[0, 0, 0] == 0 and inv[0, 1, 0] == 255
