@@ -1,0 +1,139 @@
+"""Property-based invariants (hypothesis) for the pure kernels.
+
+The reference's test strategy (SURVEY.md §5 layer 3) asserts
+statistical/analytic invariants over randomized inputs; hypothesis
+generalizes that to generated inputs with shrinking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from spark_ij_spark.datamodel import (
+    coerce_ingest,
+    convert_array_type,
+    ensure_3d,
+    rgb_to_gray,
+)
+from spark_ij_spark.kernels.histogram import hist_distance, histogram
+from spark_ij_spark.kernels.roi import roi_mask
+from spark_ij_spark.operators.sweep import macro_steps_to_sweep
+
+SMALL = {"max_examples": 50, "deadline": None}
+
+
+@given(
+    arrays(
+        dtype=np.float32,
+        shape=st.tuples(st.integers(1, 8), st.integers(1, 8)),
+        elements=st.floats(-1e6, 1e6, width=32),
+    )
+)
+@settings(**SMALL)
+def test_ensure_3d_preserves_values(a):
+    out = ensure_3d(coerce_ingest(a))
+    assert out.ndim == 3 and out.shape[:2] == a.shape
+    np.testing.assert_array_equal(out[:, :, 0], a)
+
+
+@given(
+    arrays(
+        dtype=np.int32,
+        shape=st.tuples(st.integers(1, 6), st.integers(1, 6)),
+        elements=st.integers(0, 65535),
+    )
+)
+@settings(**SMALL)
+def test_ingest_coercion_int_to_uint16_masks_like_reference(a):
+    # int[][] → 16-bit is the documented lossy coercion (Spiji.java:995-996)
+    out = coerce_ingest(a)
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out.astype("int64"), a.astype("int64") & 0xFFFF)
+
+
+@given(
+    arrays(
+        dtype=np.uint8,
+        shape=st.tuples(st.integers(1, 6), st.integers(1, 6)),
+        elements=st.integers(0, 255),
+    ),
+    st.sampled_from(["float32", "float64", "int32", "uint16", "bool"]),
+)
+@settings(**SMALL)
+def test_lattice_conversion_unsigned_identity_scale1(a, kind):
+    out = convert_array_type(a, kind, is_signed=False, scale=1.0)
+    if kind == "bool":
+        np.testing.assert_array_equal(out, a > 0)
+    else:
+        np.testing.assert_array_equal(out.astype("float64"), a.astype("float64"))
+
+
+@given(
+    arrays(
+        dtype=np.float64,
+        shape=st.tuples(st.integers(2, 5), st.integers(2, 5), st.integers(1, 2), st.just(3)),
+        elements=st.floats(0, 255),
+    )
+)
+@settings(**SMALL)
+def test_rgb_reduce_mean_between_min_max(a):
+    g_mean = rgb_to_gray(a, "MEAN")
+    g_min = rgb_to_gray(a, "MIN")
+    g_max = rgb_to_gray(a, "MAX")
+    assert (g_min <= g_mean + 1e-9).all() and (g_mean <= g_max + 1e-9).all()
+
+
+@given(
+    arrays(
+        dtype=np.float64,
+        shape=st.integers(1, 200),
+        elements=st.floats(0, 100, allow_nan=False),
+    ),
+    st.integers(2, 64),
+)
+@settings(**SMALL)
+def test_histogram_conserves_count(data, bins):
+    centers, counts = histogram(data, (0.0, 100.0), bins)
+    assert counts.sum() == data.size
+    assert len(centers) == bins
+    assert (np.diff(centers) > 0).all()
+
+
+@given(
+    arrays(
+        dtype=np.float64,
+        shape=st.integers(2, 100),
+        elements=st.floats(0, 50, allow_nan=False),
+    )
+)
+@settings(**SMALL)
+def test_hist_distance_identity_and_disjoint(data):
+    c, n = histogram(data, (0.0, 50.0), 32)
+    # self-distance ≈ 0 (SpijiTests.scala:209-231 invariant)
+    assert hist_distance(c, n, c, n) < 1e-9
+    # disjoint support → distance ≈ 1
+    c2, n2 = histogram(data + 1000.0, (1000.0, 1050.0), 32)
+    assert hist_distance(c, n, c2, n2) > 0.999
+
+
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 10), st.integers(0, 10))
+@settings(**SMALL)
+def test_rectangle_roi_area(w, h, x0, y0):
+    x1, y1 = x0 + min(w, 5), y0 + min(h, 5)
+    m = roi_mask((h, w), {"type": "RECTANGLE", "xs": [x0, x1], "ys": [y0, y1]})
+    expect = max(0, min(x1, w) - min(x0, w)) * max(0, min(y1, h) - min(y0, h))
+    assert int(m.sum()) == expect
+
+
+@given(st.integers(1, 9), st.integers(10, 50), st.integers(2, 7))
+@settings(**SMALL)
+def test_sweep_interpolation_endpoints_and_int_preservation(lo, hi, steps):
+    out = macro_steps_to_sweep([f"radius={lo}", f"radius={hi}"], steps=steps, delim=" ")
+    assert len(out) == steps
+    assert out[0] == f"radius={lo}" and out[-1] == f"radius={hi}"
+    for s in out:  # int-aware interpolation never emits decimals here
+        val = s.split("=")[1]
+        assert "." not in val
