@@ -176,12 +176,160 @@ SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {LSH_TOP
 """
 
 
+IVF_NLIST = 16    # cells (seed centroids = the NLIST lowest vec_ids)
+IVF_NPROBE = 4    # cells probed per query
+IVF_TOPK = 3
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell per vector: nearest seed by cosine (ties → lower seed
+    id). Seeds are the NLIST lowest vec_ids — deterministic, no
+    k-means iterations to reproduce in the oracle. Assignment is a
+    broadcast join against NLIST seeds + a per-vector window: map-side
+    except the tiny rank shuffle."""
+    from pyspark.sql.window import Window
+
+    e = emb_with_norm(spark, sf_dir)
+    seeds = (
+        e.filter(F.col("vec_id") < IVF_NLIST)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("embedding").alias("s_emb"),
+            F.col("nrm").alias("s_nrm"),
+        )
+    )
+    scored = (
+        e.alias("a")
+        .crossJoin(F.broadcast(seeds.alias("b")))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.seed_id").alias("seed_id"),
+            F.expr(
+                "aggregate(zip_with(a.embedding, b.s_emb,"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                " / (a.nrm * b.s_nrm)"
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("seed_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("seed_id").alias("cell"))
+    )
+
+
+_IVF_SCORED_DUCK = f"""
+n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings),
+seeds AS (
+  SELECT vec_id AS seed_id, embedding AS s_emb, nrm AS s_nrm
+  FROM n WHERE vec_id < {IVF_NLIST}),
+scored AS (
+  SELECT a.vec_id, b.seed_id,
+         list_dot_product(a.embedding::DOUBLE[], b.s_emb::DOUBLE[]) / (a.nrm * b.s_nrm) AS cos
+  FROM n a CROSS JOIN seeds b),
+assign AS (
+  SELECT vec_id, seed_id AS cell FROM (
+    SELECT vec_id, seed_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id ASC) AS rk
+    FROM scored)
+  WHERE rk = 1)
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign vectors to cells, probe the query's NPROBE
+    nearest cells, exact cosine re-rank within probed cells. Candidate
+    generation is an equi-join on cell id; at 100 TB the inverted file
+    is the partitioning key and each probe touches 1/NLIST of data."""
+    from pyspark.sql.window import Window
+
+    assign = ivf_assignments(spark, sf_dir)
+    e = emb_with_norm(spark, sf_dir)
+    seeds = (
+        e.filter(F.col("vec_id") < IVF_NLIST)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("embedding").alias("s_emb"),
+            F.col("nrm").alias("s_nrm"),
+        )
+    )
+    qscore = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .alias("a")
+        .crossJoin(F.broadcast(seeds.alias("b")))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.seed_id").alias("cell"),
+            F.expr(
+                "aggregate(zip_with(a.embedding, b.s_emb,"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                " / (a.nrm * b.s_nrm)"
+            ).alias("cos"),
+        )
+    )
+    wq = Window.partitionBy("ia").orderBy(F.desc("cos"), F.asc("cell"))
+    probes = (
+        qscore.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .select("ia", "cell")
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("ia") != F.col("vec_id"))
+        .select("ia", F.col("vec_id").alias("ib"))
+    )
+    scored = (
+        cand.join(e.alias("a"), F.col("ia") == F.col("a.vec_id"))
+        .join(e.alias("b"), F.col("ib") == F.col("b.vec_id"))
+        .select("ia", "ib", F.expr(COS_SPARK).alias("cos"))
+    )
+    w = Window.partitionBy("ia").orderBy(F.desc("cos"), F.asc("ib"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("ia", "ib", "rank", F.expr("round(cos, 6)").alias("cos_sim"))
+    )
+
+
+Q_ANN_IVF_SQL = f"""
+WITH {_IVF_SCORED_DUCK.strip()},
+probes AS (
+  SELECT vec_id AS ia, seed_id AS cell FROM (
+    SELECT vec_id, seed_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id ASC) AS rk
+    FROM scored WHERE vec_id < {N_QUERIES})
+  WHERE rk <= {IVF_NPROBE}),
+cand AS (
+  SELECT probes.ia, assign.vec_id AS ib
+  FROM probes JOIN assign ON probes.cell = assign.cell
+  WHERE probes.ia <> assign.vec_id),
+rescored AS (
+  SELECT ia, ib, {COS_DUCK} AS cos
+  FROM cand
+  JOIN embeddings a ON cand.ia = a.vec_id
+  JOIN embeddings b ON cand.ib = b.vec_id),
+ranked AS (
+  SELECT ia, ib, cos,
+         row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
+  FROM rescored)
+SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {IVF_TOPK}
+"""
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLES = {
     "ann_topk": Q_ANN_TOPK_SQL,
     "ann_lsh": Q_ANN_LSH_SQL,
+    "ann_ivf": Q_ANN_IVF_SQL,
 }

@@ -127,6 +127,27 @@ def test_ann_lsh_subset_of_bruteforce_universe(spark, sf_dir):
             assert bf[(r.ia, r.ib)] == r.cos_sim
 
 
+def test_ann_ivf_consistent_with_bruteforce(spark, sf_dir):
+    """IVF scores candidates with the exact cosine, so any (query,
+    neighbor) pair both paths return must carry identical similarity,
+    and ranks within IVF must be descending in similarity."""
+    bf = {
+        (r.ia, r.ib): r.cos_sim
+        for r in similarity.q_ann_topk(spark, sf_dir).collect()
+    }
+    rows = similarity.q_ann_ivf(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.ia, []).append(r)
+        if (r.ia, r.ib) in bf:
+            assert bf[(r.ia, r.ib)] == r.cos_sim
+    for ia, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
 def test_fingerprint_deterministic(spark, sf_dir):
     a = {r.doc_id: r.fingerprint for r in text.q_text_fingerprint(spark, sf_dir).collect()}
     b = {r.doc_id: r.fingerprint for r in text.q_text_fingerprint(spark, sf_dir).collect()}

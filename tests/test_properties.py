@@ -132,8 +132,9 @@ def test_rectangle_roi_area(w, h, x0, y0):
 @settings(**SMALL)
 def test_sweep_interpolation_endpoints_and_int_preservation(lo, hi, steps):
     out = macro_steps_to_sweep([f"radius={lo}", f"radius={hi}"], steps=steps, delim=" ")
-    assert len(out) == steps
+    # int-preserving interpolation dedupes collided rounded values, so
+    # the count is min(steps, distinct ints in range)
+    assert len(out) == min(steps, hi - lo + 1)
     assert out[0] == f"radius={lo}" and out[-1] == f"radius={hi}"
-    for s in out:  # int-aware interpolation never emits decimals here
-        val = s.split("=")[1]
-        assert "." not in val
+    vals = [int(s.split("=")[1]) for s in out]  # never decimals here
+    assert vals == sorted(set(vals))
