@@ -201,6 +201,19 @@ def outline(arr, args, meta):
     return _per_slice(arr, ol), None
 
 
+@register_op("Make Substack...")
+def make_substack(arr, args, meta):
+    """Extract slices [first..last] of a stack (1-based, like the
+    ImageJ command; getDoubleSlice analog is first=last=k,
+    Spiji.java:751-762)."""
+    s = arr.shape[2] if arr.ndim >= 3 else 1
+    first = get_int(args, "first", 1)
+    last = get_int(args, "last", s)
+    first = max(1, min(first, s))
+    last = max(first, min(last, s))
+    return arr[:, :, first - 1 : last], None
+
+
 @register_op("Invert LUT")
 def invert_lut(arr, args, meta):
     """For binary images: swap foreground/background (255 ↔ 0)."""

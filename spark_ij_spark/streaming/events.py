@@ -148,6 +148,20 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same event
+    within the watermark horizon (`dropDuplicatesWithinWatermark` —
+    state is bounded by the watermark, the streaming twin of the batch
+    hash-groupBy dedup in operators/dedup.py)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def run_to_memory(
     df: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

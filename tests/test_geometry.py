@@ -83,6 +83,16 @@ def test_erode_dilate_inverse_on_big_block():
     np.testing.assert_array_equal(di, a)  # closing recovers convex block
 
 
+def test_make_substack_slice_extract():
+    a = np.stack(
+        [np.full((2, 2), k, dtype="float32") for k in range(5)], axis=2
+    )
+    one, _ = run_op(a, "Make Substack...", "first=3 last=3")
+    assert one.shape == (2, 2, 1) and one[0, 0, 0] == 2.0  # 1-based
+    rng, _ = run_op(a, "Make Substack...", "first=2 last=4")
+    assert rng.shape == (2, 2, 3)
+
+
 def test_resize_and_invert_lut():
     a = _img(np.arange(16).reshape(4, 4))
     r, _ = run_op(a, "Size...", "width=2 height=2")

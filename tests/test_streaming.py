@@ -81,6 +81,22 @@ def test_stateful_running_totals_equal_batch_aggregate(spark):
         assert abs(g[uid][1] - w[uid][1]) < 1e-6
 
 
+def test_streaming_dedup_drops_redeliveries(spark):
+    """A stream unioned with itself (every event delivered twice)
+    dedupes back to the original cardinality."""
+    s = se.read_events_stream(spark, SF_DIR)
+    doubled = s.union(se.read_events_stream(spark, SF_DIR))
+    got = _drain(
+        spark,
+        se.dedup_events_stream(doubled),
+        "mem_dedup",
+        mode="append",
+    )
+    want = _batch_events(spark).count()
+    assert got.count() == want
+    assert got.select("event_id").distinct().count() == want
+
+
 def test_watermark_present_in_plan(spark):
     stream = se.tumbling_counts(se.read_events_stream(spark, SF_DIR))
     assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
