@@ -553,6 +553,86 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_correlated_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — revenue from
+    lineitems below 50% of their part's average quantity. Expressed as
+    the decorrelated join Catalyst would produce (aggregate the inner
+    side once, then equi-join), which is also the plan that scales."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)"
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, li.l_partkey == part_avg.pk)
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            dsum("l_extendedprice", 2, "small_qty_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q_CORRELATED_SQL = f"""
+SELECT {dsum_sql('l_extendedprice', 2)} AS small_qty_revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+WHERE l_quantity < 0.5 * (
+  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+  FROM lineitem WHERE l_partkey = l.l_partkey)
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence/funnel detection: users whose first 'click' is followed
+    by a 'purchase' within 1 hour. Window over per-user event time —
+    one shuffle on user_id; at scale this is the sessionize-then-scan
+    pattern (no self-join explosion)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    first_click = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    converted = (
+        first_click.join(purchases, "user_id")
+        .where(
+            (F.col("p_ts") >= F.col("first_click"))
+            & (F.col("p_ts") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("p_ts").alias("first_purchase"),
+            F.count("*").alias("n_purchases_in_window"),
+        )
+    )
+    return converted.join(first_click, "user_id").select(
+        "user_id", "first_click", "first_purchase", "n_purchases_in_window"
+    )
+
+
+Q_EVENTS_FUNNEL_SQL = """
+WITH fc AS (
+  SELECT user_id, MIN(ts) AS first_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id),
+conv AS (
+  SELECT e.user_id,
+         MIN(e.ts) AS first_purchase,
+         COUNT(*) AS n_purchases_in_window
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= fc.first_click
+    AND e.ts <= fc.first_click + INTERVAL '1 hour'
+  GROUP BY e.user_id)
+SELECT conv.user_id, fc.first_click, conv.first_purchase, conv.n_purchases_in_window
+FROM conv JOIN fc ON conv.user_id = fc.user_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -570,6 +650,8 @@ QUERIES = {
     "q_anti_join_customers": q_anti_join_customers,
     "q_set_ops": q_set_ops,
     "q_cube_returns": q_cube_returns,
+    "q_correlated_small_qty": q_correlated_small_qty,
+    "q_events_funnel": q_events_funnel,
 }
 
 ORACLES = {
@@ -589,4 +671,6 @@ ORACLES = {
     "q_anti_join_customers": Q_ANTI_JOIN_SQL,
     "q_set_ops": Q_SET_OPS_SQL,
     "q_cube_returns": Q_CUBE_SQL,
+    "q_correlated_small_qty": Q_CORRELATED_SQL,
+    "q_events_funnel": Q_EVENTS_FUNNEL_SQL,
 }
