@@ -379,8 +379,42 @@ GROUP BY l_orderkey
 """
 
 
+def q_img_group_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped image reduction (§2.6): average the order images within
+    each width class (orders with the same lineitem count), then view
+    the mean image relationally — pixel j of the class-n mean equals
+    AVG(j-th quantity) over n-lineitem orders, the exact SQL oracle."""
+    from spark_ij_spark.operators.images import explode_pixels, reduce_images
+
+    imgs = order_quantity_images(spark, sf_dir).withColumn(
+        "n_pixels", F.col("image.shape")[1].cast("string")
+    )
+    mean_imgs = reduce_images(imgs, "n_pixels", how="average")
+    return explode_pixels(mean_imgs, sample_col="group_key").select(
+        F.col("sample").cast("long").alias("n_pixels"),
+        F.col("x").cast("long").alias("pixel_idx"),
+        F.col("value").alias("avg_qty"),
+    )
+
+
+Q_IMG_GROUP_AVG_SQL = """
+WITH ordered AS (
+  SELECT l_orderkey, l_quantity,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+  FROM lineitem)
+SELECT n AS n_pixels, rn - 1 AS pixel_idx,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+FROM ordered GROUP BY n, rn
+"""
+
+
 QUERIES = {
     "img_order_stats": q_img_order_stats,
+    "img_group_average": q_img_group_average,
     "img_roi_stats": q_img_roi_stats,
     "img_sweep_multiply": q_img_sweep_multiply,
     "img_scale_subtract": q_img_scale_subtract,
@@ -390,6 +424,7 @@ QUERIES = {
 
 ORACLES = {
     "img_order_stats": Q_IMG_ORDER_STATS_SQL,
+    "img_group_average": Q_IMG_GROUP_AVG_SQL,
     "img_roi_stats": Q_IMG_ROI_SQL,
     "img_sweep_multiply": Q_IMG_SWEEP_SQL,
     "img_scale_subtract": Q_IMG_SCALE_SUBTRACT_SQL,

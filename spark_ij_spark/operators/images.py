@@ -321,6 +321,53 @@ def explode_pixels(df: DataFrame, image_col: str = "image", sample_col: str = "s
     return df.select(sample_col, image_col).mapInPandas(gen, schema=_PIXEL_SCHEMA)
 
 
+def reduce_images(
+    df: DataFrame, key_col: str, how: str = "average", image_col: str = "image"
+) -> DataFrame:
+    """groupBy(key).applyInPandas reduce of same-shape images — the
+    group form of the pairwise `average`/`subtract` ops (SURVEY §2.6;
+    reference pairwise average `PortableImagePlus.scala:217-232`).
+
+    ``how``: average | sum | min | max. The result image is float64 so
+    integral pixel sums stay exact (order-independent) regardless of
+    the reduction tree — required for oracle-grade determinism."""
+    out_schema = StructType(
+        [StructField("group_key", StringType()), StructField("image", IMAGE_SCHEMA)]
+    )
+    from spark_ij_spark.datamodel import DEFAULT_META
+
+    def red(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = np.stack(
+            [image_to_np(i).astype("float64") for i in pdf[image_col]]
+        )
+        if how == "average":
+            out = arrs.sum(axis=0) / len(arrs)
+        elif how == "sum":
+            out = arrs.sum(axis=0)
+        elif how == "min":
+            out = arrs.min(axis=0)
+        elif how == "max":
+            out = arrs.max(axis=0)
+        else:
+            raise ValueError(f"unknown reduction {how!r}")
+        img = {
+            "data": np.ascontiguousarray(out).tobytes(),
+            "dtype": "float64",
+            "shape": [int(s) for s in out.shape],
+            "meta": dict(DEFAULT_META),
+            "log": [
+                lineage.log_entry(
+                    lineage.OP_MERGE, f"reduce_images:{how}", [str(len(arrs))]
+                )
+            ],
+        }
+        return pd.DataFrame(
+            [{"group_key": str(pdf[key_col].iloc[0]), "image": img}]
+        )
+
+    return df.groupBy(key_col).applyInPandas(red, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # grouped stack assembly (reference: Spiji.java:769-792 via groupBy)
 # ---------------------------------------------------------------------------
