@@ -163,6 +163,44 @@ FROM s GROUP BY 1, 2
 """
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, and single
+# non-alphanumeric marks — the GPT-2-style split both engines' regex
+# dialects agree on (Java regex == RE2 for this subset).
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish regex
+    pre-tokens, plus the pre-token/word ratio (a fertility-style
+    quality signal). Map-only, pure Catalyst."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(f"size({TOKENS_SPARK})").alias("n_ws_tokens"),
+            F.expr(f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0))").alias(
+                "n_bpe_tokens"
+            ),
+        )
+        .withColumn(
+            "bpe_per_word",
+            F.expr("round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 6)"),
+        )
+    )
+
+
+Q_TEXT_TOKENS_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         len({TOKENS_DUCK}) AS n_ws_tokens,
+         len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+  FROM documents)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 6) AS bpe_per_word
+FROM c
+"""
+
+
 def q_text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token frequency top-20 (explode → partial-agg → final
     agg → top-k). The sort is over the tiny aggregated set only."""
@@ -224,6 +262,7 @@ FROM s
 QUERIES = {
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
+    "text_tokens": q_text_tokens,
     "text_token_topk": q_text_token_topk,
     "text_fingerprint": q_text_fingerprint,
 }
@@ -231,6 +270,7 @@ QUERIES = {
 ORACLES = {
     "text_quality": Q_TEXT_QUALITY_SQL,
     "text_lang_id": Q_TEXT_LANG_ID_SQL,
+    "text_tokens": Q_TEXT_TOKENS_SQL,
     "text_token_topk": Q_TEXT_TOKEN_TOPK_SQL,
     "text_fingerprint": Q_TEXT_FINGERPRINT_SQL,
 }
