@@ -3,10 +3,11 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing protocol: one warmup pass of q1 to absorb JVM/session startup,
-then each query timed as plan-build + execution to completion
-(df.count() forces full evaluation; results are small aggregates so
-count ≈ full query cost).
+Timing protocol: warmup passes absorb JVM/codegen and Python-worker
+startup, then each query is timed as plan-build + execution to
+completion (df.count() forces full evaluation) twice, reporting the
+minimum — the standard steady-state measure, robust to background
+load on a shared box.
 """
 
 from __future__ import annotations
@@ -40,10 +41,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.foreach(lambda _: None) if False else df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
