@@ -330,42 +330,76 @@ def reduce_images(
 
     ``how``: average | sum | min | max. The result image is float64 so
     integral pixel sums stay exact (order-independent) regardless of
-    the reduction tree — required for oracle-grade determinism."""
+    the reduction tree — required for oracle-grade determinism.
+
+    Two-level tree reduce: rows are salted into ``fanout`` subgroups
+    per key, partial-reduced in parallel, then the tiny partials
+    combine. Without the salt, a low-cardinality key (7 width classes
+    here) serializes into as many tasks as keys — the classic
+    straggler shape at cluster scale. Average carries (sum, n) through
+    the tree so the merge is associative."""
+    if how not in ("average", "sum", "min", "max"):
+        raise ValueError(f"unknown reduction {how!r}")
+    fanout = 16
     out_schema = StructType(
         [StructField("group_key", StringType()), StructField("image", IMAGE_SCHEMA)]
     )
+    partial_schema = StructType(
+        [
+            StructField("group_key", StringType()),
+            StructField("n", LongType()),
+            StructField("image", IMAGE_SCHEMA),
+        ]
+    )
     from spark_ij_spark.datamodel import DEFAULT_META
 
-    def red(pdf: pd.DataFrame) -> pd.DataFrame:
-        arrs = np.stack(
-            [image_to_np(i).astype("float64") for i in pdf[image_col]]
-        )
-        if how == "average":
-            out = arrs.sum(axis=0) / len(arrs)
-        elif how == "sum":
-            out = arrs.sum(axis=0)
-        elif how == "min":
-            out = arrs.min(axis=0)
-        elif how == "max":
-            out = arrs.max(axis=0)
-        else:
-            raise ValueError(f"unknown reduction {how!r}")
-        img = {
+    def _pack(out: np.ndarray, n: int) -> dict:
+        return {
             "data": np.ascontiguousarray(out).tobytes(),
             "dtype": "float64",
             "shape": [int(s) for s in out.shape],
             "meta": dict(DEFAULT_META),
             "log": [
                 lineage.log_entry(
-                    lineage.OP_MERGE, f"reduce_images:{how}", [str(len(arrs))]
+                    lineage.OP_MERGE, f"reduce_images:{how}", [str(n)]
                 )
             ],
         }
-        return pd.DataFrame(
-            [{"group_key": str(pdf[key_col].iloc[0]), "image": img}]
+
+    def _combine(arrs: np.ndarray) -> np.ndarray:
+        return arrs.sum(axis=0) if how in ("average", "sum") else (
+            arrs.min(axis=0) if how == "min" else arrs.max(axis=0)
         )
 
-    return df.groupBy(key_col).applyInPandas(red, schema=out_schema)
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = np.stack([image_to_np(i).astype("float64") for i in pdf[image_col]])
+        return pd.DataFrame(
+            [
+                {
+                    "group_key": str(pdf[key_col].iloc[0]),
+                    "n": len(arrs),
+                    "image": _pack(_combine(arrs), len(arrs)),
+                }
+            ]
+        )
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = np.stack([image_to_np(i).astype("float64") for i in pdf["image"]])
+        n = int(pdf["n"].sum())
+        out = _combine(arrs)
+        if how == "average":
+            out = out / n
+        return pd.DataFrame(
+            [{"group_key": str(pdf["group_key"].iloc[0]), "image": _pack(out, n)}]
+        )
+
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*df.columns), F.lit(fanout)).cast("int")
+    )
+    partials = salted.groupBy(key_col, "__salt").applyInPandas(
+        partial, schema=partial_schema
+    )
+    return partials.groupBy("group_key").applyInPandas(final, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
