@@ -47,14 +47,22 @@ EVENTS_RAW_SCHEMA = StructType(
 DEFAULT_WATERMARK = "2 hours"
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (same nanos→micros
-    conversion as the batch loader, so both sides see identical ts)."""
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over events parquet (same nanos→micros
+    conversion as the batch loader, so both sides see identical ts).
+    ``max_files_per_trigger=1`` replays multi-file directories one
+    micro-batch per file — arrival order for watermark tests."""
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
+        "pathGlobFilter", glob
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
     return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 

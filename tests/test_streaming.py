@@ -97,6 +97,64 @@ def test_streaming_dedup_drops_redeliveries(spark):
     assert got.select("event_id").distinct().count() == want
 
 
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Watermark semantics end-to-end: a second file whose events are
+    far behind the advanced watermark is dropped from the windowed
+    aggregate, while the equivalent batch computation counts it."""
+    import pyspark.sql.functions as SF
+
+    import shutil
+    import time
+
+    base_us = 1_700_000_000_000_000  # an arbitrary fixed epoch
+    hour_ns = 3_600_000_000_000
+
+    def mk_file(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+
+    # file A: events in hours 0 and 5 → post-batch watermark = hour 3
+    mk_file(
+        "a",
+        [
+            (1, base_us * 1000, 1, "click", 1.0, "{}"),
+            (2, base_us * 1000 + 5 * hour_ns, 1, "click", 1.0, "{}"),
+        ],
+    )
+    # file B: hour-1 event (the watermark takes effect one batch after
+    # the update, so this one is still accepted — Spark semantics)
+    mk_file("b", [(3, base_us * 1000 + 1 * hour_ns, 1, "click", 1.0, "{}")])
+    # file C: another hour-0 event, now firmly behind the watermark
+    mk_file("c", [(4, base_us * 1000, 1, "click", 1.0, "{}")])
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for sub, out in (("a", "f_a.parquet"), ("b", "f_b.parquet"), ("c", "f_c.parquet")):
+        src = next((tmp_path / sub).glob("part-*.parquet"))
+        shutil.copy(src, stream_dir / out)
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    stream = se.read_events_stream(
+        spark, str(stream_dir), glob="*.parquet", max_files_per_trigger=1
+    )
+    agg = se.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    se.run_to_memory(agg, "mem_late", output_mode="append")
+    got = sorted(
+        (r.window_start, r.n_events) for r in spark.table("mem_late").collect()
+    )
+    # Emitted: hour-0 (n=1, event 1 only) and hour-1 (n=1) once the
+    # watermark closes them; event 4 is dropped by the watermark — if
+    # it were accepted, the already-finalized hour-0 window would
+    # re-emit as a duplicate row. Hour-5 stays in state (never closes).
+    assert [n for _, n in got] == [1, 1], f"unexpected emission: {got}"
+    assert len({w for w, _ in got}) == 2  # two distinct closed windows
+
+    batch_total = spark.read.parquet(str(stream_dir)).count()
+    assert batch_total == 4  # batch (no watermark) sees all four
+
+
 def test_watermark_present_in_plan(spark):
     stream = se.tumbling_counts(se.read_events_stream(spark, SF_DIR))
     assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
