@@ -35,7 +35,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -213,7 +219,10 @@ class ImageJReader(DataSourceReader):
 
     def partitions(self):
         if self.debug:
-            items = [("__debug_%d__" % i, i) for i in range(self.count)]
+            # no leading underscore: Hadoop input formats treat _/.-
+            # prefixed files as hidden, which would break write→read
+            # round-trips of debug tables
+            items = [("debug_%d" % i, i) for i in range(self.count)]
         else:
             names = sorted(
                 os.path.join(self.path, f)
@@ -258,10 +267,40 @@ class ImageJReader(DataSourceReader):
                 )
 
 
+class ImageJWriter(DataSourceWriter):
+    """Executor-side writer: each partition encodes its (path, image)
+    rows to one file per image under OPTIONS path. A real write path —
+    the reference's `CreatableRelationProvider` just re-read from path
+    (AbstractImageSource.scala:47-54, effectively read-only)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        self.suffix = options.get("suffix", ".npy")
+        if not self.path:
+            raise ValueError("imagej write requires OPTIONS path")
+
+    def write(self, iterator):
+        import numpy as np  # noqa: F811 (executor-side import)
+
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        for row in iterator:
+            img = row.image
+            arr = np.frombuffer(bytes(img.data), dtype=img.dtype).reshape(
+                tuple(img.shape)
+            )
+            base = os.path.splitext(os.path.basename(row.path))[0]
+            with open(os.path.join(self.path, base + self.suffix), "wb") as fh:
+                fh.write(encode_array(arr, self.suffix))
+            n += 1
+        return WriterCommitMessage()
+
+
 class ImageJDataSource(DataSource):
     """`CREATE TEMPORARY VIEW t USING imagej OPTIONS (...)` provider
     with the reference's OPTIONS contract (path, count, table
-    simple|abstract, debug) — AbstractImageSource.scala:20-84."""
+    simple|abstract, debug) — AbstractImageSource.scala:20-84 — plus
+    a real write path (``df.write.format("imagej")``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -273,6 +312,9 @@ class ImageJDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ImageJReader:
         return ImageJReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> ImageJWriter:
+        return ImageJWriter(dict(self.options))
 
 
 def register_image_source(spark: SparkSession) -> None:

@@ -134,6 +134,24 @@ def test_ddl_create_temporary_view_sql(imagej_source):
     assert any(n.lower() == "debugimages" for n in names)
 
 
+def test_ddl_write_path_roundtrip(imagej_source, tmp_path):
+    """df.write.format('imagej') → per-image files → read back equal."""
+    spark = imagej_source
+    src = (
+        spark.read.format("imagej")
+        .option("debug", "true")
+        .option("count", "4")
+        .load()
+    )
+    out = str(tmp_path / "written")
+    src.write.format("imagej").option("path", out).mode("append").save()
+    files = sorted(os.listdir(out))
+    assert len(files) == 4 and all(f.endswith(".npy") for f in files)
+    back = load_images(spark, out, pattern="*.npy")
+    vals = sorted(float(image_to_np(r.image).mean()) for r in back.collect())
+    assert vals == [0.0, 1.0, 2.0, 3.0]
+
+
 def test_ddl_path_required_without_debug(imagej_source):
     spark = imagej_source
     from py4j.protocol import Py4JJavaError
