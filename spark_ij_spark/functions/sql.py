@@ -278,6 +278,20 @@ def register_imagej(spark: SparkSession) -> None:
                 out.append(roik.roi_measure(image_to_np(r), roi))
         return pd.Series(out)
 
+    @F.pandas_udf(IMAGE_SCHEMA)
+    def makeimage(arr: pd.Series) -> pd.DataFrame:
+        """array<array<array<double>>> → image (inverse of toarray;
+        the reference's createImage ingest, Spiji.java:955-1205, with
+        the same double→float32 downcast rule)."""
+        rows = []
+        for a in arr:
+            nested = np.asarray(
+                [[list(col) for col in row] for row in a], dtype="float64"
+            )
+            rows.append(np_to_image(nested))
+        return pd.DataFrame(rows, columns=["data", "dtype", "shape", "meta", "log"])
+
+    spark.udf.register("makeimage", makeimage)
     spark.udf.register("setroi", setroi)
     spark.udf.register("getroi", getroi)
     spark.udf.register("roistats", roistats)

@@ -141,6 +141,18 @@ def test_multi_stage_temp_tables_and_ctas(spark, images_view):
     spark.sql("DROP TABLE masked_stats")
 
 
+def test_makeimage_inverts_toarray(spark, images_view):
+    """makeimage(toarray(img)) reproduces the pixel values (array↔image
+    closure, Spiji.java:801-921 / :955-1205)."""
+    rows = spark.sql(
+        "SELECT mean(image) AS m0, mean(makeimage(toarray(image))) AS m1, "
+        "nslices(image) AS s0, nslices(makeimage(toarray(image))) AS s1 "
+        "FROM Images"
+    ).collect()
+    for r in rows:
+        assert r.m0 == r.m1 and r.s0 == r.s1
+
+
 def test_insert_into_image_table(spark, images_view):
     """INSERT INTO over an image-bearing table (IJSqlTest.scala:225-229)
     — the image struct round-trips through warehouse parquet."""
