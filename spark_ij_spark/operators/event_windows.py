@@ -119,14 +119,45 @@ FROM events GROUP BY user_id
 """
 
 
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value percentiles. Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition and are
+    bit-identical on this data. Exact percentile is a full-sort-per-
+    group aggregate — at 100 TB swap in approx_percentile (t-digest)
+    and accept the documented error bound; this query is the exactness
+    baseline for that tradeoff."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+Q_EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_sliding": q_events_sliding,
+    "events_quantiles": q_events_quantiles,
     "events_session": q_events_session,
     "events_running_totals": q_events_running_totals,
 }
 
 ORACLES = {
     "events_sliding": Q_EVENTS_SLIDING_SQL,
+    "events_quantiles": Q_EVENTS_QUANTILES_SQL,
     "events_session": Q_EVENTS_SESSION_SQL,
     "events_running_totals": Q_EVENTS_RUNNING_TOTALS_SQL,
 }
