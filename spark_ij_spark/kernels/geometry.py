@@ -214,6 +214,45 @@ def make_substack(arr, args, meta):
     return arr[:, :, first - 1 : last], None
 
 
+@register_op("Distance Map")
+def distance_map(arr, args, meta):
+    """Chamfer 3-4 distance transform of the binary foreground
+    (Process>Binary>Distance Map): two sequential raster passes,
+    vectorized across each row. Distances are in chamfer units / 3,
+    a standard Euclidean approximation."""
+
+    def _hscan(row: np.ndarray) -> np.ndarray:
+        """min over k of row[k] + 3·|x−k|, both directions, vectorized:
+        running-min of (row − 3·idx) + 3·idx and its mirror."""
+        idx = np.arange(row.size, dtype="float64") * 3.0
+        left = np.minimum.accumulate(row - idx) + idx
+        right = (np.minimum.accumulate((row + idx)[::-1]) [::-1]) - idx
+        return np.minimum(left, right)
+
+    def dt(s):
+        fg = s > 0
+        h, w = s.shape
+        d = np.where(fg, 1e9, 0.0)
+        # forward pass: rows top→bottom (vertical 3, diagonal 4)
+        for y in range(1, h):
+            up = d[y - 1]
+            row = np.minimum(d[y], up + 3.0)
+            row[1:] = np.minimum(row[1:], up[:-1] + 4.0)
+            row[:-1] = np.minimum(row[:-1], up[1:] + 4.0)
+            d[y] = _hscan(row)
+        d[0] = _hscan(d[0])
+        # backward pass: rows bottom→top
+        for y in range(h - 2, -1, -1):
+            dn = d[y + 1]
+            row = np.minimum(d[y], dn + 3.0)
+            row[1:] = np.minimum(row[1:], dn[:-1] + 4.0)
+            row[:-1] = np.minimum(row[:-1], dn[1:] + 4.0)
+            d[y] = _hscan(row)
+        return (d / 3.0).astype("float32")
+
+    return _per_slice(arr, dt), None
+
+
 @register_op("Invert LUT")
 def invert_lut(arr, args, meta):
     """For binary images: swap foreground/background (255 ↔ 0)."""

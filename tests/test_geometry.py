@@ -93,6 +93,21 @@ def test_make_substack_slice_extract():
     assert rng.shape == (2, 2, 3)
 
 
+def test_distance_map_properties():
+    s = np.zeros((9, 9), dtype="float32")
+    s[2:7, 2:7] = 255  # 5x5 block
+    d, _ = run_op(s[:, :, np.newaxis], "Distance Map")
+    d2 = d[:, :, 0]
+    assert d2[0, 0] == 0.0  # background
+    assert d2[2, 2] == 1.0  # block corner: 1 step from background
+    assert float(d2[4, 4]) == 3.0  # block center: 3 orthogonal steps
+    # distance grows monotonically toward the center along the row
+    assert d2[4, 2] <= d2[4, 3] <= d2[4, 4]
+    # (3,3) is 2 pixels inside: cheapest chamfer path is two orthogonal
+    # steps = (3+3)/3 = 2 (beats the diagonal 4+4)
+    assert d2[3, 3] == 2.0
+
+
 def test_resize_and_invert_lut():
     a = _img(np.arange(16).reshape(4, 4))
     r, _ = run_op(a, "Size...", "width=2 height=2")
