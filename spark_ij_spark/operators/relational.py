@@ -633,6 +633,62 @@ FROM conv JOIN fc ON conv.user_id = fc.user_id
 """
 
 
+def q_date_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date dimension extraction: per (year, month) order counts and
+    revenue — the date-function surface (year/month/quarter/date_trunc)
+    over the orders timeline."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.quarter("o_orderdate").alias("o_quarter"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", 2, "total_revenue"),
+        )
+    )
+
+
+Q_DATE_DIMS_SQL = f"""
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       EXTRACT(quarter FROM o_orderdate) AS o_quarter,
+       EXTRACT(month FROM o_orderdate) AS o_month,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice', 2)} AS total_revenue
+FROM orders GROUP BY 1, 2, 3
+"""
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math/string scalar-function surface: sqrt/ln/abs/round and
+    upper/substr/length/concat compose per-row (IEEE functions are
+    bit-identical across engines on equal double inputs)."""
+    p = load_tables(spark, sf_dir, ["part"])["part"]
+    return p.select(
+        "p_partkey",
+        F.expr("upper(substr(p_name, 1, 8))").alias("name_prefix"),
+        F.expr("length(p_name)").alias("name_len"),
+        F.expr("concat(p_brand, '#', p_type)").alias("brand_type"),
+        F.expr("round(sqrt(CAST(p_size AS DOUBLE)), 6)").alias("size_sqrt"),
+        F.expr("round(ln(CAST(p_retailprice AS DOUBLE)), 6)").alias("price_ln"),
+        F.expr("abs(CAST(p_size AS DOUBLE) - 25.0)").alias("size_dev"),
+    )
+
+
+Q_SCALAR_FUNCS_SQL = """
+SELECT p_partkey,
+       upper(substr(p_name, 1, 8)) AS name_prefix,
+       length(p_name) AS name_len,
+       concat(p_brand, '#', p_type) AS brand_type,
+       round(sqrt(CAST(p_size AS DOUBLE)), 6) AS size_sqrt,
+       round(ln(CAST(p_retailprice AS DOUBLE)), 6) AS price_ln,
+       abs(CAST(p_size AS DOUBLE) - 25.0) AS size_dev
+FROM part
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -652,6 +708,8 @@ QUERIES = {
     "q_cube_returns": q_cube_returns,
     "q_correlated_small_qty": q_correlated_small_qty,
     "q_events_funnel": q_events_funnel,
+    "q_date_dims": q_date_dims,
+    "q_scalar_funcs": q_scalar_funcs,
 }
 
 ORACLES = {
@@ -673,4 +731,6 @@ ORACLES = {
     "q_cube_returns": Q_CUBE_SQL,
     "q_correlated_small_qty": Q_CORRELATED_SQL,
     "q_events_funnel": Q_EVENTS_FUNNEL_SQL,
+    "q_date_dims": Q_DATE_DIMS_SQL,
+    "q_scalar_funcs": Q_SCALAR_FUNCS_SQL,
 }
