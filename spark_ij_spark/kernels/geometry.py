@@ -253,6 +253,56 @@ def distance_map(arr, args, meta):
     return _per_slice(arr, dt), None
 
 
+@register_op("Skeletonize")
+def skeletonize(arr, args, meta):
+    """Zhang-Suen thinning (Process>Binary>Skeletonize): iteratively
+    peel border pixels that don't break connectivity until stable.
+    All conditions evaluated as vectorized boolean grids per pass."""
+
+    def _neighbors(p):
+        # P2..P9 clockwise from north, on a zero-padded copy
+        z = np.pad(p, 1, mode="constant")
+        h, w = p.shape
+        return [
+            z[0:h, 1 : w + 1],      # P2 N
+            z[0:h, 2 : w + 2],      # P3 NE
+            z[1 : h + 1, 2 : w + 2],  # P4 E
+            z[2 : h + 2, 2 : w + 2],  # P5 SE
+            z[2 : h + 2, 1 : w + 1],  # P6 S
+            z[2 : h + 2, 0:w],      # P7 SW
+            z[1 : h + 1, 0:w],      # P8 W
+            z[0:h, 0:w],            # P9 NW
+        ]
+
+    def sk(s):
+        p = (s > 0).astype(np.uint8)
+        while True:
+            changed = False
+            for step in (0, 1):
+                n = _neighbors(p)
+                b = sum(x.astype(np.int32) for x in n)
+                seq = n + [n[0]]
+                a = sum(
+                    ((seq[i] == 0) & (seq[i + 1] == 1)).astype(np.int32)
+                    for i in range(8)
+                )
+                if step == 0:
+                    c1 = (n[0] * n[2] * n[4]) == 0  # P2·P4·P6
+                    c2 = (n[2] * n[4] * n[6]) == 0  # P4·P6·P8
+                else:
+                    c1 = (n[0] * n[2] * n[6]) == 0  # P2·P4·P8
+                    c2 = (n[0] * n[4] * n[6]) == 0  # P2·P6·P8
+                kill = (p == 1) & (b >= 2) & (b <= 6) & (a == 1) & c1 & c2
+                if kill.any():
+                    p[kill] = 0
+                    changed = True
+            if not changed:
+                break
+        return np.where(p > 0, 255, 0).astype(s.dtype)
+
+    return _per_slice(arr, sk), None
+
+
 @register_op("Invert LUT")
 def invert_lut(arr, args, meta):
     """For binary images: swap foreground/background (255 ↔ 0)."""

@@ -108,6 +108,22 @@ def test_distance_map_properties():
     assert d2[3, 3] == 2.0
 
 
+def test_skeletonize_thins_thick_line():
+    s = np.zeros((9, 15), dtype="float32")
+    s[3:6, 2:13] = 255  # 3-px-thick horizontal bar
+    sk, _ = run_op(s[:, :, np.newaxis], "Skeletonize")
+    sk2 = sk[:, :, 0]
+    assert sk2.sum() > 0
+    # every column that retains foreground is thinned to a single pixel
+    cols = (sk2 > 0).sum(axis=0)
+    assert cols.max() == 1
+    # skeleton is a subset of the original foreground
+    assert ((sk2 > 0) & (s == 0)).sum() == 0
+    # idempotent on an already-thin line
+    again, _ = run_op(sk, "Skeletonize")
+    np.testing.assert_array_equal(again, sk)
+
+
 def test_resize_and_invert_lut():
     a = _img(np.arange(16).reshape(4, 4))
     r, _ = run_op(a, "Size...", "width=2 height=2")
