@@ -303,6 +303,33 @@ def skeletonize(arr, args, meta):
     return _per_slice(arr, sk), None
 
 
+@register_op("Ultimate Points")
+def ultimate_points(arr, args, meta):
+    """Ultimate eroded points (Process>Binary>Ultimate Points): local
+    maxima of the chamfer distance map — one marker per convex blob,
+    the classic seed set for watershed splitting."""
+
+    def up(s):
+        d, _ = distance_map(s[:, :, np.newaxis] if s.ndim == 2 else s, {}, meta)
+        d2 = d[:, :, 0] if d.ndim == 3 else d
+        p = np.pad(d2, 1, mode="constant")
+        h, w = d2.shape
+        neigh_max = np.max(
+            np.stack(
+                [
+                    p[dy : dy + h, dx : dx + w]
+                    for dy in (0, 1, 2)
+                    for dx in (0, 1, 2)
+                    if not (dy == 1 and dx == 1)
+                ]
+            ),
+            axis=0,
+        )
+        return np.where((d2 > 0) & (d2 >= neigh_max), 255, 0).astype(s.dtype)
+
+    return _per_slice(arr, up), None
+
+
 @register_op("Invert LUT")
 def invert_lut(arr, args, meta):
     """For binary images: swap foreground/background (255 ↔ 0)."""

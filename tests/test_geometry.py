@@ -124,6 +124,17 @@ def test_skeletonize_thins_thick_line():
     np.testing.assert_array_equal(again, sk)
 
 
+def test_ultimate_points_marks_blob_centers():
+    s = np.zeros((9, 19), dtype="float32")
+    s[2:7, 2:7] = 255   # 5x5 block centered at (4,4)
+    s[2:7, 12:17] = 255  # 5x5 block centered at (4,14)
+    up, _ = run_op(s[:, :, np.newaxis], "Ultimate Points")
+    u = up[:, :, 0]
+    assert u[4, 4] == 255 and u[4, 14] == 255  # both centers marked
+    assert u[0, 0] == 0 and u[2, 2] == 0  # background/corners unmarked
+    assert (u > 0).sum() <= 10  # a handful of markers, not the blobs
+
+
 def test_resize_and_invert_lut():
     a = _img(np.arange(16).reshape(4, 4))
     r, _ = run_op(a, "Size...", "width=2 height=2")

@@ -173,6 +173,56 @@ def test_insert_into_image_table(spark, images_view):
     spark.sql("DROP TABLE imgs_copy")
 
 
+def test_full_morphology_pipeline_through_sql(spark):
+    """Reference-style end-to-end workflow chained through temp views:
+    synthesize blobs → threshold → Fill Holes → Open → Analyze
+    Particles → stats. Each stage is a registered SQL function over the
+    image column; the particle count is known by construction."""
+    import numpy as np
+
+    from spark_ij_spark.datamodel import np_to_image
+    from spark_ij_spark.functions.sql import register_imagej
+
+    register_imagej(spark)
+
+    # two 4x4 blobs (one with a hole) + one 1-px speck, on a 16x16 field
+    s = np.zeros((16, 16), dtype="float32")
+    s[2:6, 2:6] = 100.0
+    s[3, 3] = 0.0  # hole
+    s[9:13, 9:13] = 100.0
+    s[14, 2] = 100.0  # speck — removed by Open
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from spark_ij_spark.datamodel import IMAGE_SCHEMA
+
+    img = np_to_image(s[:, :, np.newaxis])
+    schema = StructType(
+        [StructField("sample", StringType()), StructField("image", IMAGE_SCHEMA)]
+    )
+    df = spark.createDataFrame([("blobs", img)], schema)
+    df.createOrReplaceTempView("Raw")
+
+    spark.sql(
+        "SELECT sample, run2(image, 'applyThreshold', 'lower=50 upper=1e9') AS image FROM Raw"
+    ).createOrReplaceTempView("Mask")
+    spark.sql(
+        "SELECT sample, run(image, 'Fill Holes') AS image FROM Mask"
+    ).createOrReplaceTempView("Filled")
+    spark.sql(
+        "SELECT sample, run(image, 'Open') AS image FROM Filled"
+    ).createOrReplaceTempView("Opened")
+    row = spark.sql(
+        "SELECT sample,"
+        " cardinality(runmap(image, 'Analyze Particles...', '')['Area']) AS n,"
+        " stats(image)['max'] AS mx,"
+        " runmap(image, 'Analyze Particles...', '')['Area'] AS areas "
+        "FROM Opened"
+    ).first()
+    assert row.n == 2  # speck gone, hole filled → two blobs
+    assert row.mx == 255.0
+    assert sorted(row.areas) == [16.0, 16.0]  # both blobs fully 4x4
+
+
 def test_explode_cardinality(spark, images_view):
     """Explode over int arrays — cardinality from first principles
     (IJSqlTest.scala:40-74: sum of (i+1))."""
