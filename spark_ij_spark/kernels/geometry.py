@@ -330,6 +330,70 @@ def ultimate_points(arr, args, meta):
     return _per_slice(arr, up), None
 
 
+@register_op("Watershed")
+def watershed(arr, args, meta):
+    """Marker-based watershed split (Process>Binary>Watershed):
+    markers = connected components of the ultimate points; regions
+    grow outward through the foreground in descending distance-map
+    order; pixels reached by two different regions become 1-px
+    watershed lines (set to background) so touching convex objects
+    separate before Analyze Particles."""
+    from spark_ij_spark.kernels.particles import label_components
+
+    def ws(s):
+        fg = s > 0
+        d, _ = distance_map(s[:, :, np.newaxis], {}, meta)
+        d2 = d[:, :, 0]
+        up, _ = ultimate_points(s[:, :, np.newaxis], {}, meta)
+        markers, n = label_components(up[:, :, 0] > 0)
+        if n <= 1:
+            return s  # single basin → nothing to split
+        labels = markers.astype(np.int32)
+        h, w = s.shape
+        # flood by descending distance levels
+        levels = np.unique(d2[fg])[::-1]
+        for lev in levels:
+            frontier = True
+            while frontier:
+                z = np.pad(labels, 1, mode="constant")
+                neigh = np.stack(
+                    [
+                        z[dy : dy + h, dx : dx + w]
+                        for dy in (0, 1, 2)
+                        for dx in (0, 1, 2)
+                        if not (dy == 1 and dx == 1)
+                    ]
+                )
+                pos = np.where(neigh > 0, neigh, np.iinfo(np.int32).max)
+                nmin = pos.min(axis=0)
+                nmax = neigh.max(axis=0)
+                cand = fg & (labels == 0) & (d2 >= lev) & (nmax > 0)
+                conflict = cand & (nmin != nmax)
+                grow = cand & ~conflict
+                labels[conflict] = -1  # watershed line
+                labels[grow] = nmin[grow].astype(np.int32)
+                frontier = bool(grow.any() or conflict.any())
+        # boundary pass: where two regions ended up adjacent without a
+        # conflict pixel (asymmetric fronts), carve the line out of the
+        # higher-label side so regions are never 8-connected
+        z = np.pad(labels, 1, mode="constant")
+        neigh = np.stack(
+            [
+                z[dy : dy + h, dx : dx + w]
+                for dy in (0, 1, 2)
+                for dx in (0, 1, 2)
+                if not (dy == 1 and dx == 1)
+            ]
+        )
+        pos = np.where(neigh > 0, neigh, np.iinfo(np.int32).max)
+        nmin = pos.min(axis=0)
+        labels[(labels > 0) & (nmin < labels)] = -1
+        out = np.where(fg & (labels > 0), 255, 0)
+        return out.astype(s.dtype)
+
+    return _per_slice(arr, ws), None
+
+
 @register_op("Invert LUT")
 def invert_lut(arr, args, meta):
     """For binary images: swap foreground/background (255 ↔ 0)."""

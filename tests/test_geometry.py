@@ -135,6 +135,30 @@ def test_ultimate_points_marks_blob_centers():
     assert (u > 0).sum() <= 10  # a handful of markers, not the blobs
 
 
+def test_watershed_splits_touching_disks():
+    from spark_ij_spark.kernels.particles import analyze_particles
+
+    yy, xx = np.mgrid[0:13, 0:20]
+    disk_a = (yy - 6) ** 2 + (xx - 6) ** 2 <= 16
+    disk_b = (yy - 6) ** 2 + (xx - 13) ** 2 <= 16
+    s = np.where(disk_a | disk_b, 255.0, 0.0).astype("float32")
+    # fused: one component before watershed
+    before = analyze_particles(s[:, :, np.newaxis])
+    assert len(before.get("Area", [])) == 1
+    ws, _ = run_op(s[:, :, np.newaxis], "Watershed")
+    after = analyze_particles(ws)
+    assert len(after.get("Area", [])) == 2  # split into two objects
+    # the split only removes the 1-px line, not whole regions
+    assert (ws > 0).sum() > 0.8 * (s > 0).sum()
+
+
+def test_watershed_single_object_unchanged():
+    s = np.zeros((9, 9), dtype="float32")
+    s[2:7, 2:7] = 255
+    ws, _ = run_op(s[:, :, np.newaxis], "Watershed")
+    np.testing.assert_array_equal(ws[:, :, 0], s)
+
+
 def test_resize_and_invert_lut():
     a = _img(np.arange(16).reshape(4, 4))
     r, _ = run_op(a, "Size...", "width=2 height=2")
