@@ -233,6 +233,78 @@ SHINGLES_DUCK = (
 )
 
 
+BIGRAMS_SPARK = (
+    "CASE WHEN size(toks) < 2 THEN array()"
+    " ELSE transform(sequence(0, size(toks) - 2),"
+    " i -> concat(toks[i], ' ', toks[i+1])) END"
+)
+BIGRAMS_DUCK = (
+    "list_transform(range(1, greatest(len(toks), 1)),"
+    " i -> toks[i] || ' ' || toks[i+1])"
+)
+
+
+def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality score from a corpus bigram LM: mean
+    −ln P(w2|w1) over each doc's bigrams, with P = bigram_count /
+    unigram_count (MLE over the whole corpus). Two aggregations build
+    the LM (both partial-aggregating); scoring is a broadcast-sized
+    join at this vocab (31 words → ≤961 bigrams; at web scale the LM
+    tables shuffle-join on the bigram key instead).
+
+    Determinism: per-bigram surprisal is rounded to 6 digits, so the
+    per-doc mean is an exact decimal sum / count — order-independent
+    and hash-identical in DuckDB."""
+    from spark_ij_spark.operators.relational import dsum
+
+    docs = _docs(spark, sf_dir).withColumn("toks", F.expr(TOKENS_SPARK))
+    doc_bigrams = docs.select(
+        "doc_id", F.explode(F.expr(BIGRAMS_SPARK)).alias("bg")
+    )
+    bg_counts = doc_bigrams.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    w1_counts = (
+        doc_bigrams.withColumn("w1", F.expr("split(bg, ' ')[0]"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c_w1"))
+    )
+    scored = (
+        doc_bigrams.join(F.broadcast(bg_counts), "bg")
+        .withColumn("w1", F.expr("split(bg, ' ')[0]"))
+        .join(F.broadcast(w1_counts), "w1")
+        .withColumn(
+            "surprisal",
+            F.expr("round(-ln(CAST(c_bg AS DOUBLE) / c_w1), 6)"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr(
+                "round(CAST(SUM(CAST(surprisal AS DECIMAL(28,6))) AS DOUBLE)"
+                " / COUNT(*), 6)"
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+Q_TEXT_SURPRISAL_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
+db AS (SELECT doc_id, unnest({BIGRAMS_DUCK}) AS bg FROM t),
+bgc AS (SELECT bg, COUNT(*) AS c_bg FROM db GROUP BY bg),
+w1c AS (SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS c_w1 FROM db GROUP BY 1),
+scored AS (
+  SELECT db.doc_id,
+         round(-ln(CAST(c_bg AS DOUBLE) / c_w1), 6) AS surprisal
+  FROM db
+  JOIN bgc USING (bg)
+  JOIN w1c ON string_split(db.bg, ' ')[1] = w1c.w1)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(CAST(SUM(CAST(surprisal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min 60-bit hash over word-
     3-gram shingles (a k=1 MinHash). Map-only, no shuffle — at 100 TB
@@ -264,6 +336,7 @@ QUERIES = {
     "text_lang_id": q_text_lang_id,
     "text_tokens": q_text_tokens,
     "text_token_topk": q_text_token_topk,
+    "text_surprisal": q_text_surprisal,
     "text_fingerprint": q_text_fingerprint,
 }
 
@@ -272,5 +345,6 @@ ORACLES = {
     "text_lang_id": Q_TEXT_LANG_ID_SQL,
     "text_tokens": Q_TEXT_TOKENS_SQL,
     "text_token_topk": Q_TEXT_TOKEN_TOPK_SQL,
+    "text_surprisal": Q_TEXT_SURPRISAL_SQL,
     "text_fingerprint": Q_TEXT_FINGERPRINT_SQL,
 }
