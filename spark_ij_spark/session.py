@@ -73,6 +73,12 @@ def load_tables(
     for name in names or TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
+            if name == "events":
+                # The caller may hand us any SparkSession (the driver
+                # harness builds its own, without get_spark()'s builder
+                # confs). nanosAsLong is runtime-settable, so apply it
+                # here too — reading TIMESTAMP(NANOS) fails otherwise.
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
             if name == "events":
                 # ts is TIMESTAMP(NANOS) in parquet, surfaced as long via

@@ -57,6 +57,9 @@ def read_events_stream(
     conversion as the batch loader, so both sides see identical ts).
     ``max_files_per_trigger=1`` replays multi-file directories one
     micro-batch per file — arrival order for watermark tests."""
+    # Runtime-set for driver-owned sessions that lack the builder conf
+    # (same guard as session.load_tables).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
         "pathGlobFilter", glob
     )
