@@ -62,14 +62,53 @@ def emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) inverted-index postings, distinct word-3-grams."""
-    return (
+# Posting-length cap: drop shingles appearing in more than this
+# fraction of documents before any inverted-index self-join. At web
+# scale, stopword-only shingles ("of the and", boilerplate headers)
+# produce posting lists of millions of docs — the self-join on such a
+# key is quadratic in the list length and AQE skew-split alone won't
+# save it. Near-dup semantics survive: a feature present in >10% of
+# the corpus carries no dedup signal. The default is far above any
+# real shingle frequency at test SF (max observed: 1.4% at sf0.01,
+# 0.5% at sf0.1), so DuckDB oracles stay bit-identical.
+MAX_SHINGLE_DOC_FRAC = 0.10
+
+
+def shingle_postings(
+    spark: SparkSession,
+    sf_dir: str,
+    max_doc_frac: float | None = MAX_SHINGLE_DOC_FRAC,
+) -> DataFrame:
+    """(doc_id, shingle) inverted-index postings, distinct word-3-grams.
+
+    Shingles with document frequency > ``max_doc_frac`` of the corpus
+    are dropped (``None`` disables). Cost: one partial-aggregating
+    groupBy over the postings plus a broadcast anti-join against the
+    (tiny) hot-shingle set — the classic stop-feature mitigation for
+    hot-key skew in posting-list self-joins."""
+    sh = (
         _docs(spark, sf_dir)
         .withColumn("toks", F.expr(TOKENS_SPARK))
         .select("doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("s"))
         .distinct()
     )
+    if max_doc_frac is not None and max_doc_frac < 1.0:
+        # Corpus size enters as a scalar subquery (executed once as its
+        # own stage, folded into the filter) — no join, so the strict
+        # no-BNLJ/no-cartesian plan guards hold for every consumer.
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(
+                F.expr(
+                    f"df > (SELECT count(*) FROM parquet.`{sf_dir}/documents.parquet`)"
+                    f" * {max_doc_frac}"
+                )
+            )
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    return sh
 
 
 _POSTINGS_DUCK = f"""
@@ -81,7 +120,13 @@ _POSTINGS_DUCK = f"""
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     """Inverted-index self-join → (da, db, jaccard) for all co-shingled
     pairs. Shuffles on the shingle key, then on the (da, db) pair key —
-    both partial-aggregated map-side."""
+    both partial-aggregated map-side.
+
+    The postings frame feeds three subtrees (sizes, both join sides);
+    persist it so tokenize+explode+cap run once, not three times.
+    MEMORY_AND_DISK (cache default) spills rather than OOMs when the
+    posting list outgrows executor memory at scale."""
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -164,24 +209,26 @@ _MH_P = 2147483647
 _MH_PARAMS = [(2 * j + 3, 12345 + 777 * j) for j in range(MINHASH_K)]
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature: permutation j = min over shingles of
-    (a_j·h31(shingle) + b_j) mod p. Map-only stage — at 100 TB this is
-    one scan emitting K bigints per doc, no shuffle."""
-    h31 = f"({hash60_spark('s')} & 2147483647) % {_MH_P}"
-    base = (
-        _docs(spark, sf_dir)
-        .withColumn("toks", F.expr(TOKENS_SPARK))
-        .withColumn("shingles", F.expr(SHINGLES_SPARK))
-        .withColumn("hs", F.expr(f"transform(shingles, s -> {h31})"))
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, postings: DataFrame | None = None
+) -> DataFrame:
+    """Per-doc MinHash signature: permutation j = min over the doc's
+    distinct shingles of (a_j·h31(shingle) + b_j) mod p, computed from
+    the inverted-index postings as one partial-aggregating groupBy.
+    Pass the (cached) ``postings`` frame to share the tokenize+explode
+    scan with the LSH verify stage — duplicates never affect a min, so
+    distinct postings yield the identical signature the per-doc shingle
+    array would. Docs with no shingles (<3 tokens) drop out here and
+    produce no candidates either way."""
+    sh = postings if postings is not None else shingle_postings(spark, sf_dir)
+    h = sh.withColumn(
+        "h31", F.expr(f"({hash60_spark('s')} & 2147483647) % {_MH_P}")
     )
-    mh = [
-        F.expr(
-            f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MH_P}))"
-        ).alias(f"mh{j}")
+    aggs = [
+        F.min(F.expr(f"({a} * h31 + {b}) % {_MH_P}")).alias(f"mh{j}")
         for j, (a, b) in enumerate(_MH_PARAMS)
     ]
-    return base.select("doc_id", *mh)
+    return h.groupBy("doc_id").agg(*aggs)
 
 
 def _band_exprs() -> list[str]:
@@ -198,7 +245,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join candidates → verify with true Jaccard. The candidate join
     shuffles on the band key only (never all-pairs); this is the
     shingle→minhash→band→bucket-join scale path for 100 TB dedup."""
-    sig = minhash_signatures(spark, sf_dir)
+    post = shingle_postings(spark, sf_dir).cache()
+    sig = minhash_signatures(spark, sf_dir, postings=post)
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[F.expr(e) for e in _band_exprs()])).alias("band"),
@@ -213,7 +261,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate docs before the inverted-index intersection, instead of
     # computing Jaccard for every co-shingled pair in the corpus. The
     # candidate set is tiny (LSH's point), so both joins stay small.
-    sh = shingle_postings(spark, sf_dir)
+    # Same cached postings frame as the signatures — one scan total.
+    sh = post
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     pa = sh.withColumnRenamed("doc_id", "da")
     pb = sh.withColumnRenamed("doc_id", "db")
@@ -315,23 +364,62 @@ fp AS (
 """
 
 
+# Pigeonhole blocking: SIMHASH_MAX_HAMMING+1 blocks over the 48 bits.
+# Any pair with hamming ≤ max must agree exactly on ≥ 1 block, so an
+# equi-join on (block_idx, block_bits) finds every qualifying pair.
+SIMHASH_BLOCKS = SIMHASH_MAX_HAMMING + 1
+_SIMHASH_BOUNDS = [
+    i * SIMHASH_BITS // SIMHASH_BLOCKS for i in range(SIMHASH_BLOCKS + 1)
+]
+
+
+def simhash_block_rows(fp: DataFrame) -> DataFrame:
+    """Explode (doc_id, fp) → one row per fingerprint block:
+    (doc_id, fp, bi, bits). fp rides along so the candidate join can
+    score hamming without a second lookup join."""
+    blocks = [
+        F.struct(
+            F.lit(i).alias("bi"),
+            F.expr(
+                f"(fp >> {_SIMHASH_BOUNDS[i]})"
+                f" & {(1 << (_SIMHASH_BOUNDS[i + 1] - _SIMHASH_BOUNDS[i])) - 1}"
+            ).alias("bits"),
+        )
+        for i in range(SIMHASH_BLOCKS)
+    ]
+    return fp.select(
+        "doc_id", "fp", F.explode(F.array(*blocks)).alias("blk")
+    ).select("doc_id", "fp", F.col("blk.bi").alias("bi"), F.col("blk.bits").alias("bits"))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: hamming(fp_a, fp_b) ≤ threshold.
-    Brute-force pair scan here; the pigeonhole scale path (split the
-    fingerprint into hamming+1 blocks, bucket-join on any equal block)
-    drops the cross join to an equi-join at cluster scale."""
-    fp = simhash_fingerprints(spark, sf_dir)
-    a = fp.alias("a")
-    b = fp.alias("b")
+    """SimHash near-dup pairs: hamming(fp_a, fp_b) ≤ threshold, via
+    pigeonhole block equi-join — split each fingerprint into
+    max_hamming+1 bit blocks; a qualifying pair shares at least one
+    exact block, so candidates come from an equi-join on
+    (block_idx, block_bits), never an all-pairs product. The join
+    shuffles on the block key; `distinct` collapses pairs that match
+    in several blocks. Exact (same result set as brute force — the
+    DuckDB oracle stays all-pairs), and the plan is a hash equi-join
+    that survives corpus scale."""
+    # fp is one bigint per doc; cache it so the two-vote-groupBy
+    # fingerprint pipeline runs once, not once per self-join side.
+    blk = simhash_block_rows(simhash_fingerprints(spark, sf_dir).cache())
+    a, b = blk.alias("a"), blk.alias("b")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn("hamming", F.expr("bit_count(a.fp ^ b.fp)"))
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("da"),
             F.col("b.doc_id").alias("db"),
-            "hamming",
+            F.expr("bit_count(a.fp ^ b.fp)").alias("hamming"),
         )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )
 
 

@@ -153,3 +153,46 @@ def test_fingerprint_deterministic(spark, sf_dir):
     b = {r.doc_id: r.fingerprint for r in text.q_text_fingerprint(spark, sf_dir).collect()}
     assert a == b
     assert all(v is not None and v >= 0 for v in a.values())
+
+
+def test_posting_cap_drops_hot_shingles(spark, tmp_path):
+    """Synthetic hot-shingle corpus: one boilerplate 3-gram present in
+    every doc must be dropped by the posting-length cap, while rare
+    shingles survive; max_doc_frac=None disables the cap."""
+    import pandas as pd
+
+    boiler = "terms of service"
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "text": [
+                f"{boiler} unique{i} payload{i} tail{i} filler{i}"
+                for i in range(20)
+            ],
+            "lang": ["en"] * 20,
+            "source": ["synthetic"] * 20,
+            "n_chars": [0] * 20,
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    capped = {
+        r.s for r in dedup.shingle_postings(spark, d, max_doc_frac=0.5).collect()
+    }
+    uncapped = {
+        r.s for r in dedup.shingle_postings(spark, d, max_doc_frac=None).collect()
+    }
+    assert boiler in uncapped
+    assert boiler not in capped          # hot shingle (df=100%) dropped
+    assert capped < uncapped             # only hot shingles removed
+    assert any("unique1" in s for s in capped)  # rare shingles survive
+
+
+def test_posting_cap_default_noop_at_test_sf(spark, sf_dir):
+    """The default MAX_SHINGLE_DOC_FRAC must not drop anything at test
+    SF, keeping the DuckDB oracles bit-identical."""
+    n_default = dedup.shingle_postings(spark, sf_dir).count()
+    n_off = dedup.shingle_postings(spark, sf_dir, max_doc_frac=None).count()
+    assert n_default == n_off

@@ -58,6 +58,13 @@ def test_minhash_lsh_no_cartesian_product(spark):
     assert "EvalPython" not in plan
 
 
+def test_simhash_pigeonhole_equi_join(spark):
+    plan = _plan(dedup.q_dedup_simhash(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_exact_dedup_partial_aggregation(spark):
     plan = _plan(dedup.q_dedup_exact(spark, SF_DIR))
     # map-side combine: two HashAggregates around one shuffle on the hash key
