@@ -467,10 +467,15 @@ ORDER BY o_orderpriority
 
 def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: NOT EXISTS → left-anti join. Customers with no
-    orders, counted per nation."""
+    orders since 2000-01-01 (churned customers), counted per nation.
+    The date filter keeps the anti-join non-vacuous: every customer in
+    the generated data has *some* order, but plenty have none in the
+    window — the filter also pushes to the orders scan, shrinking the
+    build side before the shuffle."""
     t = load_tables(spark, sf_dir, ["customer", "orders", "nation"])
+    recent = t["orders"].where(F.col("o_orderdate") >= "2000-01-01")
     no_orders = t["customer"].join(
-        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     )
     return (
         no_orders.join(
@@ -488,7 +493,9 @@ Q_ANTI_JOIN_SQL = f"""
 SELECT n_name, COUNT(*) AS n_customers,
        {dsum_sql('c_acctbal', 2)} AS total_acctbal
 FROM customer c JOIN nation ON c_nationkey = n_nationkey
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_orderdate >= DATE '2000-01-01')
 GROUP BY n_name
 """
 
