@@ -73,6 +73,17 @@ def op_gamma(arr, args, meta):
     return a.astype(arr.dtype)
 
 
+@register_op("applyOffset")
+def op_apply_offset(arr, args, meta):
+    """Float-converting offset (reference:
+    PortableImagePlus.scala:190-195 — the CT Hounsfield correction,
+    default −1024). Unlike the clamping "Add..." this first converts
+    to float32, so adding a negative offset to unsigned data yields
+    negative values instead of clamping at 0."""
+    v = get_float(args, "value", -1024.0)
+    return (arr.astype("float32") + np.float32(v)).astype("float32")
+
+
 @register_op("Abs")
 def op_abs(arr, args, meta):
     return np.abs(arr)

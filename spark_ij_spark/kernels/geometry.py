@@ -56,6 +56,8 @@ def translate(arr, args, meta):
     def sh(s):
         out = np.zeros_like(s)
         h, w = s.shape
+        if abs(dy) >= h or abs(dx) >= w:
+            return out  # fully shifted out of frame → blank
         ys, yd = (slice(0, h - dy), slice(dy, h)) if dy >= 0 else (slice(-dy, h), slice(0, h + dy))
         xs, xd = (slice(0, w - dx), slice(dx, w)) if dx >= 0 else (slice(-dx, w), slice(0, w + dx))
         out[yd, xd] = s[ys, xs]

@@ -65,6 +65,7 @@ def _ensure_loaded() -> None:
     from spark_ij_spark.kernels import core  # noqa: F401
     from spark_ij_spark.kernels import filters  # noqa: F401
     from spark_ij_spark.kernels import geometry  # noqa: F401
+    from spark_ij_spark.kernels import menu  # noqa: F401
     from spark_ij_spark.kernels import particles  # noqa: F401
 
 
@@ -113,7 +114,11 @@ def run_op(
     _ensure_loaded()
     kernel = get_op(cmd)
     parsed = parse_args(args)
-    out = kernel(np.asarray(arr), parsed, dict(meta or {}))
+    # meta is mutated IN PLACE: stateful ops (setThreshold, LUT
+    # selection) stash into it and the caller writes it to the output
+    # image, so a copy here would silently drop the stash between
+    # chained ops.
+    out = kernel(np.asarray(arr), parsed, meta if meta is not None else {})
     if isinstance(out, tuple):
         return out[0], out[1]
     return out, None
