@@ -143,6 +143,23 @@ def save_images_local(
     cols.foreachPartition(write_partition)
 
 
+def save_images(
+    df: DataFrame,
+    out_path: str,
+    suffix: str = ".npy",
+    path_col: str = "path",
+    image_col: str = "image",
+) -> None:
+    """saveImage dispatch (scOps.scala:251-256): a URL-style target
+    (contains '://') routes to the keyed-parquet byte sink — the
+    rebuild of the reference's Hadoop save — while a bare filesystem
+    path routes to one-file-per-image local save."""
+    if "://" in out_path:
+        save_images_parquet(df, out_path, suffix, path_col, image_col)
+    else:
+        save_images_local(df, out_path, suffix, path_col, image_col)
+
+
 def save_images_parquet(
     df: DataFrame,
     out_path: str,
