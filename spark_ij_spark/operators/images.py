@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -344,11 +345,16 @@ def reduce_images(
     out_schema = StructType(
         [StructField("group_key", StringType()), StructField("image", IMAGE_SCHEMA)]
     )
+    # Both Python hops move FLAT columns (binary payload + shape), not
+    # the nested image struct — struct<binary,...> → Python conversion
+    # dominates the hop cost otherwise (same projection the histogram /
+    # particles hot paths use). meta/log are rebuilt at the end.
     partial_schema = StructType(
         [
             StructField("group_key", StringType()),
             StructField("n", LongType()),
-            StructField("image", IMAGE_SCHEMA),
+            StructField("data", BinaryType()),
+            StructField("shape", ArrayType(IntegerType())),
         ]
     )
     from spark_ij_spark.datamodel import DEFAULT_META
@@ -372,19 +378,31 @@ def reduce_images(
         )
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        arrs = np.stack([image_to_np(i).astype("float64") for i in pdf[image_col]])
+        arrs = np.stack(
+            [
+                np.frombuffer(d, dtype=dt).reshape(list(sh)).astype("float64")
+                for d, dt, sh in zip(pdf["data"], pdf["dtype"], pdf["shape"])
+            ]
+        )
+        out = _combine(arrs)
         return pd.DataFrame(
             [
                 {
-                    "group_key": str(pdf[key_col].iloc[0]),
+                    "group_key": pdf["group_key"].iloc[0],
                     "n": len(arrs),
-                    "image": _pack(_combine(arrs), len(arrs)),
+                    "data": np.ascontiguousarray(out).tobytes(),
+                    "shape": [int(s) for s in out.shape],
                 }
             ]
         )
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
-        arrs = np.stack([image_to_np(i).astype("float64") for i in pdf["image"]])
+        arrs = np.stack(
+            [
+                np.frombuffer(d, dtype="float64").reshape(list(sh))
+                for d, sh in zip(pdf["data"], pdf["shape"])
+            ]
+        )
         n = int(pdf["n"].sum())
         out = _combine(arrs)
         if how == "average":
@@ -393,10 +411,16 @@ def reduce_images(
             [{"group_key": str(pdf["group_key"].iloc[0]), "image": _pack(out, n)}]
         )
 
-    salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*df.columns), F.lit(fanout)).cast("int")
+    flat = df.select(
+        F.col(key_col).cast("string").alias("group_key"),
+        F.col(f"{image_col}.data").alias("data"),
+        F.col(f"{image_col}.dtype").alias("dtype"),
+        F.col(f"{image_col}.shape").alias("shape"),
     )
-    partials = salted.groupBy(key_col, "__salt").applyInPandas(
+    salted = flat.withColumn(
+        "__salt", F.pmod(F.xxhash64("group_key", "data"), F.lit(fanout)).cast("int")
+    )
+    partials = salted.groupBy("group_key", "__salt").applyInPandas(
         partial, schema=partial_schema
     )
     return partials.groupBy("group_key").applyInPandas(final, schema=out_schema)

@@ -30,6 +30,20 @@ def _rows(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
+def _approx_rows(a, b, tol=1e-9):
+    """Row-set equality with tolerance on float fields: the streaming
+    state store and the batch hash aggregate may accumulate float sums
+    in different orders, so exact == on sum_value is flaky."""
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert len(ra) == len(rb)
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                assert va == pytest.approx(vb, rel=tol, abs=tol)
+            else:
+                assert va == vb
+
+
 @pytest.mark.parametrize(
     "op,cols",
     [
@@ -47,7 +61,7 @@ def test_windowed_stream_equals_batch(spark, op, cols):
     name = f"mem_{op.__name__}"
     got = _drain(spark, op(se.read_events_stream(spark, SF_DIR)), name)
     want = op(_batch_events(spark))
-    assert _rows(got, cols) == _rows(want, cols)
+    _approx_rows(_rows(got, cols), _rows(want, cols))
 
 
 def test_session_stream_equals_batch(spark):
@@ -58,7 +72,7 @@ def test_session_stream_equals_batch(spark):
         "mem_sessions",
     )
     want = se.session_stats(_batch_events(spark))
-    assert _rows(got, cols) == _rows(want, cols)
+    _approx_rows(_rows(got, cols), _rows(want, cols))
 
 
 def test_stateful_running_totals_equal_batch_aggregate(spark):
