@@ -93,21 +93,27 @@ def shingle_postings(
         .distinct()
     )
     if max_doc_frac is not None and max_doc_frac < 1.0:
-        # Corpus size enters as a scalar subquery (executed once as its
-        # own stage, folded into the filter) — no join, so the strict
-        # no-BNLJ/no-cartesian plan guards hold for every consumer.
-        hot = (
-            sh.groupBy("s")
-            .agg(F.count("*").alias("df"))
+        # Document frequency as a window count over the shingle key —
+        # one shuffle on s, one scan of the postings (the earlier
+        # aggregate+broadcast-anti-join shape scanned the tokenize+
+        # explode pipeline twice). Corpus size enters as a scalar
+        # subquery (its own tiny stage, folded into the filter) — no
+        # join, so the strict no-BNLJ/no-cartesian plan guards hold for
+        # every consumer. Bonus at scale: the s-partitioning this
+        # window establishes is exactly what the posting-list self-join
+        # downstream needs.
+        from pyspark.sql.window import Window
+
+        sh = (
+            sh.withColumn("df", F.count("*").over(Window.partitionBy("s")))
             .filter(
                 F.expr(
-                    f"df > (SELECT count(*) FROM parquet.`{sf_dir}/documents.parquet`)"
+                    f"df <= (SELECT count(*) FROM parquet.`{sf_dir}/documents.parquet`)"
                     f" * {max_doc_frac}"
                 )
             )
-            .select("s")
+            .drop("df")
         )
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     return sh
 
 
