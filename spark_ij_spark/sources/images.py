@@ -120,6 +120,42 @@ def load_images_locally(
     return pdf.select("path", open_file("path").alias("image"))
 
 
+def load_images_driver(
+    spark: SparkSession,
+    paths: list[str],
+    partitions: int | None = None,
+    parallel: bool = True,
+) -> DataFrame:
+    """Opt-in driver-side decode (loadImagesDriver, scOps.scala:134-151):
+    the driver opens and decodes every file — concurrently when
+    ``parallel`` (the reference's `.par` collection) — then ships the
+    decoded rows to the cluster through ``spark.createDataFrame``.
+
+    This is deliberately NOT the default load path: every byte funnels
+    through one machine, so it only fits data that exists *only* on the
+    driver (no shared filesystem / object store). For anything at scale
+    use ``load_images`` (distributed binaryFile scan) or
+    ``load_images_locally`` (workers open from shared storage)."""
+
+    def _one(p: str) -> tuple[str, dict]:
+        with open(p, "rb") as fh:
+            arr = decode_bytes(fh.read(), p)
+        return p, np_to_image(arr, log=[_load_entry(p)])
+
+    if parallel and len(paths) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(paths))) as pool:
+            rows = list(pool.map(_one, paths))
+    else:
+        rows = [_one(p) for p in paths]
+
+    df = spark.createDataFrame(rows, NAMED_IMAGE_SCHEMA)
+    if partitions:
+        df = df.repartition(partitions)
+    return df
+
+
 def save_images_local(
     df: DataFrame,
     out_dir: str,

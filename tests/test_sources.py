@@ -13,6 +13,7 @@ from spark_ij_spark.sources import codecs
 from spark_ij_spark.sources.images import (
     ImageJDataSource,
     load_images,
+    load_images_driver,
     load_images_locally,
     read_images_parquet,
     register_image_source,
@@ -94,6 +95,25 @@ def test_load_images_locally_explicit_paths(spark, tmp_path):
     assert {os.path.basename(r.path) for r in back.collect()} == {
         os.path.basename(p) for p in paths
     }
+
+
+@pytest.mark.parametrize("parallel", [True, False])
+def test_load_images_driver_small_data_path(spark, tmp_path, parallel):
+    """Opt-in driver-side decode (scOps.scala:134-151): decodes on the
+    driver, ships rows via createDataFrame; content + lineage intact."""
+    imgs = create_empty_images(spark, "img", 3, width=4, height=2, value_fn=lambda i: 3.5)
+    out = str(tmp_path / "imgs3")
+    save_images_local(imgs, out, path_col="sample")
+    paths = [os.path.join(out, f) for f in sorted(os.listdir(out))]
+    back = load_images_driver(spark, paths, partitions=2, parallel=parallel)
+    rows = back.collect()
+    assert len(rows) == 3
+    assert back.rdd.getNumPartitions() == 2
+    for r in rows:
+        arr = image_to_np(r.image)
+        assert arr.shape == (2, 4, 1)
+        assert float(arr.mean()) == 3.5
+        assert r.image.log[0].optype == "LOAD"
 
 
 def test_parquet_byte_sink_keeps_keys(spark, tmp_path):
