@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         event_windows,
         image_queries,
         multimodal,
+        pipeline,
         relational,
         similarity,
         text,
@@ -39,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(event_windows.QUERIES)
+    out.update(pipeline.QUERIES)
     out.update(multimodal.QUERIES)
     return out
 
@@ -51,6 +53,7 @@ def oracle_sql() -> dict[str, str]:
         event_windows,
         image_queries,
         multimodal,
+        pipeline,
         relational,
         similarity,
         text,
@@ -62,5 +65,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(event_windows.ORACLES)
+    out.update(pipeline.ORACLES)
     out.update(multimodal.ORACLES)
     return out

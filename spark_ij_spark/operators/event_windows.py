@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_ij_spark.operators.relational import dsum, dsum_sql
 from spark_ij_spark.session import load_tables
@@ -148,11 +149,127 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the most recent prior click of
+    the same user (attribution). Implemented as the union-scan shape —
+    both event kinds sort once per user and a last(ignorenulls) window
+    carries the latest click forward — which is ONE shuffle on user_id
+    and no join at all. The naive equi-join + max-ts form shuffles both
+    sides and explodes on active users; this form is how an as-of join
+    survives 100 TB. Ties break on event_id, so the order (and the
+    result) is engine-independent."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = _events(spark, sf_dir)
+    click_ts = F.expr("CASE WHEN event_type = 'click' THEN ts END")
+    click_val = F.expr("CASE WHEN event_type = 'click' THEN value END")
+    return (
+        ev.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .withColumn("last_click_value", F.last(click_val, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            "last_click_ts",
+            "last_click_value",
+        )
+    )
+
+
+Q_EVENTS_ASOF_SQL = """
+WITH j AS (
+  SELECT event_id, user_id, ts, value, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER w AS last_click_ts,
+         last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+           OVER w AS last_click_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, ts, value, last_click_ts, last_click_value
+FROM j WHERE event_type = 'purchase'
+"""
+
+
+RANGE_JOIN_US = 300 * 1_000_000  # 5-minute lookback, in microseconds
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per error event, count and sum the same user's
+    events in the preceding 5 minutes. A time-range theta-join is a
+    nested-loop at the planner level; the scale shape is BUCKETED — bin
+    both sides by the range width, explode each probe to its two
+    candidate bins, hash equi-join on (user, bin), then filter the
+    exact range. Shuffles on (user, bin) only; replication factor is a
+    constant 2 on the probe side."""
+    ev = _events(spark, sf_dir)
+    b = ev.select(
+        "user_id",
+        F.col("event_id").alias("b_eid"),
+        F.expr("unix_micros(ts)").alias("bus"),
+        F.col("value").alias("b_value"),
+    ).withColumn("bin", F.expr(f"bus DIV {RANGE_JOIN_US}"))
+    a = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("event_id"),
+            F.col("user_id").alias("a_uid"),
+            F.expr("unix_micros(ts)").alias("aus"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.expr(
+                    f"array(aus DIV {RANGE_JOIN_US} - 1, aus DIV {RANGE_JOIN_US})"
+                )
+            ),
+        )
+    )
+    cond = (
+        (a["a_uid"] == b["user_id"])
+        & (a["bin"] == b["bin"])
+        & (b["bus"] >= a["aus"] - RANGE_JOIN_US)
+        & (b["bus"] < a["aus"])
+    )
+    return (
+        a.join(b, cond, "left")
+        .groupBy("event_id")
+        .agg(
+            F.count("b_eid").alias("n_prior"),
+            F.expr(
+                "coalesce(CAST(SUM(CAST((b_value) AS DECIMAL(28,2))) AS DOUBLE),"
+                " CAST(0 AS DOUBLE))"
+            ).alias("sum_prior_value"),
+        )
+    )
+
+
+Q_EVENTS_RANGE_SQL = f"""
+SELECT a.event_id AS event_id,
+       COUNT(b.event_id) AS n_prior,
+       COALESCE({dsum_sql('b.value', 2)}, CAST(0 AS DOUBLE)) AS sum_prior_value
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) >= epoch_us(a.ts) - {RANGE_JOIN_US}
+ AND epoch_us(b.ts) < epoch_us(a.ts)
+WHERE a.event_type = 'error'
+GROUP BY a.event_id
+"""
+
+
 QUERIES = {
     "events_sliding": q_events_sliding,
     "events_quantiles": q_events_quantiles,
     "events_session": q_events_session,
     "events_running_totals": q_events_running_totals,
+    "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
 }
 
 ORACLES = {
@@ -160,4 +277,6 @@ ORACLES = {
     "events_quantiles": Q_EVENTS_QUANTILES_SQL,
     "events_session": Q_EVENTS_SESSION_SQL,
     "events_running_totals": Q_EVENTS_RUNNING_TOTALS_SQL,
+    "events_asof_join": Q_EVENTS_ASOF_SQL,
+    "events_range_join": Q_EVENTS_RANGE_SQL,
 }

@@ -1,0 +1,185 @@
+"""Training-data pipeline operators over ``documents``.
+
+The corpus-preparation stages an LLM data pipeline runs after cleaning
+and dedup (conceptual siblings of the ops in ``dedup.py`` / ``text.py``):
+
+- ``pipeline_hash_split``   — deterministic train/val/test sharding by
+  content-independent key hash: every engine, run, and machine assigns
+  the same doc to the same split, the property that makes a 100 TB
+  re-shard reproducible. Map-only + one tiny groupBy.
+- ``pipeline_pack_sequences`` — contiguous fixed-token-budget packing
+  (the streaming form of sequence packing for pretraining batches):
+  running token cumsum per language stream → budget-quotient bin id.
+  One shuffle on the stream key; the window is the Spark shape of a
+  per-stream scan, no driver loop.
+- ``pipeline_contamination`` — benchmark-contamination detection:
+  which training docs share a word-3-gram with any eval-set doc. The
+  eval side of the inverted-index join is tiny by construction (a
+  benchmark, not a corpus), so it broadcasts — at 100 TB the scan of
+  the training corpus is the only big cost, and it's map-only.
+
+All three are pure Catalyst expressions (no Python in the hot path)
+with exact DuckDB oracles via the shared 60-bit md5 hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_ij_spark.operators.text import (
+    SHINGLES_DUCK,
+    SHINGLES_SPARK,
+    TOKENS_DUCK,
+    TOKENS_SPARK,
+    hash60_duck,
+    hash60_spark,
+)
+
+# train/val/test = 80/10/10 by hash60(doc_id-as-string) mod 100.
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10
+
+PACK_TOKEN_BUDGET = 512
+
+# Every doc_id divisible by this models the held-out benchmark set.
+CONTAM_EVAL_MOD = 97
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- deterministic hash split -----------------------------------------
+
+
+def q_pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard the corpus 80/10/10 by md5(doc_id) — not by position or
+    random(), so the assignment is stable under re-runs, re-orders, and
+    engine changes. Per-split accounting: doc count, char volume, and
+    min/max doc_id as a spot-checkable determinism witness."""
+    bucket = f"({hash60_spark('CAST(doc_id AS STRING)')}) % 100"
+    split = (
+        f"CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train'"
+        f" WHEN {bucket} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'"
+        f" ELSE 'test' END"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(F.expr(split).alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+_BUCKET_DUCK = f"({hash60_duck('CAST(doc_id AS VARCHAR)')}) % 100"
+
+Q_PIPELINE_HASH_SPLIT_SQL = f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN {_BUCKET_DUCK} < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {_BUCKET_DUCK} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM s GROUP BY split
+"""
+
+
+# --- sequence packing --------------------------------------------------
+
+
+def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack each language stream into fixed-token-budget bins: running
+    cumsum of whitespace-token counts in doc_id order, bin = exclusive
+    cumsum DIV budget. Contiguous fill is the streaming-pack shape a
+    distributed pipeline actually uses (first-fit bin packing needs
+    global mutable state); a doc larger than the budget still gets its
+    own bin(s). Per (lang, bin): docs packed and tokens filled."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.expr(f"size({TOKENS_SPARK})").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = t.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "seq_bin", F.expr(f"(cum - n_tok) DIV {PACK_TOKEN_BUDGET}")
+    )
+    return binned.groupBy("lang", "seq_bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tokens")
+    )
+
+
+Q_PIPELINE_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, len({TOKENS_DUCK}) AS n_tok FROM documents),
+c AS (
+  SELECT lang, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT lang, (cum - n_tok) // {PACK_TOKEN_BUDGET} AS seq_bin,
+       COUNT(*) AS n_docs, SUM(n_tok) AS sum_tokens
+FROM c GROUP BY lang, seq_bin
+"""
+
+
+# --- benchmark contamination ------------------------------------------
+
+
+def q_pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-benchmark n-gram contamination: (train_doc, eval_doc)
+    pairs sharing ≥1 distinct word-3-gram, with the shared count. The
+    eval postings (the benchmark) broadcast; the training-corpus scan
+    is map-only, so the whole check is one broadcast hash join — the
+    shape that survives a 100 TB training side."""
+    post = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("s"))
+        .distinct()
+    )
+    ev = post.filter(F.expr(f"doc_id % {CONTAM_EVAL_MOD} = 0")).select(
+        F.col("doc_id").alias("eval_doc"), "s"
+    )
+    tr = post.filter(F.expr(f"doc_id % {CONTAM_EVAL_MOD} != 0")).select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+Q_PIPELINE_CONTAM_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
+p AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t),
+e AS (SELECT doc_id AS eval_doc, s FROM p WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+tr AS (SELECT doc_id AS train_doc, s FROM p WHERE doc_id % {CONTAM_EVAL_MOD} != 0)
+SELECT train_doc, eval_doc, COUNT(*) AS n_shared
+FROM tr JOIN e USING (s)
+GROUP BY train_doc, eval_doc
+"""
+
+
+QUERIES = {
+    "pipeline_hash_split": q_pipeline_hash_split,
+    "pipeline_pack_sequences": q_pipeline_pack_sequences,
+    "pipeline_contamination": q_pipeline_contamination,
+}
+
+ORACLES = {
+    "pipeline_hash_split": Q_PIPELINE_HASH_SPLIT_SQL,
+    "pipeline_pack_sequences": Q_PIPELINE_PACK_SQL,
+    "pipeline_contamination": Q_PIPELINE_CONTAM_SQL,
+}

@@ -1,0 +1,52 @@
+"""Training-pipeline ops (hash split, sequence packing, contamination):
+oracle matches plus semantic invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_ij_spark.operators import pipeline
+
+from .conftest import assert_oracle_match
+
+
+@pytest.mark.parametrize("name", sorted(pipeline.QUERIES))
+def test_pipeline_query_matches_oracle(spark, duck, name):
+    assert_oracle_match(
+        spark, duck, pipeline.QUERIES[name], pipeline.ORACLES[name]
+    )
+
+
+def test_hash_split_is_deterministic_and_near_80_10_10(spark, sf_dir):
+    rows = {r.split: r for r in pipeline.q_pipeline_hash_split(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    total = sum(r.n_docs for r in rows.values())
+    # hash split targets 80/10/10; allow sampling noise at small SF
+    assert rows["train"].n_docs / total == pytest.approx(0.8, abs=0.08)
+    # determinism: re-running yields the identical per-split counts
+    again = {r.split: r.n_docs for r in pipeline.q_pipeline_hash_split(spark, sf_dir).collect()}
+    assert again == {k: v.n_docs for k, v in rows.items()}
+
+
+def test_pack_sequences_bins_respect_budget_shape(spark, sf_dir):
+    """Contiguous fill: every bin except a stream's last starts because
+    the previous bin crossed the budget, so each (lang) stream's bin
+    ids are dense 0..max with no gaps."""
+    rows = pipeline.q_pipeline_pack_sequences(spark, sf_dir).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        bins = sorted(r.seq_bin for r in rs)
+        assert bins == list(range(len(bins))), f"{lang}: bins not dense {bins[:5]}"
+        assert all(r.n_docs > 0 for r in rs)
+
+
+def test_contamination_flags_only_cross_set_pairs(spark, sf_dir):
+    rows = pipeline.q_pipeline_contamination(spark, sf_dir).collect()
+    assert rows, "synthetic near-dup corpus should contaminate"
+    for r in rows:
+        assert r.eval_doc % pipeline.CONTAM_EVAL_MOD == 0
+        assert r.train_doc % pipeline.CONTAM_EVAL_MOD != 0
+        assert r.n_shared >= 1

@@ -9,7 +9,7 @@ instead of only showing up at 100 TB.
 
 from __future__ import annotations
 
-from spark_ij_spark.operators import dedup, relational, text
+from spark_ij_spark.operators import dedup, event_windows, pipeline, relational, text
 
 from .conftest import SF_DIR
 
@@ -63,6 +63,36 @@ def test_simhash_pigeonhole_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_asof_join_is_single_window_no_join(spark):
+    """The as-of query must compile to a window over one shuffle on
+    user_id — any Join node means the naive two-sided form crept back."""
+    plan = _plan(event_windows.q_events_asof_join(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_bucketed_equi_join(spark):
+    """Time-range join must be the bucketed hash equi-join, never a
+    planner-picked nested loop."""
+    plan = _plan(event_windows.q_events_range_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    plan = _plan(pipeline.q_pipeline_contamination(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_pipeline_split_and_pack_stay_jvm_side(spark):
+    for q in (pipeline.q_pipeline_hash_split, pipeline.q_pipeline_pack_sequences):
+        plan = _plan(q(spark, SF_DIR))
+        assert "EvalPython" not in plan, f"{q.__name__} fell off the JVM path"
 
 
 def test_exact_dedup_partial_aggregation(spark):
