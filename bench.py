@@ -41,6 +41,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        # one untimed pass absorbs per-query cold costs (codegen, cache
+        # materialization, Python-worker reuse), then min-of-2 timed
+        # runs measures steady-state throughput — the box this runs on
+        # is shared, and cold-run noise was ±20% run-to-run.
+        fn(spark, sf_dir).count()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

@@ -89,7 +89,13 @@ def order_quantity_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return pd.DataFrame(rows, columns=["data", "dtype", "shape", "meta", "log"])
 
-    return flat.select("l_orderkey", mk_image("q").alias("image"))
+    # Cache the built image table: every img_* query derives from this
+    # identical plan, so Spark's CacheManager (canonical-plan matching)
+    # materializes it once per session+sf_dir and the other six queries
+    # read columnar cache instead of re-running the groupBy + build UDF.
+    # This is the "materialized feature table" pattern a real pipeline
+    # uses at scale; MEMORY_AND_DISK spills instead of OOMing.
+    return flat.select("l_orderkey", mk_image("q").alias("image")).cache()
 
 
 def q_img_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

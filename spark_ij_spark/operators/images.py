@@ -333,15 +333,18 @@ def reduce_images(
     integral pixel sums stay exact (order-independent) regardless of
     the reduction tree — required for oracle-grade determinism.
 
-    Two-level tree reduce: rows are salted into ``fanout`` subgroups
-    per key, partial-reduced in parallel, then the tiny partials
-    combine. Without the salt, a low-cardinality key (7 width classes
-    here) serializes into as many tasks as keys — the classic
-    straggler shape at cluster scale. Average carries (sum, n) through
-    the tree so the merge is associative."""
+    Map-side combine: a ``mapInPandas`` pass partial-reduces each Arrow
+    batch in place (per group within the batch), so the only thing that
+    ever shuffles is one partial image per (batch, group) — the full
+    pixel payload never crosses the wire. This is the aggregation shape
+    a groupBy gets for free from Catalyst, hand-built here because the
+    combine runs in numpy. It also dissolves the low-cardinality-key
+    straggler problem (7 width classes here) without salting: partials
+    parallelize with the input partitioning, and the final per-key
+    merge touches only batch-count-sized data. Average carries (sum, n)
+    through the tree so the merge is associative."""
     if how not in ("average", "sum", "min", "max"):
         raise ValueError(f"unknown reduction {how!r}")
-    fanout = 16
     out_schema = StructType(
         [StructField("group_key", StringType()), StructField("image", IMAGE_SCHEMA)]
     )
@@ -377,24 +380,27 @@ def reduce_images(
             arrs.min(axis=0) if how == "min" else arrs.max(axis=0)
         )
 
-    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        arrs = np.stack(
-            [
-                np.frombuffer(d, dtype=dt).reshape(list(sh)).astype("float64")
-                for d, dt, sh in zip(pdf["data"], pdf["dtype"], pdf["shape"])
-            ]
-        )
-        out = _combine(arrs)
-        return pd.DataFrame(
-            [
-                {
-                    "group_key": pdf["group_key"].iloc[0],
-                    "n": len(arrs),
-                    "data": np.ascontiguousarray(out).tobytes(),
-                    "shape": [int(s) for s in out.shape],
-                }
-            ]
-        )
+    def partial(batches):
+        for pdf in batches:
+            rows = []
+            for gk, sub in pdf.groupby("group_key", sort=False):
+                arrs = np.stack(
+                    [
+                        np.frombuffer(d, dtype=dt).reshape(list(sh)).astype("float64")
+                        for d, dt, sh in zip(sub["data"], sub["dtype"], sub["shape"])
+                    ]
+                )
+                out = _combine(arrs)
+                rows.append(
+                    {
+                        "group_key": gk,
+                        "n": len(arrs),
+                        "data": np.ascontiguousarray(out).tobytes(),
+                        "shape": [int(s) for s in out.shape],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         arrs = np.stack(
@@ -417,12 +423,7 @@ def reduce_images(
         F.col(f"{image_col}.dtype").alias("dtype"),
         F.col(f"{image_col}.shape").alias("shape"),
     )
-    salted = flat.withColumn(
-        "__salt", F.pmod(F.xxhash64("group_key", "data"), F.lit(fanout)).cast("int")
-    )
-    partials = salted.groupBy("group_key", "__salt").applyInPandas(
-        partial, schema=partial_schema
-    )
+    partials = flat.mapInPandas(partial, schema=partial_schema)
     return partials.groupBy("group_key").applyInPandas(final, schema=out_schema)
 
 

@@ -173,6 +173,50 @@ def dedup_events_stream(
     )
 
 
+def interval_join_purchase_click(
+    events: DataFrame,
+    lookback: str = "5 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the trailing ``lookback`` window (attribution
+    candidates — the streaming sibling of the batch as-of / range joins
+    in ``operators/event_windows.py``).
+
+    Both sides carry watermarks, and the join condition bounds c_ts to
+    [p_ts - lookback, p_ts), so Spark can size and evict join state:
+    a click is droppable once the watermark passes its ts + lookback.
+    Unbounded-state stream joins (no time bound) do not survive a real
+    workload; the interval bound is what makes this a 100 TB/day op."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"p_user_id = c_user_id"
+            f" AND c_ts >= p_ts - interval {lookback}"
+            f" AND c_ts < p_ts"
+        ),
+    ).select("p_event_id", "p_user_id", "p_ts", "p_value", "c_ts", "c_value")
+
+
 def run_to_memory(
     df: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

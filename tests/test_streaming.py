@@ -111,6 +111,21 @@ def test_streaming_dedup_drops_redeliveries(spark):
     assert got.select("event_id").distinct().count() == want
 
 
+def test_interval_join_stream_equals_batch(spark):
+    """Stream-stream interval join (purchase ← trailing clicks) drains
+    to the same row set as the identical transformation on the batch
+    frame."""
+    cols = ["p_event_id", "p_user_id", "p_ts", "p_value", "c_ts", "c_value"]
+    got = _drain(
+        spark,
+        se.interval_join_purchase_click(se.read_events_stream(spark, SF_DIR)),
+        "mem_interval_join",
+        mode="append",
+    )
+    want = se.interval_join_purchase_click(_batch_events(spark))
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     """Watermark semantics end-to-end: a second file whose events are
     far behind the advanced watermark is dropped from the windowed
