@@ -3,12 +3,21 @@
 The reference decodes byte streams by writing a temp file and calling
 the ImageJ opener (`Spiji.java:1571-1614` — its own comment calls this
 a "pyspark-style ugly hack"); encode likewise round-trips a temp file
-(`Spiji.java:1623-1634`). This rebuild is in-memory: numpy's ``.npy``
-container is the native, fully-tested format; PIL/tifffile codecs are
-gated behind import-try because those libraries are not in the target
-container — the dispatch, schema, and plumbing around them are real,
-only the codec body is stubbed (NotImplementedError) when the library
-is absent.
+(`Spiji.java:1623-1634`). This rebuild is in-memory, and the common
+formats have REAL pure-stdlib codec bodies (``purepy_codecs``):
+
+- ``.npy``            — numpy native container.
+- ``.png``            — zlib inflate + scanline unfilter (all five
+  filters), 8/16-bit gray / RGB / palette; filter-0 encode.
+- ``.tif`` / ``.tiff``— little-endian baseline TIFF; multi-page IFD
+  chains ↔ the image model's slice axis.
+- ``.pgm`` / ``.ppm`` — binary netpbm, 8/16-bit.
+
+If PIL is installed it takes over the PNG path (and enables JPEG /
+GIF / BMP); those three remain import-gated because lossy/LZW codecs
+aren't reasonably reimplementable here — the dispatch, schema, and
+plumbing around them are real, only that codec body raises when the
+library is absent.
 """
 
 from __future__ import annotations
@@ -19,28 +28,39 @@ import os
 import numpy as np
 
 from spark_ij_spark.datamodel import coerce_ingest, ensure_3d
+from spark_ij_spark.sources import purepy_codecs as pp
 
 #: suffixes with a real in-container codec
-NATIVE_SUFFIXES = (".npy",)
+NATIVE_SUFFIXES = (".npy", ".png", ".tif", ".tiff", ".pgm", ".ppm")
 #: suffixes that need PIL (stubbed when PIL is absent)
-PIL_SUFFIXES = (".png", ".jpg", ".jpeg", ".gif", ".bmp")
-#: suffixes that need tifffile (stubbed when absent)
-TIFF_SUFFIXES = (".tif", ".tiff")
+PIL_SUFFIXES = (".jpg", ".jpeg", ".gif", ".bmp")
 
-SUPPORTED_SUFFIXES = NATIVE_SUFFIXES + PIL_SUFFIXES + TIFF_SUFFIXES
+SUPPORTED_SUFFIXES = NATIVE_SUFFIXES + PIL_SUFFIXES
 
 
 def _suffix(path: str) -> str:
     return os.path.splitext(path)[1].lower()
 
 
+def _has_pil() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
 def decode_bytes(data: bytes, path: str) -> np.ndarray:
     """bytes → ndarray ([h][w][slices] after ingest coercion), suffix-
     dispatched like the reference's opener (`scOps.scala:90-91`)."""
     sfx = _suffix(path)
-    if sfx in NATIVE_SUFFIXES:
+    if sfx == ".npy":
         arr = np.load(io.BytesIO(data), allow_pickle=False)
         return ensure_3d(coerce_ingest(arr))
+    if sfx == ".png":
+        return ensure_3d(coerce_ingest(pp.decode_png(data)))
+    if sfx in (".tif", ".tiff"):
+        return ensure_3d(coerce_ingest(pp.decode_tiff(data)))
+    if sfx in (".pgm", ".ppm"):
+        return ensure_3d(coerce_ingest(pp.decode_pnm(data)))
     if sfx in PIL_SUFFIXES:
         try:
             from PIL import Image  # noqa: F401
@@ -48,20 +68,10 @@ def decode_bytes(data: bytes, path: str) -> np.ndarray:
             raise NotImplementedError(
                 f"codec for '{sfx}' requires PIL, which is not installed in "
                 "this container; plumbing is real, codec body is stubbed "
-                "(see sources/codecs.py)"
+                "(see sources/codecs.py). PNG/TIFF/PGM decode without PIL."
             ) from e
         img = Image.open(io.BytesIO(data))
         return ensure_3d(coerce_ingest(np.asarray(img)))
-    if sfx in TIFF_SUFFIXES:
-        try:
-            import tifffile  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                f"codec for '{sfx}' requires tifffile, which is not installed "
-                "in this container; plumbing is real, codec body is stubbed"
-            ) from e
-        arr = tifffile.imread(io.BytesIO(data))
-        return ensure_3d(coerce_ingest(arr))
     raise ValueError(
         f"unsupported image suffix {sfx!r} for {path!r}; supported: "
         f"{', '.join(SUPPORTED_SUFFIXES)}"
@@ -70,17 +80,23 @@ def decode_bytes(data: bytes, path: str) -> np.ndarray:
 
 def encode_array(arr: np.ndarray, suffix: str = ".npy") -> bytes:
     """ndarray → bytes for the given container format."""
-    if suffix in NATIVE_SUFFIXES:
+    if suffix == ".npy":
         buf = io.BytesIO()
         np.save(buf, arr, allow_pickle=False)
         return buf.getvalue()
+    if suffix == ".png":
+        return pp.encode_png(arr)
+    if suffix in (".tif", ".tiff"):
+        return pp.encode_tiff(arr)
+    if suffix in (".pgm", ".ppm"):
+        return pp.encode_pnm(arr)
     if suffix in PIL_SUFFIXES:
         try:
             from PIL import Image
         except ImportError as e:
             raise NotImplementedError(
                 f"encoder for '{suffix}' requires PIL (not installed); "
-                "use '.npy' in this container"
+                "'.npy', '.png', '.tif', '.pgm' encode without it"
             ) from e
         buf = io.BytesIO()
         Image.fromarray(arr.squeeze()).save(buf, format=suffix.lstrip(".").upper())

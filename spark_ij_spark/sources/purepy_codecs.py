@@ -1,0 +1,382 @@
+"""Pure-stdlib image codecs: PNG, baseline TIFF, and netpbm.
+
+The target container has no PIL/tifffile, but the formats a real image
+user hits first are implementable with nothing beyond ``zlib`` /
+``struct`` / numpy — so these are REAL codec bodies, not stubs
+(closing the reference-parity gap around `Spiji.java:1571-1614`'s
+opener, which this engine reaches through
+``sources/codecs.py``'s suffix dispatch).
+
+Scope (documented, checked, and raising clear errors outside it):
+
+- PNG — decode: 8/16-bit, gray / RGB / palette / gray+alpha / RGBA
+  (alpha stripped on ingest), all five scanline filters, no Adam7
+  interlace. Encode: filter-0 scanlines, 8/16-bit gray and 8-bit
+  RGB. CRCs written and verified with ``zlib.crc32``.
+- TIFF — little-endian baseline: uncompressed strips, gray
+  uint8/uint16/uint32/int16/float32 and 8-bit RGB; multi-page IFD
+  chains map to the image model's slice axis both directions.
+- PGM/PPM — binary P5/P6, 8/16-bit (16-bit is big-endian per spec).
+
+Everything decodes to the [h][w] / [h][w][3] shapes ``ensure_3d``
+normalizes, so the rest of the engine is format-agnostic.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering → (height, stride) uint8."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
+            np.int32
+        )
+        pos += stride
+        if f == 0:  # None
+            cur = row
+        elif f == 1:  # Sub: per-byte-lane cumulative sum mod 256
+            lanes = row.reshape(-1, bpp)
+            cur = (np.cumsum(lanes, axis=0) % 256).reshape(-1)
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f == 3:  # Average (left-sequential)
+            cur = row.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (row[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth (left-sequential)
+            cur = row.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                cur[i] = (row[i] + _paeth(a, int(prev[i]), int(c))) % 256
+        else:
+            raise ValueError(f"PNG: unknown filter type {f} on row {y}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != PNG_SIG:
+        raise ValueError("PNG: bad signature")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG: CRC mismatch in {ctype!r}")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG: missing IHDR or IDAT")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG: nonstandard compression/filter method")
+    if interlace != 0:
+        raise ValueError("PNG: Adam7 interlace not supported by the pure codec")
+    if depth not in (8, 16):
+        raise ValueError(f"PNG: bit depth {depth} not supported (8/16 only)")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"PNG: color type {color} not supported")
+    ch = _PNG_CHANNELS[color]
+    bpp = ch * depth // 8
+    stride = width * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG: decompressed size mismatch")
+    flat = _unfilter(raw, height, stride, bpp)
+    if depth == 16:
+        arr = flat.reshape(height, stride).view(">u2").astype(np.uint16)
+        arr = arr.reshape(height, width, ch)
+    else:
+        arr = flat.reshape(height, width, ch)
+    if color == 3:  # palette index → RGB
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        arr = plte[arr[:, :, 0]]
+    elif color == 4:  # gray+alpha → gray
+        arr = arr[:, :, :1]
+    elif color == 6:  # RGBA → RGB
+        arr = arr[:, :, :3]
+    if arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    return arr
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Filter-0 PNG. Accepts (h,w[,1]) uint8/uint16 gray, (h,w,3) or
+    (h,w,1,3) uint8 RGB."""
+    a = np.asarray(arr)
+    if a.ndim == 4 and a.shape[2] == 1 and a.shape[3] == 3:
+        a = a[:, :, 0, :]
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    if a.ndim == 2:
+        if a.dtype == np.uint8:
+            depth, color = 8, 0
+            payload = a
+        elif a.dtype == np.uint16:
+            depth, color = 16, 0
+            payload = a.astype(">u2")
+        else:
+            raise ValueError(
+                f"PNG encode: gray dtype {a.dtype} unsupported (uint8/uint16; "
+                "use .tif for float/int32 data)"
+            )
+    elif a.ndim == 3 and a.shape[2] == 3 and a.dtype == np.uint8:
+        depth, color = 8, 2
+        payload = a
+    else:
+        raise ValueError(f"PNG encode: unsupported shape/dtype {a.shape}/{a.dtype}")
+    h, w = a.shape[0], a.shape[1]
+    body = payload.tobytes()
+    stride = len(body) // h
+    scan = b"".join(
+        b"\x00" + body[y * stride : (y + 1) * stride] for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TIFF (little-endian baseline)
+# ---------------------------------------------------------------------------
+
+_T_WIDTH, _T_HEIGHT, _T_BITS, _T_COMP = 256, 257, 258, 259
+_T_PHOTO, _T_STRIP_OFF, _T_SPP, _T_ROWS_PER_STRIP = 262, 273, 277, 278
+_T_STRIP_CNT, _T_SAMPLE_FMT = 279, 339
+
+_FMT_UINT, _FMT_INT, _FMT_FLOAT = 1, 2, 3
+
+_TIFF_DTYPES = {
+    (8, _FMT_UINT): np.uint8,
+    (16, _FMT_UINT): np.uint16,
+    (32, _FMT_UINT): np.uint32,
+    (16, _FMT_INT): np.int16,
+    (32, _FMT_FLOAT): np.float32,
+}
+
+
+def _read_ifd(data: bytes, off: int) -> tuple[dict[int, list], int]:
+    (n,) = struct.unpack_from("<H", data, off)
+    tags: dict[int, list] = {}
+    for i in range(n):
+        tag, ttype, count = struct.unpack_from("<HHI", data, off + 2 + 12 * i)
+        voff = off + 2 + 12 * i + 8
+        size = {1: 1, 3: 2, 4: 4, 11: 4}.get(ttype)
+        if size is None:
+            continue  # tag type we don't need (rationals etc.)
+        total = size * count
+        if total > 4:
+            (pos,) = struct.unpack_from("<I", data, voff)
+        else:
+            pos = voff
+        fmt = {1: "B", 3: "H", 4: "I", 11: "f"}[ttype]
+        tags[tag] = list(struct.unpack_from(f"<{count}{fmt}", data, pos))
+    (nxt,) = struct.unpack_from("<I", data, off + 2 + 12 * n)
+    return tags, nxt
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    if data[:4] == b"MM\x00*":
+        raise ValueError("TIFF: big-endian files not supported by the pure codec")
+    if data[:4] != b"II*\x00":
+        raise ValueError("TIFF: bad header")
+    (off,) = struct.unpack_from("<I", data, 4)
+    pages = []
+    while off:
+        tags, off = _read_ifd(data, off)
+        w = tags[_T_WIDTH][0]
+        h = tags[_T_HEIGHT][0]
+        comp = tags.get(_T_COMP, [1])[0]
+        if comp != 1:
+            raise ValueError(f"TIFF: compression {comp} not supported (baseline only)")
+        spp = tags.get(_T_SPP, [1])[0]
+        bits = tags.get(_T_BITS, [8])[0]
+        fmt = tags.get(_T_SAMPLE_FMT, [_FMT_UINT])[0]
+        dt = _TIFF_DTYPES.get((bits, fmt))
+        if dt is None:
+            raise ValueError(f"TIFF: {bits}-bit sample format {fmt} not supported")
+        offs = tags[_T_STRIP_OFF]
+        cnts = tags.get(_T_STRIP_CNT, [h * w * spp * bits // 8])
+        buf = b"".join(data[o : o + c] for o, c in zip(offs, cnts))
+        arr = np.frombuffer(buf, dtype=np.dtype(dt).newbyteorder("<")).astype(dt)
+        pages.append(arr.reshape((h, w) if spp == 1 else (h, w, spp)))
+    if not pages:
+        raise ValueError("TIFF: no pages")
+    if len(pages) == 1:
+        return pages[0]
+    if any(p.shape != pages[0].shape or p.ndim != 2 for p in pages):
+        raise ValueError("TIFF: multi-page stacks must be same-shape grayscale")
+    return np.stack(pages, axis=-1)  # [h][w][slices]
+
+
+def _tiff_entry(tag: int, ttype: int, count: int, value: int) -> bytes:
+    return struct.pack("<HHII", tag, ttype, count, value)
+
+
+def encode_tiff(arr: np.ndarray) -> bytes:
+    """Baseline little-endian TIFF. Gray [h][w] / stack [h][w][s] in
+    uint8/uint16/uint32/int16/float32, or 8-bit RGB (h,w,1,3)/(h,w,3)."""
+    a = np.asarray(arr)
+    rgb = False
+    if a.ndim == 4 and a.shape[2] == 1 and a.shape[3] == 3:
+        a = a[:, :, 0, :]
+    if a.ndim == 3 and a.shape[2] == 3 and a.dtype == np.uint8:
+        rgb = True
+        pages = [a]
+    elif a.ndim == 2:
+        pages = [a]
+    elif a.ndim == 3:
+        pages = [a[:, :, i] for i in range(a.shape[2])]
+    else:
+        raise ValueError(f"TIFF encode: unsupported shape {a.shape}")
+    rev = {v: k for k, v in _TIFF_DTYPES.items()}
+    key = rev.get(a.dtype.type)
+    if key is None:
+        raise ValueError(f"TIFF encode: unsupported dtype {a.dtype}")
+    bits, fmt = key
+    spp = 3 if rgb else 1
+    h, w = pages[0].shape[0], pages[0].shape[1]
+
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", 8)  # first IFD offset placeholder target
+    ifd_off = 8
+    blobs = []
+    # layout: header(8) | per page: [IFD][extra values][pixel data]
+    n_entries = 10
+    for i, page in enumerate(pages):
+        body = np.ascontiguousarray(page, dtype=np.dtype(a.dtype).newbyteorder("<")).tobytes()
+        ifd_size = 2 + n_entries * 12 + 4
+        extra_off = ifd_off + ifd_size
+        extras = bytearray()
+        if spp == 3:  # BitsPerSample needs 3 shorts → out-of-line
+            bits_val = extra_off + len(extras)
+            extras += struct.pack("<HHH", bits, bits, bits) + b"\x00\x00"
+        else:
+            bits_val = bits
+        data_off = extra_off + len(extras)
+        nxt = data_off + len(body) if i + 1 < len(pages) else 0
+        ifd = struct.pack("<H", n_entries)
+        ifd += _tiff_entry(_T_WIDTH, 4, 1, w)
+        ifd += _tiff_entry(_T_HEIGHT, 4, 1, h)
+        ifd += _tiff_entry(_T_BITS, 3, spp, bits_val)
+        ifd += _tiff_entry(_T_COMP, 3, 1, 1)
+        ifd += _tiff_entry(_T_PHOTO, 3, 1, 2 if rgb else 1)
+        ifd += _tiff_entry(_T_STRIP_OFF, 4, 1, data_off)
+        ifd += _tiff_entry(_T_SPP, 3, 1, spp)
+        ifd += _tiff_entry(_T_ROWS_PER_STRIP, 4, 1, h)
+        ifd += _tiff_entry(_T_STRIP_CNT, 4, 1, len(body))
+        ifd += _tiff_entry(_T_SAMPLE_FMT, 3, 1, fmt)
+        ifd += struct.pack("<I", nxt)
+        blobs.append(bytes(ifd) + bytes(extras) + body)
+        ifd_off = nxt
+    return bytes(out) + b"".join(blobs)
+
+
+# ---------------------------------------------------------------------------
+# netpbm (P5 gray / P6 RGB, binary)
+# ---------------------------------------------------------------------------
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    if data[:2] not in (b"P5", b"P6"):
+        raise ValueError("PNM: only binary P5/P6 supported")
+    rgb = data[:2] == b"P6"
+    # header = magic, width, height, maxval separated by whitespace
+    # (comment lines start with '#')
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while data[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    dt = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    ch = 3 if rgb else 1
+    arr = np.frombuffer(data, dtype=dt, count=h * w * ch, offset=pos)
+    arr = arr.astype(np.uint16 if maxval > 255 else np.uint8)
+    return arr.reshape(h, w, ch)[:, :, 0] if ch == 1 else arr.reshape(h, w, ch)
+
+
+def encode_pnm(arr: np.ndarray) -> bytes:
+    a = np.asarray(arr)
+    if a.ndim == 4 and a.shape[2] == 1 and a.shape[3] == 3:
+        a = a[:, :, 0, :]
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    rgb = a.ndim == 3 and a.shape[2] == 3
+    if not rgb and a.ndim != 2:
+        raise ValueError(f"PNM encode: unsupported shape {a.shape}")
+    if a.dtype == np.uint8:
+        maxval, body = 255, a.tobytes()
+    elif a.dtype == np.uint16 and not rgb:
+        maxval, body = 65535, a.astype(">u2").tobytes()
+    else:
+        raise ValueError(f"PNM encode: unsupported dtype {a.dtype}")
+    magic = b"P6" if rgb else b"P5"
+    head = magic + b"\n%d %d\n%d\n" % (a.shape[1], a.shape[0], maxval)
+    return head + body

@@ -1,0 +1,189 @@
+"""Pure-stdlib PNG/TIFF/PNM codecs: round-trips plus an independent
+forward-filter check of the PNG scanline unfilterer."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from spark_ij_spark.sources import codecs
+from spark_ij_spark.sources import purepy_codecs as pp
+
+
+# --- PNG ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "arr",
+    [
+        np.arange(48, dtype=np.uint8).reshape(6, 8),
+        (np.arange(300, dtype=np.uint16) * 199 % 65536).reshape(15, 20).astype(np.uint16),
+        (np.arange(144, dtype=np.uint8) * 37 % 256).reshape(6, 8, 3).astype(np.uint8),
+    ],
+    ids=["gray8", "gray16", "rgb8"],
+)
+def test_png_roundtrip(arr):
+    back = pp.decode_png(pp.encode_png(arr))
+    np.testing.assert_array_equal(back, arr)
+
+
+def _forward_filter(img: np.ndarray, filters: list[int]) -> bytes:
+    """Independent implementation of PNG *forward* filtering (the spec
+    direction the codec does not implement), one filter id per row."""
+    bpp = 1 if img.ndim == 2 else img.shape[2]
+    raw = img.reshape(img.shape[0], -1).astype(np.int32)
+    h, stride = raw.shape
+
+    def px(row, i):
+        return row[i] if i >= 0 else 0
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    out = bytearray()
+    for y, f in enumerate(filters):
+        cur, prev = raw[y], (raw[y - 1] if y else np.zeros(stride, dtype=np.int32))
+        out.append(f)
+        for i in range(stride):
+            left, up, ul = px(cur, i - bpp), prev[i], px(prev, i - bpp)
+            if f == 0:
+                v = cur[i]
+            elif f == 1:
+                v = cur[i] - left
+            elif f == 2:
+                v = cur[i] - up
+            elif f == 3:
+                v = cur[i] - (left + up) // 2
+            else:
+                v = cur[i] - paeth(int(left), int(up), int(ul))
+            out.append(int(v) % 256)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("filters", [[0, 1, 2, 3, 4], [4, 4, 4, 4, 4], [3, 1, 4, 2, 0]])
+def test_png_unfilter_against_independent_forward_filter(filters):
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    scan = _forward_filter(img, filters)
+    ihdr = struct.pack(">IIBBBBB", 9, 5, 8, 2, 0, 0, 0)
+    png = (
+        pp.PNG_SIG
+        + pp._png_chunk(b"IHDR", ihdr)
+        + pp._png_chunk(b"IDAT", zlib.compress(scan))
+        + pp._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(pp.decode_png(png), img)
+
+
+def test_png_palette_and_alpha_variants():
+    """Hand-built palette (type 3) and RGBA (type 6) images decode; the
+    palette expands to RGB and alpha is stripped."""
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    scan = b"".join(b"\x00" + row.tobytes() for row in idx)
+    png = (
+        pp.PNG_SIG
+        + pp._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + pp._png_chunk(b"PLTE", plte)
+        + pp._png_chunk(b"IDAT", zlib.compress(scan))
+        + pp._png_chunk(b"IEND", b"")
+    )
+    out = pp.decode_png(png)
+    np.testing.assert_array_equal(out[0, 0], [255, 0, 0])
+    np.testing.assert_array_equal(out[1, 0], [0, 0, 255])
+
+    rgba = np.dstack(
+        [np.full((2, 2), 9, np.uint8)] * 3 + [np.full((2, 2), 128, np.uint8)]
+    )
+    scan = b"".join(b"\x00" + rgba[y].tobytes() for y in range(2))
+    png = (
+        pp.PNG_SIG
+        + pp._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+        + pp._png_chunk(b"IDAT", zlib.compress(scan))
+        + pp._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(pp.decode_png(png), rgba[:, :, :3])
+
+
+def test_png_rejects_corrupt_crc():
+    data = bytearray(pp.encode_png(np.zeros((2, 2), np.uint8)))
+    data[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        pp.decode_png(bytes(data))
+
+
+# --- TIFF --------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "arr",
+    [
+        np.arange(24, dtype=np.uint8).reshape(4, 6),
+        np.arange(24, dtype=np.uint16).reshape(4, 6) * 1000,
+        np.arange(24, dtype=np.uint32).reshape(4, 6) * 100000,
+        (np.arange(24, dtype=np.int16) - 12).reshape(4, 6),
+        np.linspace(-1.5, 2.5, 24, dtype=np.float32).reshape(4, 6),
+        (np.arange(72, dtype=np.uint8) * 3 % 256).reshape(4, 6, 3).astype(np.uint8),
+    ],
+    ids=["u8", "u16", "u32", "i16", "f32", "rgb8"],
+)
+def test_tiff_roundtrip(arr):
+    back = pp.decode_tiff(pp.encode_tiff(arr))
+    np.testing.assert_array_equal(back, arr)
+    assert back.dtype == arr.dtype
+
+
+def test_tiff_multipage_stack_roundtrip():
+    """[h][w][slices] gray stack ↔ multi-page IFD chain (the ImageJ
+    stack ↔ TIFF mapping, Spiji.java opener semantics)."""
+    stack = np.arange(60, dtype=np.float32).reshape(4, 5, 3)
+    back = pp.decode_tiff(pp.encode_tiff(stack))
+    assert back.shape == (4, 5, 3)
+    np.testing.assert_array_equal(back, stack)
+
+
+# --- PNM ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "arr",
+    [
+        np.arange(24, dtype=np.uint8).reshape(4, 6),
+        np.arange(24, dtype=np.uint16).reshape(4, 6) * 999,
+        (np.arange(72, dtype=np.uint8) * 5 % 256).reshape(4, 6, 3).astype(np.uint8),
+    ],
+    ids=["p5_u8", "p5_u16", "p6_rgb"],
+)
+def test_pnm_roundtrip(arr):
+    back = pp.decode_pnm(pp.encode_pnm(arr))
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_pnm_comment_header():
+    raw = b"P5\n# a comment\n3 2\n255\n" + bytes(range(6))
+    np.testing.assert_array_equal(
+        pp.decode_pnm(raw), np.arange(6, dtype=np.uint8).reshape(2, 3)
+    )
+
+
+# --- dispatch through codecs.py ---------------------------------------
+
+
+@pytest.mark.parametrize("sfx", [".png", ".tif", ".pgm"])
+def test_codec_dispatch_roundtrip(sfx):
+    arr = np.arange(30, dtype=np.uint8).reshape(5, 6)
+    back = codecs.decode_bytes(codecs.encode_array(arr, sfx), f"x{sfx}")
+    assert back.shape == (5, 6, 1)  # ensure_3d normalization
+    np.testing.assert_array_equal(back[:, :, 0], arr)
+
+
+def test_float_stack_survives_tiff_dispatch():
+    stack = np.linspace(0, 1, 40, dtype=np.float32).reshape(4, 5, 2)
+    back = codecs.decode_bytes(codecs.encode_array(stack, ".tif"), "s.tif")
+    assert back.shape == (4, 5, 2)
+    np.testing.assert_array_equal(back, stack)

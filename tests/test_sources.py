@@ -37,34 +37,24 @@ def _has(mod: str) -> bool:
 
 @pytest.mark.skipif(_has("PIL"), reason="PIL present: stub not in effect")
 def test_missing_codec_is_clearly_stubbed():
+    """Only the lossy/LZW formats remain PIL-gated; PNG/TIFF/PGM have
+    real pure-stdlib codec bodies (see tests/test_codecs.py)."""
     with pytest.raises(NotImplementedError, match="PIL"):
-        codecs.decode_bytes(b"\x89PNG", "x.png")
+        codecs.decode_bytes(b"\xff\xd8\xff", "x.jpg")
     with pytest.raises(ValueError, match="unsupported"):
         codecs.decode_bytes(b"", "x.xyz")
 
 
-# The two round-trips below are the real codec bodies; they run the
-# moment the environment gains the library and show as explicit SKIPs
-# (not silent gaps) until then.
-
-
-@pytest.mark.skipif(not _has("PIL"), reason="PIL not installed in container")
-def test_png_codec_roundtrip_when_pil_present():
+def test_png_codec_roundtrip():
     arr = np.arange(48, dtype=np.uint8).reshape(6, 8)
     b = codecs.encode_array(arr, ".png")
     back = codecs.decode_bytes(b, "x.png")
     np.testing.assert_array_equal(back[:, :, 0], arr)
 
 
-@pytest.mark.skipif(not _has("tifffile"), reason="tifffile not installed in container")
-def test_tiff_codec_roundtrip_when_tifffile_present():
-    import tifffile
-    import io
-
+def test_tiff_codec_roundtrip():
     arr = np.arange(24, dtype=np.uint16).reshape(4, 6)
-    buf = io.BytesIO()
-    tifffile.imwrite(buf, arr)
-    back = codecs.decode_bytes(buf.getvalue(), "x.tif")
+    back = codecs.decode_bytes(codecs.encode_array(arr, ".tif"), "x.tif")
     np.testing.assert_array_equal(back[:, :, 0], arr)
 
 
@@ -95,6 +85,26 @@ def test_load_images_locally_explicit_paths(spark, tmp_path):
     assert {os.path.basename(r.path) for r in back.collect()} == {
         os.path.basename(p) for p in paths
     }
+
+
+def test_save_load_roundtrip_png_distributed(spark, tmp_path):
+    """End-to-end PNG through the executors: save_images_local encodes
+    one .png per image (pure codec), load_images decodes them back via
+    the binaryFile scan."""
+    imgs = create_empty_images(spark, "img", 3, width=5, height=4, value_fn=lambda i: 0.0)
+    from spark_ij_spark.operators.images import run_all
+
+    u8 = run_all(imgs.withColumnRenamed("sample", "path"), "8-bit")
+    out = str(tmp_path / "pngs")
+    save_images_local(u8, out, suffix=".png")
+    files = sorted(os.listdir(out))
+    assert len(files) == 3 and all(f.endswith(".png") for f in files)
+    back = load_images(spark, out, pattern="*.png")
+    rows = back.collect()
+    assert len(rows) == 3
+    for r in rows:
+        arr = image_to_np(r.image)
+        assert arr.shape == (4, 5, 1) and arr.dtype.name == "uint8"
 
 
 @pytest.mark.parametrize("parallel", [True, False])
