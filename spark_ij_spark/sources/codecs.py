@@ -12,6 +12,8 @@ formats have REAL pure-stdlib codec bodies (``purepy_codecs``):
 - ``.tif`` / ``.tiff``— little-endian baseline TIFF; multi-page IFD
   chains ↔ the image model's slice axis.
 - ``.pgm`` / ``.ppm`` — binary netpbm, 8/16-bit.
+- ``.dcm`` / ``.dicom``— uncompressed little-endian DICOM (the format
+  the reference's RDD tests exercise, IjRDDTests.scala:83-99).
 
 If PIL is installed it takes over the PNG path (and enables JPEG /
 GIF / BMP); those three remain import-gated because lossy/LZW codecs
@@ -31,7 +33,7 @@ from spark_ij_spark.datamodel import coerce_ingest, ensure_3d
 from spark_ij_spark.sources import purepy_codecs as pp
 
 #: suffixes with a real in-container codec
-NATIVE_SUFFIXES = (".npy", ".png", ".tif", ".tiff", ".pgm", ".ppm")
+NATIVE_SUFFIXES = (".npy", ".png", ".tif", ".tiff", ".pgm", ".ppm", ".dcm", ".dicom")
 #: suffixes that need PIL (stubbed when PIL is absent)
 PIL_SUFFIXES = (".jpg", ".jpeg", ".gif", ".bmp")
 
@@ -61,6 +63,8 @@ def decode_bytes(data: bytes, path: str) -> np.ndarray:
         return ensure_3d(coerce_ingest(pp.decode_tiff(data)))
     if sfx in (".pgm", ".ppm"):
         return ensure_3d(coerce_ingest(pp.decode_pnm(data)))
+    if sfx in (".dcm", ".dicom"):
+        return ensure_3d(coerce_ingest(pp.decode_dicom(data)))
     if sfx in PIL_SUFFIXES:
         try:
             from PIL import Image  # noqa: F401
@@ -90,6 +94,8 @@ def encode_array(arr: np.ndarray, suffix: str = ".npy") -> bytes:
         return pp.encode_tiff(arr)
     if suffix in (".pgm", ".ppm"):
         return pp.encode_pnm(arr)
+    if suffix in (".dcm", ".dicom"):
+        return pp.encode_dicom(arr)
     if suffix in PIL_SUFFIXES:
         try:
             from PIL import Image

@@ -330,6 +330,161 @@ def encode_tiff(arr: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# DICOM (uncompressed little-endian; the format the reference's RDD
+# tests exercise, IjRDDTests.scala:83-99)
+# ---------------------------------------------------------------------------
+
+_DCM_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+_DCM_IMPLICIT_LE = "1.2.840.10008.1.2"
+
+# VRs whose explicit-VR encoding uses a 2-byte reserved field + 4-byte
+# length instead of a 2-byte length.
+_DCM_LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
+
+
+def _dcm_skip_undefined(data: bytes, pos: int) -> int:
+    """Skip an undefined-length sequence: scan item-by-item to the
+    Sequence Delimitation Item (FFFE,E0DD)."""
+    while pos < len(data):
+        group, elem = struct.unpack_from("<HH", data, pos)
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        pos += 8
+        if (group, elem) == (0xFFFE, 0xE0DD):
+            return pos
+        if (group, elem) == (0xFFFE, 0xE000) and length == 0xFFFFFFFF:
+            pos = _dcm_skip_undefined(data, pos)  # undefined-length item
+        else:
+            pos += length
+    raise ValueError("DICOM: unterminated undefined-length sequence")
+
+
+def decode_dicom(data: bytes) -> np.ndarray:
+    """Minimal single-frame DICOM: 128-byte preamble + 'DICM', explicit
+    or implicit VR little endian, uncompressed PixelData. Returns raw
+    stored pixels (uint8/uint16/int16; MONOCHROME); rescale slope/
+    intercept are NOT applied — the engine's float-converting
+    ``applyOffset`` op (CT −1024) is the explicit path for that."""
+    if data[128:132] != b"DICM":
+        raise ValueError("DICOM: missing DICM marker")
+    pos = 132
+    explicit = True
+    syntax = _DCM_EXPLICIT_LE
+    attrs: dict[tuple[int, int], bytes] = {}
+    while pos + 8 <= len(data):
+        group, elem = struct.unpack_from("<HH", data, pos)
+        if group == 0x0002 or explicit:
+            vr = data[pos + 4 : pos + 6]
+            if vr in _DCM_LONG_VRS:
+                (length,) = struct.unpack_from("<I", data, pos + 8)
+                body_off = pos + 12
+            elif vr.isalpha() and vr.isupper():
+                (length,) = struct.unpack_from("<H", data, pos + 6)
+                body_off = pos + 8
+            else:  # not a VR → actually implicit encoding
+                (length,) = struct.unpack_from("<I", data, pos + 4)
+                body_off = pos + 8
+                vr = b"UN"
+        else:
+            (length,) = struct.unpack_from("<I", data, pos + 4)
+            body_off = pos + 8
+            vr = b"UN"
+        if length == 0xFFFFFFFF:
+            if (group, elem) == (0x7FE0, 0x0010):
+                raise ValueError("DICOM: encapsulated PixelData not supported")
+            pos = _dcm_skip_undefined(data, body_off)
+            continue
+        body = data[body_off : body_off + length]
+        pos = body_off + length
+        attrs[(group, elem)] = body
+        if (group, elem) == (0x0002, 0x0010):
+            syntax = body.rstrip(b"\x00").decode("ascii", "ignore")
+            if syntax == _DCM_IMPLICIT_LE:
+                explicit = False
+            elif syntax != _DCM_EXPLICIT_LE:
+                raise ValueError(
+                    f"DICOM: transfer syntax {syntax} not supported "
+                    "(uncompressed little-endian only)"
+                )
+        if (group, elem) == (0x7FE0, 0x0010):
+            break  # PixelData is last in practice; stop scanning
+
+    def us(tag, default=None):
+        b = attrs.get(tag)
+        if b is None:
+            if default is None:
+                raise ValueError(f"DICOM: missing required tag {tag}")
+            return default
+        return struct.unpack_from("<H", b, 0)[0]
+
+    rows, cols = us((0x0028, 0x0010)), us((0x0028, 0x0011))
+    bits = us((0x0028, 0x0100), 16)
+    signed = us((0x0028, 0x0103), 0) == 1
+    spp = us((0x0028, 0x0002), 1)
+    if spp != 1:
+        raise ValueError("DICOM: only single-sample (MONOCHROME) supported")
+    pix = attrs.get((0x7FE0, 0x0010))
+    if pix is None:
+        raise ValueError("DICOM: no PixelData")
+    if bits == 8:
+        dt = np.int8 if signed else np.uint8
+    elif bits == 16:
+        dt = np.int16 if signed else np.uint16
+    else:
+        raise ValueError(f"DICOM: BitsAllocated {bits} not supported")
+    arr = np.frombuffer(pix, dtype=np.dtype(dt).newbyteorder("<"), count=rows * cols)
+    return arr.astype(dt).reshape(rows, cols)
+
+
+def _dcm_elem(group: int, elem: int, vr: bytes, body: bytes) -> bytes:
+    if len(body) % 2:
+        body += b"\x00"
+    if vr in _DCM_LONG_VRS:
+        return struct.pack("<HH2sHI", group, elem, vr, 0, len(body)) + body
+    return struct.pack("<HH2sH", group, elem, vr, len(body)) + body
+
+
+def encode_dicom(arr: np.ndarray) -> bytes:
+    """Minimal secondary-capture-style Explicit VR LE file (enough for
+    the decoder and for ImageJ-class readers): preamble, file meta with
+    transfer syntax, Rows/Columns/Bits*, PixelData."""
+    a = np.asarray(arr)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    if a.ndim != 2:
+        raise ValueError(f"DICOM encode: single-frame 2D only, got {a.shape}")
+    if a.dtype in (np.dtype(np.uint8), np.dtype(np.int8)):
+        bits = 8
+    elif a.dtype in (np.dtype(np.uint16), np.dtype(np.int16)):
+        bits = 16
+    else:
+        raise ValueError(f"DICOM encode: unsupported dtype {a.dtype}")
+    signed = a.dtype in (np.dtype(np.int8), np.dtype(np.int16))
+    meta = _dcm_elem(0x0002, 0x0010, b"UI", _DCM_EXPLICIT_LE.encode())
+    h, w = a.shape
+
+    def short(group, elem, v):
+        return _dcm_elem(group, elem, b"US", struct.pack("<H", v))
+
+    body = (
+        short(0x0028, 0x0002, 1)
+        + _dcm_elem(0x0028, 0x0004, b"CS", b"MONOCHROME2")
+        + short(0x0028, 0x0010, h)
+        + short(0x0028, 0x0011, w)
+        + short(0x0028, 0x0100, bits)
+        + short(0x0028, 0x0101, bits)
+        + short(0x0028, 0x0102, bits - 1)
+        + short(0x0028, 0x0103, 1 if signed else 0)
+        + _dcm_elem(
+            0x7FE0,
+            0x0010,
+            b"OW",
+            np.ascontiguousarray(a, dtype=a.dtype.newbyteorder("<")).tobytes(),
+        )
+    )
+    return b"\x00" * 128 + b"DICM" + meta + body
+
+
+# ---------------------------------------------------------------------------
 # netpbm (P5 gray / P6 RGB, binary)
 # ---------------------------------------------------------------------------
 

@@ -171,10 +171,54 @@ def test_pnm_comment_header():
     )
 
 
+# --- DICOM -------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "arr",
+    [
+        np.arange(24, dtype=np.uint8).reshape(4, 6),
+        (np.arange(24, dtype=np.uint16) * 500).reshape(4, 6),
+        (np.arange(24, dtype=np.int16) - 1024).reshape(4, 6),
+    ],
+    ids=["u8", "u16", "i16_ct"],
+)
+def test_dicom_roundtrip(arr):
+    back = pp.decode_dicom(pp.encode_dicom(arr))
+    np.testing.assert_array_equal(back, arr)
+    assert back.dtype == arr.dtype
+
+
+def test_dicom_implicit_vr_variant():
+    """Hand-built implicit-VR body (transfer syntax 1.2.840.10008.1.2):
+    the meta group stays explicit, the dataset switches encoding."""
+    img = np.arange(6, dtype=np.uint16).reshape(2, 3)
+
+    def imp(group, elem, body):
+        return struct.pack("<HHI", group, elem, len(body)) + body
+
+    meta = pp._dcm_elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2\x00")
+    ds = (
+        imp(0x0028, 0x0010, struct.pack("<H", 2))
+        + imp(0x0028, 0x0011, struct.pack("<H", 3))
+        + imp(0x0028, 0x0100, struct.pack("<H", 16))
+        + imp(0x0028, 0x0103, struct.pack("<H", 0))
+        + imp(0x7FE0, 0x0010, img.tobytes())
+    )
+    data = b"\x00" * 128 + b"DICM" + meta + ds
+    np.testing.assert_array_equal(pp.decode_dicom(data), img)
+
+
+def test_dicom_rejects_compressed_syntax():
+    meta = pp._dcm_elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.70\x00")
+    with pytest.raises(ValueError, match="transfer syntax"):
+        pp.decode_dicom(b"\x00" * 128 + b"DICM" + meta)
+
+
 # --- dispatch through codecs.py ---------------------------------------
 
 
-@pytest.mark.parametrize("sfx", [".png", ".tif", ".pgm"])
+@pytest.mark.parametrize("sfx", [".png", ".tif", ".pgm", ".dcm"])
 def test_codec_dispatch_roundtrip(sfx):
     arr = np.arange(30, dtype=np.uint8).reshape(5, 6)
     back = codecs.decode_bytes(codecs.encode_array(arr, sfx), f"x{sfx}")
