@@ -61,6 +61,26 @@ def bucketed_join(
     )
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-style partitioned parquet layout (``col=value`` dirs).
+
+    The physical-layout move for time/tenant-sliced 100 TB tables: a
+    query filtering on a partition column never lists or reads the
+    other directories (partition pruning at the scan, visible as
+    ``PartitionFilters`` in the plan)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_pruned(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """Read a partitioned layout; filters on partition columns prune
+    directories before any file I/O."""
+    return spark.read.parquet(path)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

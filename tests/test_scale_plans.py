@@ -61,6 +61,23 @@ def test_salted_join_spreads_hot_key(spark):
     assert "__salt" not in out.columns
 
 
+def test_partitioned_layout_prunes_at_scan(spark, tmp_path):
+    """A filter on the partition column must prune directories at the
+    scan (PartitionFilters), reading only the matching partition."""
+    ev = load_tables(spark, SF_DIR, ["events"])["events"].withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    scale.write_partitioned(ev, path, ["day"])
+    got = scale.read_pruned(spark, path).filter(F.col("day") == "2024-01-02")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(day" in plan
+    # correctness: pruned read equals the filtered full read
+    want = ev.filter(F.col("day") == "2024-01-02").count()
+    assert got.count() == want and want > 0
+
+
 def test_processor_for_each_per_slice(spark):
     from spark_ij_spark.datamodel import image_to_np
     from spark_ij_spark.operators.images import create_empty_images, processor_for_each
