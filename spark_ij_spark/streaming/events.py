@@ -173,6 +173,105 @@ def dedup_events_stream(
     )
 
 
+HWM_OUTPUT_SCHEMA = "user_id long, event_id long, value double, prev_max double"
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class _HighWaterProcessor(StatefulProcessor):
+    """transformWithState processor: per-user running-max state; emits
+    a row whenever an event strictly exceeds the user's previous max.
+    Rows sort by (ts, event_id) inside each batch so replays are
+    deterministic."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        self._state = handle.getValueState(
+            "hwm", StructType([StructField("mx", DoubleType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        mx = self._state.get()[0] if self._state.exists() else None
+        out = []
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                if mx is None or v > mx:
+                    out.append(
+                        {
+                            "user_id": key[0],
+                            "event_id": eid,
+                            "value": v,
+                            "prev_max": mx,
+                        }
+                    )
+                    mx = float(v)
+        self._state.update((mx,))
+        if out:
+            yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def _hwm_fn(key, pdf_iter, state):
+    """applyInPandasWithState body shared-semantics twin of
+    _HighWaterProcessor."""
+    import pandas as pd
+
+    (mx,) = state.get if state.exists else (None,)
+    out = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            if mx is None or v > mx:
+                out.append(
+                    {"user_id": key[0], "event_id": eid, "value": v, "prev_max": mx}
+                )
+                mx = float(v)
+    state.update((mx,))
+    yield pd.DataFrame(
+        out, columns=["user_id", "event_id", "value", "prev_max"]
+    )
+
+
+def user_high_watermarks_v1(events: DataFrame) -> DataFrame:
+    """New-record detector via ``applyInPandasWithState`` (works with
+    the default state store): same semantics as
+    :func:`user_high_watermarks`, kept as the runnable twin in
+    containers lacking protobuf (which transformWithState's state
+    server protocol needs)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _hwm_fn,
+        HWM_OUTPUT_SCHEMA,
+        "mx double",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_high_watermarks(events: DataFrame) -> DataFrame:
+    """New-record detector via ``transformWithStateInPandas`` (the
+    Spark 4 arbitrary-state API; requires the RocksDB state store and
+    a protobuf install for the state-server protocol): emits (user,
+    event, value, prev_max) whenever a user's event value sets a new
+    personal record. Not expressible as a windowed aggregate — the
+    emitted rows depend on running state. State is one double per
+    user: flat at any event volume."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_HighWaterProcessor(),
+        outputStructType=HWM_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )
+
+
 def interval_join_purchase_click(
     events: DataFrame,
     lookback: str = "5 minutes",

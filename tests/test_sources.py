@@ -126,6 +126,72 @@ def test_load_images_driver_small_data_path(spark, tmp_path, parallel):
         assert r.image.log[0].optype == "LOAD"
 
 
+def test_load_images_malformed_modes(spark, tmp_path):
+    """Corrupt files: failfast raises, permissive nulls the image,
+    dropmalformed removes the row."""
+    imgs = create_empty_images(spark, "img", 2, width=3, height=2, value_fn=lambda i: 1.0)
+    out = str(tmp_path / "mixed")
+    save_images_local(imgs, out, suffix=".tif", path_col="sample")
+    with open(os.path.join(out, "broken.tif"), "wb") as fh:
+        fh.write(b"II*\x00 but not really")
+
+    with pytest.raises(Exception):
+        load_images(spark, out, pattern="*.tif").collect()
+
+    perm = load_images(spark, out, pattern="*.tif", mode="permissive").collect()
+    assert len(perm) == 3
+    null_rows = [r for r in perm if r.image.dtype is None]
+    assert len(null_rows) == 1 and null_rows[0].path.endswith("broken.tif")
+
+    kept = load_images(spark, out, pattern="*.tif", mode="dropmalformed").collect()
+    assert len(kept) == 2 and all(r.image.dtype is not None for r in kept)
+
+
+def test_imagej_stream_source_incremental_batches(spark, tmp_path):
+    """Directory-watch streaming read with a checkpointed file sink:
+    files present at start arrive in the first run; restarting from the
+    checkpoint after a new file lands decodes ONLY the new file (offset
+    = file-listing high-water mark)."""
+    register_image_source(spark)
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    cp = str(tmp_path / "cp")
+    imgs = create_empty_images(spark, "img", 2, width=3, height=2, value_fn=lambda i: 5.0)
+    save_images_local(imgs, str(land), suffix=".npy", path_col="sample")
+
+    def run_once():
+        q = (
+            spark.readStream.format("imagej")
+            .option("path", str(land))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 2
+
+    import numpy as np
+
+    from spark_ij_spark.sources.codecs import encode_array
+
+    with open(os.path.join(str(land), "late_arrival.npy"), "wb") as fh:
+        fh.write(encode_array(np.full((2, 3), 7.0, dtype=np.float32)))
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 3  # exactly one new row — earlier files not re-read
+    by_name = {os.path.basename(r.path): r for r in rows}
+    assert "late_arrival.npy" in by_name
+    arr = image_to_np(by_name["late_arrival.npy"].image)
+    assert arr.shape == (2, 3, 1) and float(arr.mean()) == 7.0
+
+
 def test_parquet_byte_sink_keeps_keys(spark, tmp_path):
     imgs = create_empty_images(spark, "img", 4, width=3, height=3, value_fn=lambda i: 2.0)
     out = str(tmp_path / "bytes.parquet")
