@@ -29,10 +29,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_ij_spark.operators.text import (
+    EN_STOPWORDS,
     SHINGLES_DUCK,
     SHINGLES_SPARK,
     TOKENS_DUCK,
     TOKENS_SPARK,
+    _in_list,
     hash60_duck,
     hash60_spark,
 )
@@ -172,14 +174,103 @@ GROUP BY train_doc, eval_doc
 """
 
 
+# Quality gate for the end-to-end corpus filter (test-SF scores span
+# 0.53-0.71; 0.62 keeps roughly the upper half — non-vacuous at the
+# oracle SFs).
+CLEAN_QUALITY_MIN = 0.62
+
+
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning — the composition query a training
+    pipeline actually runs, chaining the individual ops: keep a doc iff
+    it (1) is its exact-dup cluster representative (min doc_id per
+    content hash), (2) clears the quality gate, (3) is training-side,
+    and (4) shares no 3-gram with the benchmark (contamination check).
+    Per-language accounting of what survives.
+
+    Scale: (1) is a window over the content-hash shuffle, (2) is
+    map-only, (4) is the broadcast contamination join — nothing here
+    adds a new shuffle shape beyond the component ops."""
+    from pyspark.sql.window import Window
+
+    stop = _in_list(EN_STOPWORDS)
+    t = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKENS_SPARK))
+        .withColumn(
+            "quality_score",
+            F.expr(
+                "round(0.25 * least(size(toks) / 100.0, 1.0)"
+                f" + 0.25 * (1.0 - CAST(size(filter(toks, t -> t IN ({stop}))) AS DOUBLE) / size(toks))"
+                " + 0.25 * (CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks))"
+                " + 0.25 * least((CAST(length(text) - (size(toks) - 1) AS DOUBLE) / size(toks)) / 8.0, 1.0), 6)"
+            ),
+        )
+        .withColumn(
+            "rep", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+    )
+    contaminated = (
+        q_pipeline_contamination(spark, sf_dir).select("train_doc").distinct()
+    )
+    kept = (
+        t.filter(F.col("doc_id") == F.col("rep"))
+        .filter(F.col("quality_score") >= CLEAN_QUALITY_MIN)
+        .filter(F.expr(f"doc_id % {CONTAM_EVAL_MOD} != 0"))
+        .join(
+            contaminated.withColumnRenamed("train_doc", "doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.expr(
+            "round(CAST(SUM(CAST(quality_score AS DECIMAL(28,6))) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("avg_quality"),
+    )
+
+
+Q_PIPELINE_CLEAN_SQL = f"""
+WITH t AS (SELECT doc_id, lang, n_chars, text, {TOKENS_DUCK} AS toks FROM documents),
+q AS (
+  SELECT doc_id, lang, n_chars,
+         round(0.25 * least(len(toks) / 100.0, 1.0)
+             + 0.25 * (1.0 - CAST(len(list_filter(toks, t -> t IN ({_in_list(EN_STOPWORDS)}))) AS DOUBLE) / len(toks))
+             + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             + 0.25 * least((CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)) / 8.0, 1.0), 6) AS quality_score,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM t),
+post AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s
+         FROM (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents)),
+contam AS (
+  SELECT DISTINCT tr.doc_id AS train_doc
+  FROM (SELECT * FROM post WHERE doc_id % {CONTAM_EVAL_MOD} != 0) tr
+  JOIN (SELECT * FROM post WHERE doc_id % {CONTAM_EVAL_MOD} = 0) e USING (s)),
+kept AS (
+  SELECT * FROM q
+  WHERE doc_id = rep
+    AND quality_score >= {CLEAN_QUALITY_MIN}
+    AND doc_id % {CONTAM_EVAL_MOD} != 0
+    AND doc_id NOT IN (SELECT train_doc FROM contam))
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+       round(CAST(SUM(CAST(quality_score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+FROM kept GROUP BY lang
+"""
+
+
 QUERIES = {
     "pipeline_hash_split": q_pipeline_hash_split,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
     "pipeline_contamination": q_pipeline_contamination,
 }
 
 ORACLES = {
     "pipeline_hash_split": Q_PIPELINE_HASH_SPLIT_SQL,
+    "pipeline_clean_corpus": Q_PIPELINE_CLEAN_SQL,
     "pipeline_pack_sequences": Q_PIPELINE_PACK_SQL,
     "pipeline_contamination": Q_PIPELINE_CONTAM_SQL,
 }

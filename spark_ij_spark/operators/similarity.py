@@ -322,14 +322,53 @@ SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {IVF_TOP
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF path against the exact brute-force top-k —
+    the evaluation harness that keeps the approximate index honest
+    ("measure, don't guess"): per query, the fraction of its true
+    IVF_TOPK-prefix neighbors the IVF probes recovered. Exact integer
+    arithmetic (hits / k) so the oracle is hash-stable."""
+    brute = (
+        q_ann_topk(spark, sf_dir)
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("ia", "ib")
+    )
+    approx = q_ann_ivf(spark, sf_dir).select("ia", "ib", F.lit(1).alias("hit"))
+    return (
+        brute.join(approx, ["ia", "ib"], "left")
+        .groupBy("ia")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+            F.expr(
+                f"round(CAST(sum(coalesce(hit, 0)) AS DOUBLE) / {IVF_TOPK}, 6)"
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+Q_ANN_RECALL_SQL = f"""
+WITH brute AS (
+  SELECT ia, ib FROM ({Q_ANN_TOPK_SQL}) WHERE rank <= {IVF_TOPK}),
+approx AS (
+  SELECT ia, ib, 1 AS hit FROM ({Q_ANN_IVF_SQL}))
+SELECT brute.ia AS ia,
+       SUM(COALESCE(approx.hit, 0)) AS n_hits,
+       round(CAST(SUM(COALESCE(approx.hit, 0)) AS DOUBLE) / {IVF_TOPK}, 6) AS recall_at_k
+FROM brute LEFT JOIN approx ON brute.ia = approx.ia AND brute.ib = approx.ib
+GROUP BY brute.ia
+"""
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_recall": q_ann_recall,
 }
 
 ORACLES = {
     "ann_topk": Q_ANN_TOPK_SQL,
     "ann_lsh": Q_ANN_LSH_SQL,
     "ann_ivf": Q_ANN_IVF_SQL,
+    "ann_recall": Q_ANN_RECALL_SQL,
 }

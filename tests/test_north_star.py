@@ -28,6 +28,19 @@ def test_similarity_query_matches_oracle(spark, duck, name):
     )
 
 
+def test_ann_recall_bounds_and_coverage(spark, sf_dir):
+    """Recall@k is a valid fraction for every query, and the IVF index
+    recovers a majority of true neighbors on this data (it probes
+    nearby cells of a structured embedding space)."""
+    rows = similarity.q_ann_recall(spark, sf_dir).collect()
+    assert len(rows) == similarity.N_QUERIES
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_hits == round(r.recall_at_k * similarity.IVF_TOPK)
+    mean_recall = sum(r.recall_at_k for r in rows) / len(rows)
+    assert mean_recall >= 0.5, f"IVF recall collapsed: {mean_recall}"
+
+
 def test_jaccard_bounds_and_symmetric_canonical(spark, sf_dir):
     rows = dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
     assert rows, "threshold should surface the planted near-dup pairs"

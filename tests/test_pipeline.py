@@ -43,6 +43,17 @@ def test_pack_sequences_bins_respect_budget_shape(spark, sf_dir):
         assert all(r.n_docs > 0 for r in rs)
 
 
+def test_clean_corpus_strictly_filters(spark, duck, sf_dir):
+    """The composition filter keeps a non-trivial, strictly smaller
+    corpus, and the per-language counts never exceed the raw counts."""
+    kept = {r.lang: r.n_docs for r in pipeline.q_pipeline_clean_corpus(spark, sf_dir).collect()}
+    raw = dict(duck.execute("SELECT lang, COUNT(*) FROM documents GROUP BY lang").fetchall())
+    assert kept and all(n > 0 for n in kept.values())
+    assert sum(kept.values()) < sum(raw.values())
+    for lang, n in kept.items():
+        assert n <= raw[lang]
+
+
 def test_contamination_flags_only_cross_set_pairs(spark, sf_dir):
     rows = pipeline.q_pipeline_contamination(spark, sf_dir).collect()
     assert rows, "synthetic near-dup corpus should contaminate"
