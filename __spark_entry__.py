@@ -24,6 +24,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     from spark_ij_spark.operators import (
+        clustering,
         dedup,
         event_windows,
         image_queries,
@@ -41,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(event_windows.QUERIES)
     out.update(pipeline.QUERIES)
+    out.update(clustering.QUERIES)
     out.update(multimodal.QUERIES)
     return out
 
@@ -49,6 +51,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omit → rows-only check)."""
     out: dict[str, str] = {}
     from spark_ij_spark.operators import (
+        clustering,
         dedup,
         event_windows,
         image_queries,
@@ -66,5 +69,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLES)
     out.update(event_windows.ORACLES)
     out.update(pipeline.ORACLES)
+    out.update(clustering.ORACLES)
     out.update(multimodal.ORACLES)
     return out

@@ -1,0 +1,171 @@
+"""Distributed k-means over the ``embeddings`` table.
+
+The iterative-ML shape on DataFrames (the clustering sibling of the
+connected-components loop in ``dedup.py``): T fixed Lloyd iterations,
+each = one map-only assignment pass (centroids compiled into the
+expression as literals — K×dim model state on the driver, the MLlib
+pattern) + one aggregation update shuffling only the tiny
+(cluster, dim) key. At 100 TB the data never moves between
+iterations; only O(K×dim) model state does.
+
+Cross-engine determinism (the whole point of an oracle-checked ML op):
+
+- Vectors are int64-quantized (×1e6) — every centroid update is a sum
+  of INTEGERS (exact, order-independent, < 2^53) divided once by the
+  member count, so Spark and DuckDB compute bit-identical centroids
+  no matter how partial aggregation orders the sum.
+- Assignment score = -2·(x·c) + |c|²: the dot products run as
+  sequential folds (Spark ``aggregate(zip_with(...))`` ≡ DuckDB
+  ``list_dot_product``, verified bit-identical elsewhere in this
+  repo), and the argmin tie-breaks on centroid id via lexicographic
+  struct-min / (score, cid) ordering.
+- Seeds = the first K vectors, iterations fixed at T — no RNG, no
+  convergence test, so replay is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ij_spark.operators.dedup import EMBED_QUANT, quantized_embeddings
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, x): quantized embedding as an int-valued double array."""
+    return quantized_embeddings(spark, sf_dir).select(
+        "vec_id", F.expr("transform(qv, v -> CAST(v AS DOUBLE))").alias("x")
+    )
+
+
+def _best_cluster_expr(cents: list[tuple[int, list[float]]]):
+    """Column: argmin-over-centroids with literal centroid arrays
+    compiled into the expression (F.lit doubles — NOT SQL text, where a
+    decimal-point literal would parse as DECIMAL and poison the
+    arithmetic). Scoring runs in whole-stage codegen — a map-only pass
+    over the data; `least` over (score, cid) structs is the
+    lexicographic argmin with the cid tie-break."""
+    candidates = []
+    for cid, c in cents:
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        # Python's left-to-right sum matches the engines' sequential
+        # folds, so this |c|^2 is the same double either would compute.
+        cnorm = 0.0
+        for v in c:
+            cnorm += float(v) * float(v)
+        dot = F.aggregate(
+            F.zip_with(F.col("x"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        score = dot * F.lit(-2.0) + F.lit(cnorm)
+        candidates.append(F.struct(score.alias("score"), F.lit(cid).alias("cid")))
+    return F.least(*candidates).getField("cid")
+
+
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster assignment after KMEANS_ITERS Lloyd iterations
+    (seeds = vec_id < K). Returns every vector's final cluster plus the
+    per-cluster size.
+
+    Model state (K×dim doubles, ~4 KB) lives on the driver between
+    iterations — the standard distributed-k-means shape (MLlib does the
+    same): collecting O(model) per round is not a driver-side data
+    loop, and it buys a map-only assignment pass (literal centroids in
+    codegen, no join at all) plus one tiny (cluster, dim) shuffle for
+    the update. Data never leaves the executors."""
+    points = _points(spark, sf_dir).cache()
+    cents = [
+        (int(r.vec_id), [float(v) for v in r.x])
+        for r in points.filter(F.col("vec_id") < KMEANS_K).collect()
+    ]
+    cents.sort()
+    for _ in range(KMEANS_ITERS):
+        assigned = points.select(
+            "vec_id", "x", _best_cluster_expr(cents).alias("cluster")
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("x").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.expr(
+                    "CAST(SUM(CAST(v AS BIGINT)) AS DOUBLE) / COUNT(*)"
+                ).alias("m")
+            )
+            .collect()
+        )
+        upd: dict[int, dict[int, float]] = {}
+        for r in means:
+            upd.setdefault(int(r.cluster), {})[int(r.pos)] = float(r.m)
+        cents = [
+            (
+                cid,
+                [upd[cid][p] for p in range(len(c))] if cid in upd else c,
+            )
+            for cid, c in cents
+        ]
+    final = points.select(
+        "vec_id", _best_cluster_expr(cents).alias("cluster")
+    )
+    sizes = final.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return final.join(sizes, "cluster").select("vec_id", "cluster", "n_members")
+
+
+def _duck_kmeans_sql() -> str:
+    dot = "list_dot_product({a}, {b})"
+    ctes = [
+        f"""q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(CAST(round(CAST(v AS DOUBLE) * {EMBED_QUANT}) AS BIGINT) AS DOUBLE)) AS x
+  FROM embeddings)""",
+        f"""c0 AS (
+  SELECT vec_id AS cid, x AS c, {dot.format(a='x', b='x')} AS cnorm
+  FROM q WHERE vec_id < {KMEANS_K})""",
+    ]
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY -2 * {dot.format(a='q.x', b='c.c')} + c.cnorm, c.cid) AS rn
+    FROM q CROSS JOIN {prev} c)
+  WHERE rn = 1)""")
+        ctes.append(f"""m{i} AS (
+  SELECT cluster AS cid, pos,
+         CAST(SUM(CAST(v AS BIGINT)) AS DOUBLE) / COUNT(*) AS m
+  FROM (SELECT a{i}.cluster, unnest(q.x) AS v, generate_subscripts(q.x, 1) AS pos
+        FROM a{i} JOIN q USING (vec_id))
+  GROUP BY cluster, pos)""")
+        ctes.append(f"""u{i} AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM m{i} GROUP BY cid)""")
+        ctes.append(f"""c{i} AS (
+  SELECT p.cid, COALESCE(u.c, p.c) AS c,
+         {dot.format(a='COALESCE(u.c, p.c)', b='COALESCE(u.c, p.c)')} AS cnorm
+  FROM {prev} p LEFT JOIN u{i} u USING (cid))""")
+        prev = f"c{i}"
+    final = f"""af AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY -2 * {dot.format(a='q.x', b='c.c')} + c.cnorm, c.cid) AS rn
+    FROM q CROSS JOIN {prev} c)
+  WHERE rn = 1),
+sizes AS (SELECT cluster, COUNT(*) AS n_members FROM af GROUP BY cluster)"""
+    ctes.append(final)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT af.vec_id, af.cluster, sizes.n_members"
+        + "\nFROM af JOIN sizes USING (cluster)"
+    )
+
+
+Q_EMBED_KMEANS_SQL = _duck_kmeans_sql()
+
+QUERIES = {"embed_kmeans": q_embed_kmeans}
+ORACLES = {"embed_kmeans": Q_EMBED_KMEANS_SQL}

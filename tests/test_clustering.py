@@ -1,0 +1,62 @@
+"""K-means over embeddings: oracle match + clustering invariants."""
+
+from __future__ import annotations
+
+from spark_ij_spark.operators import clustering
+
+from .conftest import assert_oracle_match
+
+
+def test_kmeans_matches_oracle(spark, duck):
+    assert_oracle_match(
+        spark,
+        duck,
+        clustering.QUERIES["embed_kmeans"],
+        clustering.ORACLES["embed_kmeans"],
+    )
+
+
+def test_kmeans_partitions_all_vectors(spark, sf_dir, duck):
+    rows = clustering.q_embed_kmeans(spark, sf_dir).collect()
+    total = duck.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert len(rows) == total  # every vector assigned exactly once
+    clusters = {r.cluster for r in rows}
+    assert clusters <= set(range(clustering.KMEANS_K))
+    assert len(clusters) > 1, "clustering collapsed to one cell"
+    # n_members column is consistent with the actual partition
+    from collections import Counter
+
+    sizes = Counter(r.cluster for r in rows)
+    for r in rows:
+        assert r.n_members == sizes[r.cluster]
+
+
+def test_kmeans_improves_on_initial_assignment(spark, sf_dir):
+    """Lloyd iterations must not worsen the clustering: final
+    within-cluster dispersion <= the seed-centroid assignment's (both
+    computed with the same integer-exact arithmetic)."""
+    import numpy as np
+
+    pts = {
+        int(r.vec_id): np.array(r.x)
+        for r in clustering._points(spark, sf_dir).collect()
+    }
+    seeds = [(cid, list(pts[cid])) for cid in range(clustering.KMEANS_K)]
+
+    def cost(cents):
+        carr = {cid: np.array(c) for cid, c in cents}
+        tot = 0.0
+        for x in pts.values():
+            tot += min(float(((x - c) ** 2).sum()) for c in carr.values())
+        return tot
+
+    final_assign = {
+        int(r.vec_id): int(r.cluster)
+        for r in clustering.q_embed_kmeans(spark, sf_dir).collect()
+    }
+    # reconstruct final centroids from the final assignment
+    by_c: dict[int, list] = {}
+    for vid, cl in final_assign.items():
+        by_c.setdefault(cl, []).append(pts[vid])
+    final_cents = [(cl, list(np.mean(np.stack(v), axis=0))) for cl, v in by_c.items()]
+    assert cost(final_cents) <= cost(seeds)

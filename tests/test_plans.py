@@ -95,6 +95,15 @@ def test_pipeline_split_and_pack_stay_jvm_side(spark):
         assert "EvalPython" not in plan, f"{q.__name__} fell off the JVM path"
 
 
+def test_clean_corpus_composition_stays_jvm_side(spark):
+    """The end-to-end filter composes window + broadcast joins — no
+    Python, no nested-loop joins sneak in through the composition."""
+    plan = _plan(pipeline.q_pipeline_clean_corpus(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_exact_dedup_partial_aggregation(spark):
     plan = _plan(dedup.q_dedup_exact(spark, SF_DIR))
     # map-side combine: two HashAggregates around one shuffle on the hash key
