@@ -56,14 +56,25 @@ MEDIA_SCHEMA = StructType(
 )
 
 NPY_MIME = "application/x-npy"
+#: mimes with a real in-container decoder (pure-stdlib codecs)
+NATIVE_MIMES = (NPY_MIME, "image/png", "image/tiff", "application/dicom")
 #: mimes whose decoders require absent libraries → stubbed
-STUBBED_MIMES = ("image/jpeg", "image/png", "audio/wav", "video/mp4")
+STUBBED_MIMES = ("image/jpeg", "audio/wav", "video/mp4")
+
+_MIME_SUFFIX = {"image/png": ".png", "image/tiff": ".tif", "application/dicom": ".dcm"}
 
 
 def decode_media_bytes(data: bytes, mime: str) -> np.ndarray:
-    """Decode one media payload to ndarray [h][w][frames]."""
+    """Decode one media payload to ndarray [h][w][frames]. PNG/TIFF/
+    DICOM decode via the pure-stdlib codecs (a multi-page TIFF's pages
+    land on the frame axis); jpeg/audio/video need libraries absent
+    from this container and stay clearly-marked stubs."""
     if mime == NPY_MIME:
         return np.load(io.BytesIO(bytes(data)), allow_pickle=False)
+    if mime in _MIME_SUFFIX:
+        from spark_ij_spark.sources.codecs import decode_bytes
+
+        return decode_bytes(bytes(data), f"payload{_MIME_SUFFIX[mime]}")
     if mime in STUBBED_MIMES:
         raise NotImplementedError(
             f"decoder for {mime!r} requires a codec library not present in "

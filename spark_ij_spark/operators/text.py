@@ -331,7 +331,105 @@ FROM s
 """
 
 
+# --- BM25 ranked retrieval --------------------------------------------
+
+BM25_QUERY_TERMS = ("table", "hash", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 20
+
+
+def _bm25_score_sql(tf_fn, df_fn) -> str:
+    """Shared Spark/DuckDB scoring text: Σ_t idf(t) · saturated-tf(t).
+    Fixed textual term order keeps the float sum order identical in
+    both engines; `ln` cross-engine agreement is already proven by the
+    surprisal oracle."""
+    parts = []
+    for term in BM25_QUERY_TERMS:
+        tf, dfc = tf_fn(term), df_fn(term)
+        idf = f"ln(1.0 + (n_docs - {dfc} + 0.5) / ({dfc} + 0.5))"
+        sat = (
+            f"({tf} * {BM25_K1 + 1.0})"
+            f" / ({tf} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        )
+        parts.append(f"{idf} * {sat}")
+    return " + ".join(parts)
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query over the corpus — the
+    search-scoring op of the text family, entirely in Catalyst: one
+    corpus-stats aggregate (broadcast as a 1-row frame) + a map-only
+    scoring scan + a top-N sort. Ranking orders by the ROUNDED score
+    (identical in both engines) with a doc_id tie-break, so the top-N
+    is hash-stable."""
+    t = _docs(spark, sf_dir).withColumn("toks", F.expr(TOKENS_SPARK))
+
+    def tf(term: str) -> str:
+        return f"size(filter(toks, x -> x = '{term}'))"
+
+    stats_aggs = [
+        F.expr("COUNT(*)").alias("n_docs"),
+        F.expr(
+            "CAST(SUM(CAST(size(toks) AS BIGINT)) AS DOUBLE) / COUNT(*)"
+        ).alias("avgdl"),
+    ] + [
+        F.expr(f"SUM(CASE WHEN {tf(term)} > 0 THEN 1 ELSE 0 END)").alias(
+            f"df_{term}"
+        )
+        for term in BM25_QUERY_TERMS
+    ]
+    stats = t.agg(*stats_aggs)
+    scored = (
+        t.crossJoin(F.broadcast(stats))
+        .withColumn("dl", F.expr("CAST(size(toks) AS DOUBLE)"))
+        .withColumn(
+            "bm25",
+            F.expr(
+                f"round({_bm25_score_sql(tf, lambda term: f'df_{term}')}, 6)"
+            ),
+        )
+        .filter(F.col("bm25") > 0)
+    )
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPN)
+        .select("doc_id", "bm25")
+    )
+
+
+def _bm25_duck() -> str:
+    def tf(term: str) -> str:
+        return f"len(list_filter(toks, x -> x = '{term}'))"
+
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN {tf(term)} > 0 THEN 1 ELSE 0 END) AS df_{term}"
+        for term in BM25_QUERY_TERMS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl,
+         {df_cols}
+  FROM t),
+scored AS (
+  SELECT doc_id,
+         round({_bm25_score_sql(tf, lambda term: f'df_{term}')}, 6) AS bm25
+  FROM (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t)
+  CROSS JOIN stats)
+SELECT doc_id, bm25 FROM scored
+WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOPN}
+"""
+
+
+Q_TEXT_BM25_SQL = _bm25_duck()
+
+
 QUERIES = {
+    "text_bm25": q_text_bm25,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_tokens": q_text_tokens,
@@ -341,6 +439,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bm25": Q_TEXT_BM25_SQL,
     "text_quality": Q_TEXT_QUALITY_SQL,
     "text_lang_id": Q_TEXT_LANG_ID_SQL,
     "text_tokens": Q_TEXT_TOKENS_SQL,

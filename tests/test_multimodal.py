@@ -69,3 +69,23 @@ def test_stubbed_mime_raises_not_implemented():
         mm.decode_media_bytes(b"xx", "image/jpeg")
     with pytest.raises(ValueError):
         mm.decode_media_bytes(b"xx", "application/unknown")
+
+
+def test_native_mime_decoders_are_real():
+    """PNG / multi-page TIFF / DICOM media payloads decode via the
+    pure-stdlib codecs — multi-page TIFF lands on the frame axis."""
+    import numpy as np
+
+    from spark_ij_spark.sources import purepy_codecs as pp
+
+    png = pp.encode_png(np.arange(12, dtype=np.uint8).reshape(3, 4))
+    assert mm.decode_media_bytes(png, "image/png").shape == (3, 4, 1)
+
+    stack = np.arange(24, dtype=np.uint16).reshape(3, 4, 2)
+    tif = pp.encode_tiff(stack)
+    out = mm.decode_media_bytes(tif, "image/tiff")
+    assert out.shape == (3, 4, 2)  # pages → frames
+    np.testing.assert_array_equal(out, stack)
+
+    dcm = pp.encode_dicom((np.arange(12, dtype=np.int16) - 6).reshape(3, 4))
+    assert mm.decode_media_bytes(dcm, "application/dicom").shape == (3, 4, 1)

@@ -28,6 +28,22 @@ def test_similarity_query_matches_oracle(spark, duck, name):
     )
 
 
+def test_bm25_ranks_term_bearing_docs(spark, duck, sf_dir):
+    """Every returned doc contains ≥1 query term; scores are positive
+    and non-increasing in rank order."""
+    rows = text.q_text_bm25(spark, sf_dir).collect()
+    assert 0 < len(rows) <= text.BM25_TOPN
+    scores = [r.bm25 for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    ids = ", ".join(str(r.doc_id) for r in rows)
+    n_without = duck.execute(
+        f"""SELECT COUNT(*) FROM documents WHERE doc_id IN ({ids})
+            AND NOT ({' OR '.join(f"list_contains(string_split(text, ' '), '{t}')" for t in text.BM25_QUERY_TERMS)})"""
+    ).fetchone()[0]
+    assert n_without == 0
+
+
 def test_ann_recall_bounds_and_coverage(spark, sf_dir):
     """Recall@k is a valid fraction for every query, and the IVF index
     recovers a majority of true neighbors on this data (it probes
