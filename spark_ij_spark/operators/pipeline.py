@@ -174,6 +174,56 @@ GROUP BY train_doc, eval_doc
 """
 
 
+# Training-mix sampling rates per source (percent of docs kept). A
+# pretraining mix up/down-weights sources; rates are applied by hash
+# threshold so the SAME docs are kept on every engine, run, and
+# machine — reproducible mixes, no RNG.
+SOURCE_MIX_PCT: dict[str, int] = {"src0": 100, "src1": 50, "src2": 25}
+SOURCE_MIX_DEFAULT_PCT = 10
+
+
+def q_pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling by source: doc kept iff
+    hash60(doc_id) mod 100 < rate(source). Map-only + one tiny groupBy;
+    at 100 TB this is a single scan that keeps its partitioning.
+    Reports per-source kept/total so the realized mix is auditable."""
+    bucket = f"({hash60_spark('CAST(doc_id AS STRING)')}) % 100"
+    rate = "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in SOURCE_MIX_PCT.items()
+    ) + f" ELSE {SOURCE_MIX_DEFAULT_PCT} END"
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            "n_chars",
+            F.expr(f"CASE WHEN {bucket} < {rate} THEN 1 ELSE 0 END").alias("keep"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("keep").alias("n_kept"),
+            F.sum(F.expr("CASE WHEN keep = 1 THEN n_chars ELSE 0 END")).alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
+_RATE_DUCK = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {p}" for s, p in SOURCE_MIX_PCT.items()
+) + f" ELSE {SOURCE_MIX_DEFAULT_PCT} END"
+
+Q_PIPELINE_SOURCE_MIX_SQL = f"""
+WITH k AS (
+  SELECT source, n_chars,
+         CASE WHEN ({_BUCKET_DUCK}) < ({_RATE_DUCK}) THEN 1 ELSE 0 END AS keep
+  FROM documents)
+SELECT source, COUNT(*) AS n_total, SUM(keep) AS n_kept,
+       SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS kept_chars
+FROM k GROUP BY source
+"""
+
+
 # Quality gate for the end-to-end corpus filter (test-SF scores span
 # 0.53-0.71; 0.62 keeps roughly the upper half — non-vacuous at the
 # oracle SFs).
@@ -263,6 +313,7 @@ FROM kept GROUP BY lang
 
 QUERIES = {
     "pipeline_hash_split": q_pipeline_hash_split,
+    "pipeline_source_mix": q_pipeline_source_mix,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
     "pipeline_contamination": q_pipeline_contamination,
@@ -270,6 +321,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_hash_split": Q_PIPELINE_HASH_SPLIT_SQL,
+    "pipeline_source_mix": Q_PIPELINE_SOURCE_MIX_SQL,
     "pipeline_clean_corpus": Q_PIPELINE_CLEAN_SQL,
     "pipeline_pack_sequences": Q_PIPELINE_PACK_SQL,
     "pipeline_contamination": Q_PIPELINE_CONTAM_SQL,

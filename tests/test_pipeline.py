@@ -43,6 +43,23 @@ def test_pack_sequences_bins_respect_budget_shape(spark, sf_dir):
         assert all(r.n_docs > 0 for r in rs)
 
 
+def test_source_mix_rates_are_applied(spark, sf_dir):
+    """Per-source kept fraction tracks the configured rate (hash
+    sampling noise bounded at small N), and 100%-rate sources keep
+    everything."""
+    rows = {r.source: r for r in pipeline.q_pipeline_source_mix(spark, sf_dir).collect()}
+    for src, r in rows.items():
+        pct = pipeline.SOURCE_MIX_PCT.get(src, pipeline.SOURCE_MIX_DEFAULT_PCT)
+        assert 0 <= r.n_kept <= r.n_total
+        if pct == 100:
+            assert r.n_kept == r.n_total
+        else:
+            assert abs(r.n_kept / r.n_total - pct / 100.0) < 0.35
+    # determinism
+    again = {r.source: r.n_kept for r in pipeline.q_pipeline_source_mix(spark, sf_dir).collect()}
+    assert again == {s: r.n_kept for s, r in rows.items()}
+
+
 def test_clean_corpus_strictly_filters(spark, duck, sf_dir):
     """The composition filter keeps a non-trivial, strictly smaller
     corpus, and the per-language counts never exceed the raw counts."""
