@@ -98,40 +98,56 @@ FROM s GROUP BY split
 # --- sequence packing --------------------------------------------------
 
 
+# Documents per packing shard. Packing runs per (lang, shard) so the
+# window never sorts more than PACK_SHARD_DOCS rows in one partition —
+# a whole-language window is a single-reducer straggler at corpus
+# scale, and real pipelines pack within output shards anyway (bins
+# reset at shard boundaries; the ≤1 partially-filled bin per shard is
+# the accepted cost).
+PACK_SHARD_DOCS = 1000
+
+
 def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack each language stream into fixed-token-budget bins: running
-    cumsum of whitespace-token counts in doc_id order, bin = exclusive
-    cumsum DIV budget. Contiguous fill is the streaming-pack shape a
-    distributed pipeline actually uses (first-fit bin packing needs
-    global mutable state); a doc larger than the budget still gets its
-    own bin(s). Per (lang, bin): docs packed and tokens filled."""
+    """Pack each (language, shard) stream into fixed-token-budget bins:
+    running cumsum of whitespace-token counts in doc_id order, bin =
+    exclusive cumsum DIV budget. Contiguous fill is the streaming-pack
+    shape a distributed pipeline actually uses (first-fit bin packing
+    needs global mutable state); a doc larger than the budget still
+    gets its own bin(s). Sharding bounds the per-partition sort (see
+    PACK_SHARD_DOCS). Per (lang, shard, bin): docs packed and tokens
+    filled."""
     t = _docs(spark, sf_dir).select(
-        "doc_id", "lang", F.expr(f"size({TOKENS_SPARK})").alias("n_tok")
+        "doc_id",
+        "lang",
+        F.expr(f"doc_id DIV {PACK_SHARD_DOCS}").alias("shard"),
+        F.expr(f"size({TOKENS_SPARK})").alias("n_tok"),
     )
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     binned = t.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
         "seq_bin", F.expr(f"(cum - n_tok) DIV {PACK_TOKEN_BUDGET}")
     )
-    return binned.groupBy("lang", "seq_bin").agg(
+    return binned.groupBy("lang", "shard", "seq_bin").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tokens")
     )
 
 
 Q_PIPELINE_PACK_SQL = f"""
 WITH t AS (
-  SELECT doc_id, lang, len({TOKENS_DUCK}) AS n_tok FROM documents),
+  SELECT doc_id, lang, doc_id // {PACK_SHARD_DOCS} AS shard,
+         len({TOKENS_DUCK}) AS n_tok
+  FROM documents),
 c AS (
-  SELECT lang, n_tok,
-         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+  SELECT lang, shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
                           ROWS UNBOUNDED PRECEDING) AS cum
   FROM t)
-SELECT lang, (cum - n_tok) // {PACK_TOKEN_BUDGET} AS seq_bin,
+SELECT lang, shard, (cum - n_tok) // {PACK_TOKEN_BUDGET} AS seq_bin,
        COUNT(*) AS n_docs, SUM(n_tok) AS sum_tokens
-FROM c GROUP BY lang, seq_bin
+FROM c GROUP BY lang, shard, seq_bin
 """
 
 

@@ -171,6 +171,48 @@ def test_pnm_comment_header():
     )
 
 
+# --- property round-trips ----------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arrays(
+        dtype=st.sampled_from([np.uint8, np.uint16]),
+        shape=st.tuples(st.integers(1, 12), st.integers(1, 12)),
+    )
+)
+def test_png_gray_roundtrip_property(arr):
+    np.testing.assert_array_equal(pp.decode_png(pp.encode_png(arr)), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arrays(
+        dtype=st.sampled_from([np.uint8, np.uint16, np.int16]),
+        shape=st.tuples(st.integers(1, 10), st.integers(1, 10), st.integers(1, 4)),
+    )
+)
+def test_tiff_stack_roundtrip_property(arr):
+    back = pp.decode_tiff(pp.encode_tiff(arr))
+    np.testing.assert_array_equal(back, arr if arr.shape[2] > 1 else arr[:, :, 0])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arrays(
+        dtype=st.sampled_from([np.float32]),
+        shape=st.tuples(st.integers(1, 8), st.integers(1, 8)),
+        elements=st.floats(-1e6, 1e6, width=32),
+    )
+)
+def test_tiff_float_roundtrip_property(arr):
+    np.testing.assert_array_equal(pp.decode_tiff(pp.encode_tiff(arr)), arr)
+
+
 # --- DICOM -------------------------------------------------------------
 
 

@@ -30,16 +30,16 @@ def test_hash_split_is_deterministic_and_near_80_10_10(spark, sf_dir):
 
 def test_pack_sequences_bins_respect_budget_shape(spark, sf_dir):
     """Contiguous fill: every bin except a stream's last starts because
-    the previous bin crossed the budget, so each (lang) stream's bin
-    ids are dense 0..max with no gaps."""
+    the previous bin crossed the budget, so each (lang, shard) stream's
+    bin ids are dense 0..max with no gaps."""
     rows = pipeline.q_pipeline_pack_sequences(spark, sf_dir).collect()
     assert rows
-    by_lang: dict[str, list] = {}
+    by_stream: dict[tuple, list] = {}
     for r in rows:
-        by_lang.setdefault(r.lang, []).append(r)
-    for lang, rs in by_lang.items():
+        by_stream.setdefault((r.lang, r.shard), []).append(r)
+    for key, rs in by_stream.items():
         bins = sorted(r.seq_bin for r in rs)
-        assert bins == list(range(len(bins))), f"{lang}: bins not dense {bins[:5]}"
+        assert bins == list(range(len(bins))), f"{key}: bins not dense {bins[:5]}"
         assert all(r.n_docs > 0 for r in rs)
 
 
