@@ -263,8 +263,48 @@ GROUP BY a.event_id
 """
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week;
+    for each (cohort, weeks-since-cohort) the count of cohort members
+    still active. Two shuffles — the distinct on (user, week) and the
+    final (cohort, week_index) count — both key-partitioned with
+    map-side partial aggregation; the first-week lookup is a per-user
+    min, not a self-join. Monday-start week truncation matches DuckDB's
+    date_trunc('week')."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.expr("CAST(date_trunc('week', ts) AS DATE)").alias("week")
+    )
+    ua = ev.distinct()
+    first = ua.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ua.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr("datediff(week, cohort_week) DIV 7").alias("week_index"),
+        )
+        .groupBy("cohort_week", "week_index")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+Q_EVENTS_RETENTION_SQL = """
+WITH ua AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events),
+first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM ua GROUP BY user_id)
+SELECT first.cohort_week,
+       date_diff('day', first.cohort_week, ua.week) // 7 AS week_index,
+       COUNT(DISTINCT ua.user_id) AS n_active
+FROM ua JOIN first USING (user_id)
+GROUP BY first.cohort_week, week_index
+"""
+
+
 QUERIES = {
     "events_sliding": q_events_sliding,
+    "events_retention": q_events_retention,
     "events_quantiles": q_events_quantiles,
     "events_session": q_events_session,
     "events_running_totals": q_events_running_totals,
@@ -274,6 +314,7 @@ QUERIES = {
 
 ORACLES = {
     "events_sliding": Q_EVENTS_SLIDING_SQL,
+    "events_retention": Q_EVENTS_RETENTION_SQL,
     "events_quantiles": Q_EVENTS_QUANTILES_SQL,
     "events_session": Q_EVENTS_SESSION_SQL,
     "events_running_totals": Q_EVENTS_RUNNING_TOTALS_SQL,
