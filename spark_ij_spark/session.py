@@ -69,6 +69,11 @@ def load_tables(
     plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown and
     column pruning at the scan.
     """
+    # The caller may hand us any session (the driver harness builds its
+    # own without get_spark()'s builder confs). Timestamp columns hash
+    # against naive DuckDB timestamps, so pin UTC at runtime too — a
+    # no-op on a UTC host, a correctness guard anywhere else.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for name in names or TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
