@@ -352,7 +352,7 @@ WITH brute AS (
 approx AS (
   SELECT ia, ib, 1 AS hit FROM ({Q_ANN_IVF_SQL}))
 SELECT brute.ia AS ia,
-       SUM(COALESCE(approx.hit, 0)) AS n_hits,
+       CAST(SUM(COALESCE(approx.hit, 0)) AS BIGINT) AS n_hits,
        round(CAST(SUM(COALESCE(approx.hit, 0)) AS DOUBLE) / {IVF_TOPK}, 6) AS recall_at_k
 FROM brute LEFT JOIN approx ON brute.ia = approx.ia AND brute.ib = approx.ib
 GROUP BY brute.ia
