@@ -175,8 +175,17 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             "value",
-            "last_click_ts",
-            "last_click_value",
+            # No-prior-click rows coalesce to fixed sentinels: NULL
+            # doubles/timestamps round-trip as NaN/NaT through pandas
+            # (the driver's DuckDB fetch path) but as None from Spark,
+            # and that rendering split is hash-unstable across pandas
+            # versions. Sentinels render identically everywhere.
+            F.expr(
+                "coalesce(last_click_ts, TIMESTAMP '1970-01-01 00:00:00')"
+            ).alias("last_click_ts"),
+            F.expr("coalesce(last_click_value, CAST(-1.0 AS DOUBLE))").alias(
+                "last_click_value"
+            ),
         )
     )
 
@@ -191,7 +200,9 @@ WITH j AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-SELECT event_id, user_id, ts, value, last_click_ts, last_click_value
+SELECT event_id, user_id, ts, value,
+       coalesce(last_click_ts, TIMESTAMP '1970-01-01 00:00:00') AS last_click_ts,
+       coalesce(last_click_value, CAST(-1.0 AS DOUBLE)) AS last_click_value
 FROM j WHERE event_type = 'purchase'
 """
 
@@ -285,6 +296,10 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_week", "week_index")
         .agg(F.countDistinct("user_id").alias("n_active"))
+        # DATE renders as midnight-datetime through pandas (the
+        # driver's DuckDB fetch path) but as a bare date from Spark;
+        # string it on both sides so the hash is renderer-independent.
+        .withColumn("cohort_week", F.col("cohort_week").cast("string"))
     )
 
 
@@ -294,7 +309,7 @@ WITH ua AS (
   FROM events),
 first AS (
   SELECT user_id, MIN(week) AS cohort_week FROM ua GROUP BY user_id)
-SELECT first.cohort_week,
+SELECT CAST(first.cohort_week AS VARCHAR) AS cohort_week,
        date_diff('day', first.cohort_week, ua.week) // 7 AS week_index,
        COUNT(DISTINCT ua.user_id) AS n_active
 FROM ua JOIN first USING (user_id)

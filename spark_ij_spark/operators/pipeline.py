@@ -89,7 +89,8 @@ WITH s AS (
               WHEN {_BUCKET_DUCK} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
               ELSE 'test' END AS split
   FROM documents)
-SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
 FROM s GROUP BY split
 """
@@ -145,8 +146,9 @@ c AS (
          SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
                           ROWS UNBOUNDED PRECEDING) AS cum
   FROM t)
-SELECT lang, shard, (cum - n_tok) // {PACK_TOKEN_BUDGET} AS seq_bin,
-       COUNT(*) AS n_docs, SUM(n_tok) AS sum_tokens
+SELECT lang, shard,
+       CAST((cum - n_tok) // {PACK_TOKEN_BUDGET} AS BIGINT) AS seq_bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
 FROM c GROUP BY lang, shard, seq_bin
 """
 
@@ -234,8 +236,9 @@ WITH k AS (
   SELECT source, n_chars,
          CASE WHEN ({_BUCKET_DUCK}) < ({_RATE_DUCK}) THEN 1 ELSE 0 END AS keep
   FROM documents)
-SELECT source, COUNT(*) AS n_total, SUM(keep) AS n_kept,
-       SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS kept_chars
+SELECT source, COUNT(*) AS n_total,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
 FROM k GROUP BY source
 """
 
@@ -321,7 +324,8 @@ kept AS (
     AND quality_score >= {CLEAN_QUALITY_MIN}
     AND doc_id % {CONTAM_EVAL_MOD} != 0
     AND doc_id NOT IN (SELECT train_doc FROM contam))
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        round(CAST(SUM(CAST(quality_score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
 FROM kept GROUP BY lang
 """

@@ -82,16 +82,31 @@ def load_tables(
                 # The caller may hand us any SparkSession (the driver
                 # harness builds its own, without get_spark()'s builder
                 # confs). nanosAsLong is runtime-settable, so apply it
-                # here too — reading TIMESTAMP(NANOS) fails otherwise.
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                # here too; Spark 4.1+ reads TIMESTAMP(NANOS) natively
+                # (as timestamp_ntz, truncated to micros) and ignores it.
+                try:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                except Exception:
+                    pass
             df = spark.read.parquet(path)
             if name == "events":
-                # ts is TIMESTAMP(NANOS) in parquet, surfaced as long via
-                # nanosAsLong; truncate to micros exactly like DuckDB does.
-                # integer DIV, not FLOOR(ts/1000): bigint/1000 is double
-                # division in Spark SQL and its rounding can bump the
-                # microsecond by 1 vs DuckDB's truncating ns→µs cast.
-                df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+                ts_type = dict(df.dtypes)["ts"]
+                if ts_type == "bigint":
+                    # ts surfaced as nanos-long via nanosAsLong (Spark
+                    # <4.1); truncate to micros exactly like DuckDB does.
+                    # integer DIV, not FLOOR(ts/1000): bigint/1000 is
+                    # double division in Spark SQL and its rounding can
+                    # bump the microsecond by 1 vs DuckDB's ns→µs cast.
+                    df = df.withColumn(
+                        "ts", F.expr("timestamp_micros(ts DIV 1000)")
+                    )
+                else:
+                    # Spark 4.1+ surfaces TIMESTAMP(NANOS) as
+                    # timestamp_ntz already truncated to micros (matches
+                    # DuckDB's truncating cast). Cast to session-tz
+                    # timestamp (UTC, pinned above) so the output schema
+                    # is identical across Spark versions.
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             out[name] = df
     return out
 

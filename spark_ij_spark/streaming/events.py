@@ -31,18 +31,21 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Raw parquet schema: ts is TIMESTAMP(NANOS) surfaced as long via
-# spark.sql.legacy.parquet.nanosAsLong (set in session.get_spark).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# Raw parquet schema: ts is TIMESTAMP(NANOS). On Spark <4.1 it
+# surfaces as long (nanos) via spark.sql.legacy.parquet.nanosAsLong;
+# Spark 4.1+ reads it natively as timestamp_ntz (micros-truncated) and
+# ignores the legacy conf — _raw_ts_type() probes which world we're in.
+def _events_raw_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 DEFAULT_WATERMARK = "2 hours"
 
@@ -58,15 +61,28 @@ def read_events_stream(
     ``max_files_per_trigger=1`` replays multi-file directories one
     micro-batch per file — arrival order for watermark tests."""
     # Runtime-set for driver-owned sessions that lack the builder conf
-    # (same guard as session.load_tables).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
+    # (same guard as session.load_tables); no-op on Spark 4.1+.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    # Probe how THIS Spark surfaces the nanos column (batch schema read
+    # is footer-only, no data scan) and mirror it in the stream schema.
+    probe = (
+        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema["ts"].dataType
+    )
+    reader = spark.readStream.schema(_events_raw_schema(probe)).option(
         "pathGlobFilter", glob
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(sf_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if isinstance(probe, LongType):
+        # nanos-long world: truncate to micros exactly like DuckDB.
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # timestamp_ntz world: already micros-truncated; pin to session-tz
+    # timestamp (UTC) so batch and stream schemas agree.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(
