@@ -167,5 +167,91 @@ sizes AS (SELECT cluster, COUNT(*) AS n_members FROM af GROUP BY cluster)"""
 
 Q_EMBED_KMEANS_SQL = _duck_kmeans_sql()
 
-QUERIES = {"embed_kmeans": q_embed_kmeans}
-ORACLES = {"embed_kmeans": Q_EMBED_KMEANS_SQL}
+
+# --- SemDeDup (cell-bucketed semantic dedup) ---------------------------
+
+# Cosine threshold calibrated to the synthetic embeddings: within-cell
+# cos p99≈0.32 / max≈0.49, so 0.35 drops a real-but-minority slice
+# (76/500 at sf0.01) — non-vacuous at the oracle SFs.
+SEMDEDUP_TAU = 0.35
+
+
+def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): bucket embeddings into cells by
+    nearest seed centroid, then drop every vector that has a
+    more-senior (smaller vec_id) neighbor with cosine ≥ τ in the SAME
+    cell. Returns the dropped set with its cell — the semantic-dedup
+    kill list.
+
+    Scale shape: cell assignment is the kmeans map-only pass (literal
+    centroids in codegen, no join); the pair join is an equi-join on
+    cell — candidate pairs are within-cell only, never all-pairs,
+    which is the entire point of SemDeDup at 100 TB. Cosines are exact
+    (int64-quantized vectors, sequential fold == DuckDB
+    list_dot_product), so the threshold comparison is bit-identical
+    across engines."""
+    points = _points(spark, sf_dir)
+    cents = [
+        (int(r.vec_id), [float(v) for v in r.x])
+        for r in points.filter(F.col("vec_id") < KMEANS_K).collect()
+    ]
+    cents.sort()
+    cells = points.select(
+        "vec_id", "x", _best_cluster_expr(cents).alias("cell")
+    )
+    a = cells.select(
+        F.col("cell"), F.col("vec_id").alias("ia"), F.col("x").alias("xa")
+    )
+    b = cells.select(
+        F.col("cell"), F.col("vec_id").alias("ib"), F.col("x").alias("xb")
+    )
+    dot = lambda u, v: F.aggregate(  # noqa: E731 — sequential fold, exact ints
+        F.zip_with(F.col(u), F.col(v), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn(
+            "cos",
+            dot("xa", "xb")
+            / (F.sqrt(dot("xa", "xa")) * F.sqrt(dot("xb", "xb"))),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
+    )
+    return pairs.select(F.col("ib").alias("vec_id"), "cell").distinct()
+
+
+Q_EMBED_SEMDEDUP_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(CAST(round(CAST(v AS DOUBLE) * {EMBED_QUANT}) AS BIGINT) AS DOUBLE)) AS x
+  FROM embeddings),
+s AS (
+  SELECT vec_id AS cid, x AS c, list_dot_product(x, x) AS cnorm
+  FROM q WHERE vec_id < {KMEANS_K}),
+a AS (
+  SELECT vec_id, x, cid AS cell FROM (
+    SELECT q.vec_id, q.x, s.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY -2 * list_dot_product(q.x, s.c) + s.cnorm, s.cid) AS rn
+    FROM q CROSS JOIN s) WHERE rn = 1)
+SELECT DISTINCT a2.vec_id AS vec_id, a2.cell AS cell
+FROM a a1 JOIN a a2 USING (cell)
+WHERE a1.vec_id < a2.vec_id
+  AND list_dot_product(a1.x, a2.x)
+      / (sqrt(list_dot_product(a1.x, a1.x)) * sqrt(list_dot_product(a2.x, a2.x)))
+      >= {SEMDEDUP_TAU}
+"""
+
+QUERIES = {
+    "embed_kmeans": q_embed_kmeans,
+    "embed_semdedup": q_embed_semdedup,
+}
+ORACLES = {
+    "embed_kmeans": Q_EMBED_KMEANS_SQL,
+    "embed_semdedup": Q_EMBED_SEMDEDUP_SQL,
+}

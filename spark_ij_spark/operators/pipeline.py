@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_ij_spark.operators.text import (
+    BIGRAMS_DUCK,
+    BIGRAMS_SPARK,
     EN_STOPWORDS,
     SHINGLES_DUCK,
     SHINGLES_SPARK,
@@ -331,12 +333,221 @@ FROM kept GROUP BY lang
 """
 
 
+# --- Gopher-style repetition filter -----------------------------------
+
+# Repetition thresholds (Rae et al. 2021 "Scaling Language Models"
+# §A1.1 uses the same metric family; values here are calibrated to the
+# synthetic corpus so the filter is non-vacuous at the oracle SFs:
+# top-token-fraction p75≈0.111, dup-bigram-fraction p75≈0.047).
+GOPHER_TOP_TOKEN_FRAC_MAX = 0.125
+GOPHER_DUP_BIGRAM_FRAC_MAX = 0.06
+GOPHER_DUP_TRIGRAM_FRAC_MAX = 0.04
+
+
+def q_pipeline_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher-rules family): a doc
+    is dropped when its most-frequent token dominates, or too many of
+    its word bigrams/trigrams are repeats. All three metrics are exact
+    ratios of small integers (bit-identical across engines); per-doc
+    metrics round to 6 before the decimal-sum average so aggregation
+    order can't drift the hash. Map-only scan + one tiny per-lang
+    aggregate — the 100 TB cost is one pass over the corpus."""
+    t = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKENS_SPARK))
+        .withColumn("bgs", F.expr(BIGRAMS_SPARK))
+        .withColumn("tgs", F.expr(SHINGLES_SPARK))
+        .select(
+            "lang",
+            F.expr(
+                "round(CAST(array_max(transform(array_distinct(toks),"
+                " w -> size(filter(toks, x -> x = w)))) AS DOUBLE)"
+                " / size(toks), 6)"
+            ).alias("top_frac"),
+            F.expr(
+                "round(CASE WHEN size(bgs) = 0 THEN 0.0 ELSE"
+                " 1.0 - CAST(size(array_distinct(bgs)) AS DOUBLE) / size(bgs)"
+                " END, 6)"
+            ).alias("dup_bi"),
+            F.expr(
+                "round(CASE WHEN size(tgs) = 0 THEN 0.0 ELSE"
+                " 1.0 - CAST(size(array_distinct(tgs)) AS DOUBLE) / size(tgs)"
+                " END, 6)"
+            ).alias("dup_tri"),
+        )
+        .withColumn(
+            "keep",
+            F.expr(
+                f"CASE WHEN top_frac <= {GOPHER_TOP_TOKEN_FRAC_MAX}"
+                f" AND dup_bi <= {GOPHER_DUP_BIGRAM_FRAC_MAX}"
+                f" AND dup_tri <= {GOPHER_DUP_TRIGRAM_FRAC_MAX}"
+                " THEN 1 ELSE 0 END"
+            ),
+        )
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("keep").alias("n_kept"),
+        F.expr(
+            "round(CAST(SUM(CAST(top_frac AS DECIMAL(28,6))) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("avg_top_frac"),
+        F.expr(
+            "round(CAST(SUM(CAST(dup_bi AS DECIMAL(28,6))) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("avg_dup_bigram"),
+    )
+
+
+Q_PIPELINE_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT lang, {TOKENS_DUCK} AS toks FROM documents),
+b AS (
+  SELECT lang, toks, {BIGRAMS_DUCK} AS bgs, {SHINGLES_DUCK} AS tgs FROM t),
+m AS (
+  SELECT lang,
+         round(CAST(list_max(list_transform(list_distinct(toks),
+                 w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+               / len(toks), 6) AS top_frac,
+         round(CASE WHEN len(bgs) = 0 THEN 0.0 ELSE
+           1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) END, 6) AS dup_bi,
+         round(CASE WHEN len(tgs) = 0 THEN 0.0 ELSE
+           1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE) / len(tgs) END, 6) AS dup_tri
+  FROM b),
+k AS (
+  SELECT lang, top_frac, dup_bi,
+         CASE WHEN top_frac <= {GOPHER_TOP_TOKEN_FRAC_MAX}
+               AND dup_bi <= {GOPHER_DUP_BIGRAM_FRAC_MAX}
+               AND dup_tri <= {GOPHER_DUP_TRIGRAM_FRAC_MAX}
+              THEN 1 ELSE 0 END AS keep
+  FROM m)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept,
+       round(CAST(SUM(CAST(top_frac AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_top_frac,
+       round(CAST(SUM(CAST(dup_bi AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dup_bigram
+FROM k GROUP BY lang
+"""
+
+
+# --- C4-style heuristic filter ----------------------------------------
+
+# Rule bounds (C4 / Raffel et al. 2020 family, calibrated non-vacuous:
+# corpus n_tok p05≈16 / p95≈94, type-token-ratio p25≈0.36, stopword
+# count p05=0).
+C4_MIN_TOKENS = 20
+C4_MAX_TOKENS = 90
+C4_MIN_TTR = 0.33
+C4_MIN_STOPWORDS = 1
+
+
+def q_pipeline_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule filter with per-rule attribution: per source, how
+    many docs fail the length / type-token-ratio / stopword rules and
+    how many survive all three. Counts only — integer-exact across
+    engines. Map-only + one per-source aggregate; rule attribution is
+    what lets a 100 TB run be audited source-by-source before the
+    filtered corpus is written."""
+    stop = _in_list(EN_STOPWORDS)
+    t = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKENS_SPARK))
+        .select(
+            "source",
+            F.expr(
+                f"CASE WHEN size(toks) BETWEEN {C4_MIN_TOKENS} AND {C4_MAX_TOKENS}"
+                " THEN 0 ELSE 1 END"
+            ).alias("fail_len"),
+            F.expr(
+                "CASE WHEN CAST(size(array_distinct(toks)) AS DOUBLE)"
+                f" / size(toks) >= {C4_MIN_TTR} THEN 0 ELSE 1 END"
+            ).alias("fail_ttr"),
+            F.expr(
+                f"CASE WHEN size(filter(toks, t -> t IN ({stop})))"
+                f" >= {C4_MIN_STOPWORDS} THEN 0 ELSE 1 END"
+            ).alias("fail_stop"),
+        )
+    )
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum("fail_len").alias("n_fail_len"),
+        F.sum("fail_ttr").alias("n_fail_ttr"),
+        F.sum("fail_stop").alias("n_fail_stop"),
+        F.sum(
+            F.expr(
+                "CASE WHEN fail_len = 0 AND fail_ttr = 0 AND fail_stop = 0"
+                " THEN 1 ELSE 0 END"
+            )
+        ).alias("n_kept"),
+    )
+
+
+Q_PIPELINE_C4_SQL = f"""
+WITH t AS (SELECT source, {TOKENS_DUCK} AS toks FROM documents),
+r AS (
+  SELECT source,
+         CASE WHEN len(toks) BETWEEN {C4_MIN_TOKENS} AND {C4_MAX_TOKENS}
+              THEN 0 ELSE 1 END AS fail_len,
+         CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               >= {C4_MIN_TTR} THEN 0 ELSE 1 END AS fail_ttr,
+         CASE WHEN len(list_filter(toks, t -> t IN ({_in_list(EN_STOPWORDS)})))
+               >= {C4_MIN_STOPWORDS} THEN 0 ELSE 1 END AS fail_stop
+  FROM t)
+SELECT source, COUNT(*) AS n_total,
+       CAST(SUM(fail_len) AS BIGINT) AS n_fail_len,
+       CAST(SUM(fail_ttr) AS BIGINT) AS n_fail_ttr,
+       CAST(SUM(fail_stop) AS BIGINT) AS n_fail_stop,
+       CAST(SUM(CASE WHEN fail_len = 0 AND fail_ttr = 0 AND fail_stop = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM r GROUP BY source
+"""
+
+
+# --- deterministic stratified sample ----------------------------------
+
+SAMPLE_PER_STRATUM = 20
+
+
+def q_pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per language, the K docs with
+    the smallest hash60(doc_id) — a uniform-without-RNG sample that
+    every engine and every re-run reproduces exactly (the hash IS the
+    random order). One window per stratum; at 100 TB this is a
+    rank-over-shuffle per language, and because K is tiny the same
+    result is also reachable shuffle-free as a per-partition top-K
+    merge (Spark's TakeOrderedAndProject when expressed as ORDER BY
+    LIMIT per group)."""
+    from pyspark.sql.window import Window
+
+    h = f"{hash60_spark('CAST(doc_id AS STRING)')}"
+    w = Window.partitionBy("lang").orderBy(F.expr(h), F.col("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", "doc_id", F.expr(h).alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_PER_STRATUM)
+        .select("lang", "rk", "doc_id")
+    )
+
+
+Q_PIPELINE_SAMPLE_SQL = f"""
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {hash60_duck('CAST(doc_id AS VARCHAR)')}, doc_id) AS rk
+  FROM documents)
+SELECT lang, rk, doc_id FROM r WHERE rk <= {SAMPLE_PER_STRATUM}
+"""
+
+
 QUERIES = {
     "pipeline_hash_split": q_pipeline_hash_split,
     "pipeline_source_mix": q_pipeline_source_mix,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
     "pipeline_contamination": q_pipeline_contamination,
+    "pipeline_gopher_quality": q_pipeline_gopher_quality,
+    "pipeline_c4_filter": q_pipeline_c4_filter,
+    "pipeline_stratified_sample": q_pipeline_stratified_sample,
 }
 
 ORACLES = {
@@ -345,4 +556,7 @@ ORACLES = {
     "pipeline_clean_corpus": Q_PIPELINE_CLEAN_SQL,
     "pipeline_pack_sequences": Q_PIPELINE_PACK_SQL,
     "pipeline_contamination": Q_PIPELINE_CONTAM_SQL,
+    "pipeline_gopher_quality": Q_PIPELINE_GOPHER_SQL,
+    "pipeline_c4_filter": Q_PIPELINE_C4_SQL,
+    "pipeline_stratified_sample": Q_PIPELINE_SAMPLE_SQL,
 }

@@ -60,3 +60,25 @@ def test_kmeans_improves_on_initial_assignment(spark, sf_dir):
         by_c.setdefault(cl, []).append(pts[vid])
     final_cents = [(cl, list(np.mean(np.stack(v), axis=0))) for cl, v in by_c.items()]
     assert cost(final_cents) <= cost(seeds)
+
+
+def test_semdedup_matches_oracle(spark, duck):
+    assert_oracle_match(
+        spark,
+        duck,
+        clustering.QUERIES["embed_semdedup"],
+        clustering.ORACLES["embed_semdedup"],
+    )
+
+
+def test_semdedup_drops_are_sound(spark, sf_dir, duck):
+    """vec_id 0 can never be dropped (no smaller-id neighbor exists),
+    the kill list is a strict subset of the corpus, and cells come from
+    the seed id range."""
+    rows = clustering.q_embed_semdedup(spark, sf_dir).collect()
+    total = duck.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    dropped = {r.vec_id for r in rows}
+    assert 0 < len(dropped) < total
+    assert 0 not in dropped
+    assert len(dropped) == len(rows)  # distinct vec_ids
+    assert {r.cell for r in rows} <= set(range(clustering.KMEANS_K))

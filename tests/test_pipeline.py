@@ -78,3 +78,51 @@ def test_contamination_flags_only_cross_set_pairs(spark, sf_dir):
         assert r.eval_doc % pipeline.CONTAM_EVAL_MOD == 0
         assert r.train_doc % pipeline.CONTAM_EVAL_MOD != 0
         assert r.n_shared >= 1
+
+
+def test_gopher_filter_is_nonvacuous(spark, sf_dir):
+    """The repetition rules must actually split the corpus (drop some,
+    keep some) and report fractions in [0, 1]."""
+    rows = pipeline.q_pipeline_gopher_quality(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in rows)
+    kept = sum(r.n_kept for r in rows)
+    assert 0 < kept < total
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+        assert 0.0 <= r.avg_top_frac <= 1.0
+        assert 0.0 <= r.avg_dup_bigram <= 1.0
+
+
+def test_c4_filter_rule_attribution_is_consistent(spark, sf_dir):
+    """Per-rule failure counts bound the kept count: a doc survives only
+    when it fails zero rules."""
+    rows = pipeline.q_pipeline_c4_filter(spark, sf_dir).collect()
+    total = sum(r.n_total for r in rows)
+    kept = sum(r.n_kept for r in rows)
+    assert 0 < kept < total
+    for r in rows:
+        worst = max(r.n_fail_len, r.n_fail_ttr, r.n_fail_stop)
+        sum_fails = r.n_fail_len + r.n_fail_ttr + r.n_fail_stop
+        assert r.n_kept <= r.n_total - worst
+        assert r.n_kept >= r.n_total - sum_fails
+
+
+def test_stratified_sample_shape_and_determinism(spark, sf_dir, duck):
+    """Exactly K docs per language (when the stratum is big enough),
+    dense ranks, and the identical sample on re-run."""
+    rows = pipeline.q_pipeline_stratified_sample(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    sizes = dict(
+        duck.execute(
+            "SELECT lang, COUNT(*) FROM documents GROUP BY lang"
+        ).fetchall()
+    )
+    for lang, rs in by_lang.items():
+        want = min(pipeline.SAMPLE_PER_STRATUM, sizes[lang])
+        assert len(rs) == want
+        assert sorted(r.rk for r in rs) == list(range(1, want + 1))
+    again = {(r.lang, r.rk, r.doc_id) for r in
+             pipeline.q_pipeline_stratified_sample(spark, sf_dir).collect()}
+    assert again == {(r.lang, r.rk, r.doc_id) for r in rows}
