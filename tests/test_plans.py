@@ -109,3 +109,32 @@ def test_exact_dedup_partial_aggregation(spark):
     # map-side combine: two HashAggregates around one shuffle on the hash key
     assert plan.count("HashAggregate") >= 2
     assert "partial_min" in plan and "Exchange hashpartitioning" in plan
+
+
+def test_gopher_and_c4_filters_stay_jvm_side(spark):
+    """Repetition/rule metrics are higher-order array expressions —
+    one map-only scan plus a tiny per-group aggregate, no Python."""
+    for q in (pipeline.q_pipeline_gopher_quality, pipeline.q_pipeline_c4_filter):
+        plan = _plan(q(spark, SF_DIR))
+        assert "EvalPython" not in plan, f"{q.__name__} fell off the JVM path"
+        assert plan.count("HashAggregate") >= 2  # map-side partial agg
+
+
+def test_stratified_sample_single_shuffle(spark):
+    """Per-stratum rank = one hash-partition exchange on lang, no join."""
+    plan = _plan(pipeline.q_pipeline_stratified_sample(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semdedup_no_join_before_cell_group(spark):
+    """Cell assignment is literal-centroid codegen (map-only); the only
+    join-free shuffle is the groupBy(cell) feeding the pandas tile —
+    no pair join, no cartesian, ever."""
+    from spark_ij_spark.operators import clustering
+
+    plan = _plan(clustering.q_embed_semdedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan
