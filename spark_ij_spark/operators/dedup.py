@@ -565,6 +565,12 @@ WHERE {_QCOS_DUCK} >= {EMBED_COS_THRESHOLD}
 """
 
 
+# Connected-components loop sizing. Local-mode defaults; on a real
+# cluster set CC_PARTITIONS so each partition holds ~1-10M edges.
+CC_PARTITIONS = 4
+CC_MAX_ROUNDS = 20
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the Jaccard≥t
     pair graph via iterative min-label propagation (the Spark shape of
@@ -585,20 +591,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The pair graph is tiny relative to the corpus (that's the point of
     # dedup) — pin the loop frames to a few partitions so each round is
     # a handful of tasks, not shuffle.partitions x rounds of overhead.
-    # At true cluster scale, size this to edges/partition ~ 1-10M.
+    # Tunables (module-level so a cluster deploy sizes them without
+    # editing the loop): CC_PARTITIONS to edges/partition ~1-10M;
+    # CC_MAX_ROUNDS bounds worst-case diameter (each round is one
+    # label-propagation hop; the fixpoint probe exits early).
     sym = (
         sym.withColumnRenamed("da", "src")
         .withColumnRenamed("db", "dst")
-        .repartition(4, "src")
+        .repartition(CC_PARTITIONS, "src")
         .cache()
     )
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .repartition(4, "doc_id")
+        .repartition(CC_PARTITIONS, "doc_id")
     )
-    for _ in range(20):  # diameter bound; tiny dup clusters converge fast
+    for _ in range(CC_MAX_ROUNDS):
         neighbor_min = (
             sym.join(labels, sym.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
