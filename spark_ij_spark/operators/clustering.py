@@ -44,10 +44,14 @@ def _best_cluster_expr(cents: list[tuple[int, list[float]]]):
     """Column: argmin-over-centroids with literal centroid arrays
     compiled into the expression (F.lit doubles — NOT SQL text, where a
     decimal-point literal would parse as DECIMAL and poison the
-    arithmetic). Scoring runs in whole-stage codegen — a map-only pass
-    over the data; `least` over (score, cid) structs is the
-    lexicographic argmin with the cid tie-break."""
-    candidates = []
+    arithmetic). The candidates build as ONE array-of-structs literal
+    (constant-folded by Catalyst) scored by a single transform+
+    aggregate lambda — identical arithmetic to unrolled per-candidate
+    expressions but ~K× less generated code, which keeps the per-
+    iteration codegen compile cheap. Scoring runs in whole-stage
+    codegen — a map-only pass; `array_min` over (score, cid) structs
+    is the lexicographic argmin with the cid tie-break."""
+    cand_structs = []
     for cid, c in cents:
         arr = F.array(*[F.lit(float(v)) for v in c])
         # Python's left-to-right sum matches the engines' sequential
@@ -55,14 +59,27 @@ def _best_cluster_expr(cents: list[tuple[int, list[float]]]):
         cnorm = 0.0
         for v in c:
             cnorm += float(v) * float(v)
+        cand_structs.append(
+            F.struct(
+                arr.alias("c"),
+                F.lit(cnorm).alias("cnorm"),
+                F.lit(cid).alias("cid"),
+            )
+        )
+    cands = F.array(*cand_structs)
+
+    def score(cand):
         dot = F.aggregate(
-            F.zip_with(F.col("x"), arr, lambda a, b: a * b),
+            F.zip_with(F.col("x"), cand.getField("c"), lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        score = dot * F.lit(-2.0) + F.lit(cnorm)
-        candidates.append(F.struct(score.alias("score"), F.lit(cid).alias("cid")))
-    return F.least(*candidates).getField("cid")
+        return F.struct(
+            (dot * F.lit(-2.0) + cand.getField("cnorm")).alias("score"),
+            cand.getField("cid").alias("cid"),
+        )
+
+    return F.array_min(F.transform(cands, score)).getField("cid")
 
 
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
