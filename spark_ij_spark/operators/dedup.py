@@ -669,8 +669,15 @@ def q_dedup_aligned_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the Jaccard inverted index — postings
     keyed by gram, one equi-join shuffle, group on (pair, offset) with
     map-side partial aggregation. Positions ride along as payload; no
-    all-pairs product. Hot-gram skew takes the same posting-cap
-    mitigation as shingle_postings."""
+    all-pairs product. Hot grams (boilerplate) take the same
+    posting-cap mitigation as shingle_postings: postings whose gram
+    occurs more than MAX_SHINGLE_DOC_FRAC × corpus times are dropped
+    before the self-join (quadratic in posting length otherwise); the
+    cap is a no-op at the oracle SFs (hottest gram: 0.5%), so the
+    DuckDB oracle stays exact. The window that computes the gram
+    frequency establishes the g-partitioning the self-join reuses."""
+    from pyspark.sql.window import Window
+
     g = (
         _docs(spark, sf_dir)
         .withColumn("toks", F.expr(TOKENS_SPARK))
@@ -679,6 +686,16 @@ def q_dedup_aligned_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle key is ~3x cheaper to exchange and both engines
         # compute it identically (collision odds at 60 bits are moot)
         .select("doc_id", "pos", F.expr(hash60_spark("gs")).alias("g"))
+    )
+    g = (
+        g.withColumn("gf", F.count("*").over(Window.partitionBy("g")))
+        .filter(
+            F.expr(
+                f"gf <= (SELECT count(*) FROM parquet.`{sf_dir}/documents.parquet`)"
+                f" * {MAX_SHINGLE_DOC_FRAC}"
+            )
+        )
+        .drop("gf")
     )
     a = g.select(
         F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "g"
