@@ -266,3 +266,56 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
 def test_watermark_present_in_plan(spark):
     stream = se.tumbling_counts(se.read_events_stream(spark, SF_DIR))
     assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
+
+
+# --- streaming documents ingest (filter-on-ingest) ---------------------
+
+
+def test_streaming_quality_filter_equals_batch(spark):
+    """The map-only Gopher+C4 filter must produce the identical keep
+    set on a file stream and on the batch frame (trigger-agnostic)."""
+    from spark_ij_spark.streaming import documents as sd
+
+    stream = sd.clean_stream(sd.read_documents_stream(spark, SF_DIR))
+    got = _drain(spark, stream, "docs_clean_stream", mode="append")
+    batch = sd.clean_stream(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert got.count() > 0  # non-vacuous at the test SF
+
+
+def test_streaming_source_audit_consistent(spark):
+    """Complete-mode per-source audit: totals equal the batch filter's
+    accounting, and kept <= each individual rule's pass count."""
+    from spark_ij_spark.streaming import documents as sd
+
+    stream = sd.source_audit(sd.read_documents_stream(spark, SF_DIR))
+    got = _drain(spark, stream, "docs_audit_stream", mode="complete")
+    batch = sd.source_audit(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    cols = ["source", "n_seen", "n_pass_gopher", "n_pass_c4", "n_kept"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    for r in got.collect():
+        assert r.n_kept <= min(r.n_pass_gopher, r.n_pass_c4)
+
+
+def test_streaming_filter_agrees_with_batch_ops(spark):
+    """Drift guard: the stream-side expressions must agree with the
+    batch operators' accounting (q_pipeline_c4_filter n_kept per
+    source; q_pipeline_gopher_quality n_kept overall)."""
+    from spark_ij_spark.operators import pipeline as bp
+    from spark_ij_spark.streaming import documents as sd
+
+    audit = {
+        r.source: r
+        for r in sd.source_audit(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ).collect()
+    }
+    c4 = {r.source: r for r in bp.q_pipeline_c4_filter(spark, SF_DIR).collect()}
+    assert set(audit) == set(c4)
+    for src, r in c4.items():
+        assert audit[src].n_pass_c4 == r.n_kept
+    gopher_total = sum(
+        r.n_kept for r in bp.q_pipeline_gopher_quality(spark, SF_DIR).collect()
+    )
+    assert sum(r.n_pass_gopher for r in audit.values()) == gopher_total
