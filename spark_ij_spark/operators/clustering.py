@@ -123,11 +123,16 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for cid, c in cents
         ]
-    final = points.select(
+    from pyspark.sql.window import Window
+
+    # window count, not agg+join: one shuffle on cluster and a single
+    # assignment pass (the join form recomputed the argmin scan on
+    # both sides)
+    return points.select(
         "vec_id", _best_cluster_expr(cents).alias("cluster")
+    ).withColumn(
+        "n_members", F.count("*").over(Window.partitionBy("cluster"))
     )
-    sizes = final.groupBy("cluster").agg(F.count("*").alias("n_members"))
-    return final.join(sizes, "cluster").select("vec_id", "cluster", "n_members")
 
 
 def _duck_kmeans_sql() -> str:
