@@ -138,3 +138,32 @@ def test_sweep_interpolation_endpoints_and_int_preservation(lo, hi, steps):
     assert out[0] == f"radius={lo}" and out[-1] == f"radius={hi}"
     vals = [int(s.split("=")[1]) for s in out]  # never decimals here
     assert vals == sorted(set(vals))
+
+
+def test_hash60_cross_engine_identity(spark):
+    """The 60-bit md5 hash — the primitive every deterministic op
+    (minhash, simhash, LSH bands, splits, sampling) builds on — must be
+    bit-identical between Spark and DuckDB over adversarial strings:
+    unicode, empties, quotes, long runs, digits."""
+    import duckdb
+
+    from spark_ij_spark.operators.text import hash60_duck, hash60_spark
+
+    samples = (
+        ["", " ", "a", "ab c", "naïve", "中文 字", "'; --", '"q"', "\t", "🙂"]
+        + [f"doc-{i}" for i in range(50)]
+        + ["x" * 1000, "the the the", "0", "-1", "3.14159"]
+    )
+    sdf = spark.createDataFrame([(s,) for s in samples], ["s"])
+    from pyspark.sql import functions as F
+
+    got = {
+        r.s: r.h
+        for r in sdf.select("s", F.expr(hash60_spark("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        (want,) = con.execute(
+            f"SELECT {hash60_duck('?')}", [s]
+        ).fetchone()
+        assert got[s] == want, f"hash60 diverged on {s!r}"
