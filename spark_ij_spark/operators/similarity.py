@@ -359,11 +359,56 @@ GROUP BY brute.ia
 """
 
 
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the hyperplane-LSH path against the exact top-k —
+    the same honesty metric q_ann_recall provides for IVF, so BOTH
+    approximate index paths carry a measured quality bound. Exact
+    integer arithmetic (hits / k), hash-stable oracle.
+
+    What it measures on the synthetic testdata is itself the point:
+    recall@3 ≈ 0 (1-bit multiprobe only lifts it to ~12%), because
+    near-isotropic high-dim vectors give hyperplane buckets no
+    locality to exploit — while q_ann_recall shows the IVF path doing
+    far better on the same data. That comparison (not a guess) is what
+    tells an operator which index family to deploy; LSH here earns its
+    keep on the *near-dup* workload (dedup thresholds), not top-k."""
+    brute = (
+        q_ann_topk(spark, sf_dir)
+        .filter(F.col("rank") <= LSH_TOPK)
+        .select("ia", "ib")
+    )
+    approx = q_ann_lsh(spark, sf_dir).select("ia", "ib", F.lit(1).alias("hit"))
+    return (
+        brute.join(approx, ["ia", "ib"], "left")
+        .groupBy("ia")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+            F.expr(
+                f"round(CAST(sum(coalesce(hit, 0)) AS DOUBLE) / {LSH_TOPK}, 6)"
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+Q_ANN_LSH_RECALL_SQL = f"""
+WITH brute AS (
+  SELECT ia, ib FROM ({Q_ANN_TOPK_SQL}) WHERE rank <= {LSH_TOPK}),
+approx AS (
+  SELECT ia, ib, 1 AS hit FROM ({Q_ANN_LSH_SQL}))
+SELECT brute.ia AS ia,
+       CAST(SUM(COALESCE(approx.hit, 0)) AS BIGINT) AS n_hits,
+       round(CAST(SUM(COALESCE(approx.hit, 0)) AS DOUBLE) / {LSH_TOPK}, 6) AS recall_at_k
+FROM brute LEFT JOIN approx ON brute.ia = approx.ia AND brute.ib = approx.ib
+GROUP BY brute.ia
+"""
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_recall": q_ann_recall,
+    "ann_lsh_recall": q_ann_lsh_recall,
 }
 
 ORACLES = {
@@ -371,4 +416,5 @@ ORACLES = {
     "ann_lsh": Q_ANN_LSH_SQL,
     "ann_ivf": Q_ANN_IVF_SQL,
     "ann_recall": Q_ANN_RECALL_SQL,
+    "ann_lsh_recall": Q_ANN_LSH_RECALL_SQL,
 }
