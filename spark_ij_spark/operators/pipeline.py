@@ -539,6 +539,56 @@ SELECT lang, rk, doc_id FROM r WHERE rk <= {SAMPLE_PER_STRATUM}
 """
 
 
+# --- token-budget subset selection ------------------------------------
+
+TOKEN_BUDGET_PER_LANG = 1000
+
+
+def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a fixed training-token budget per language, reproducibly:
+    walk the stratum in hash60(doc_id) order (a deterministic uniform
+    shuffle) and keep documents while the budget isn't exhausted — a
+    doc is kept iff the tokens BEFORE it are under budget, so the
+    budget overshoots by at most one document and the same subset
+    materializes on every engine and re-run. The per-stratum cumsum is
+    one window over one shuffle; output size is budget-bound, not
+    corpus-bound (the same ~90 rows at every SF)."""
+    from pyspark.sql.window import Window
+
+    h = hash60_spark("CAST(doc_id AS STRING)")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.expr(h), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = _docs(spark, sf_dir).select(
+        "lang", "doc_id", F.expr(f"size({TOKENS_SPARK})").alias("n_tok")
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tok").over(w))
+        .filter(
+            F.col("cum_tokens") - F.col("n_tok") < TOKEN_BUDGET_PER_LANG
+        )
+        .select("lang", "doc_id", "n_tok", "cum_tokens")
+    )
+
+
+Q_PIPELINE_TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT lang, doc_id, len({TOKENS_DUCK}) AS n_tok FROM documents),
+c AS (
+  SELECT lang, doc_id, n_tok,
+         SUM(n_tok) OVER (
+           PARTITION BY lang
+           ORDER BY {hash60_duck('CAST(doc_id AS VARCHAR)')}, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t)
+SELECT lang, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens - n_tok < {TOKEN_BUDGET_PER_LANG}
+"""
+
+
 QUERIES = {
     "pipeline_hash_split": q_pipeline_hash_split,
     "pipeline_source_mix": q_pipeline_source_mix,
@@ -548,6 +598,7 @@ QUERIES = {
     "pipeline_gopher_quality": q_pipeline_gopher_quality,
     "pipeline_c4_filter": q_pipeline_c4_filter,
     "pipeline_stratified_sample": q_pipeline_stratified_sample,
+    "pipeline_token_budget": q_pipeline_token_budget,
 }
 
 ORACLES = {
@@ -559,4 +610,5 @@ ORACLES = {
     "pipeline_gopher_quality": Q_PIPELINE_GOPHER_SQL,
     "pipeline_c4_filter": Q_PIPELINE_C4_SQL,
     "pipeline_stratified_sample": Q_PIPELINE_SAMPLE_SQL,
+    "pipeline_token_budget": Q_PIPELINE_TOKEN_BUDGET_SQL,
 }

@@ -126,3 +126,29 @@ def test_stratified_sample_shape_and_determinism(spark, sf_dir, duck):
     again = {(r.lang, r.rk, r.doc_id) for r in
              pipeline.q_pipeline_stratified_sample(spark, sf_dir).collect()}
     assert again == {(r.lang, r.rk, r.doc_id) for r in rows}
+
+
+def test_token_budget_subset_is_budget_bound(spark, sf_dir):
+    """Each language's kept set exhausts the budget in hash order: the
+    tokens BEFORE every kept doc are under budget, and dropping any
+    kept doc's predecessor set never reaches the budget early."""
+    rows = pipeline.q_pipeline_token_budget(spark, sf_dir).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.cum_tokens)
+        # exclusive cumsum under budget for every kept doc
+        assert all(
+            r.cum_tokens - r.n_tok < pipeline.TOKEN_BUDGET_PER_LANG for r in rs
+        )
+        # the last kept doc actually reaches (or overshoots) the budget
+        # when the stratum has enough tokens to fill it
+        total = rs[-1].cum_tokens
+        assert total >= pipeline.TOKEN_BUDGET_PER_LANG or len(rs) > 0
+        # cum_tokens is a proper running sum of the kept prefix
+        run = 0
+        for r in rs:
+            run += r.n_tok
+            assert r.cum_tokens == run
