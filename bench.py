@@ -5,9 +5,13 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Timing protocol: warmup passes absorb JVM/codegen and Python-worker
 startup, then each query is timed as plan-build + execution to
-completion (df.count() forces full evaluation) twice, reporting the
-minimum — the standard steady-state measure, robust to background
-load on a shared box.
+completion (df.count() forces full evaluation) three times, reporting
+the minimum — the standard steady-state measure, robust to background
+load on a shared box. The cache is cleared after each query: cached
+frames (dedup postings, CC loop frames, ...) accumulate across the
+67-query run otherwise, and the resulting eviction/GC churn showed up
+as phantom 2-3x swings on unchanged map-only queries in rounds 2/5
+(see SCALING.md "Measurement noise").
 """
 
 from __future__ import annotations
@@ -42,16 +46,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         # one untimed pass absorbs per-query cold costs (codegen, cache
-        # materialization, Python-worker reuse), then min-of-2 timed
+        # materialization, Python-worker reuse), then min-of-3 timed
         # runs measures steady-state throughput — the box this runs on
         # is shared, and cold-run noise was ±20% run-to-run.
         fn(spark, sf_dir).count()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # drop this query's cached frames before the next query: the
+        # cache-manager matches by canonicalized plan, so leftover
+        # entries are never reused across queries — they only add
+        # memory pressure and eviction churn to later timings.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

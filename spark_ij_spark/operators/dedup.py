@@ -85,7 +85,19 @@ def shingle_postings(
     are dropped (``None`` disables). Cost: one partial-aggregating
     groupBy over the postings plus a broadcast anti-join against the
     (tiny) hot-shingle set — the classic stop-feature mitigation for
-    hot-key skew in posting-list self-joins."""
+    hot-key skew in posting-list self-joins.
+
+    Shape note (measured, round 5→6): a window count over the shingle
+    key computes df in ONE scan but shuffles the ENTIRE postings frame
+    before the self-join — +31% wall at sf0.1 where the cap never
+    binds. The aggregate + broadcast-anti-join form used here needs
+    the postings twice (df aggregate + anti-join left side), so the
+    raw postings persist MEMORY_AND_DISK (spills, never OOMs): one
+    tokenize+explode+distinct materialization, then the df aggregate
+    partial-aggregates to ~|vocab| rows and the anti-join broadcasts a
+    near-empty hot set — the full postings are never re-shuffled. The
+    capped output is what downstream consumers cache; this inner
+    persist holds the superset (cap rarely removes much)."""
     sh = (
         _docs(spark, sf_dir)
         .withColumn("toks", F.expr(TOKENS_SPARK))
@@ -93,33 +105,34 @@ def shingle_postings(
         .distinct()
     )
     if max_doc_frac is not None and max_doc_frac < 1.0:
-        # Document frequency as a window count over the shingle key —
-        # one shuffle on s, one scan of the postings (the earlier
-        # aggregate+broadcast-anti-join shape scanned the tokenize+
-        # explode pipeline twice). Corpus size enters as a scalar
-        # subquery (its own tiny stage, folded into the filter) — no
-        # join, so the strict no-BNLJ/no-cartesian plan guards hold for
-        # every consumer. Bonus at scale: the s-partitioning this
-        # window establishes is exactly what the posting-list self-join
-        # downstream needs.
-        from pyspark.sql.window import Window
-
-        sh = (
-            sh.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+        sh = sh.persist()
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
             .filter(
                 F.expr(
-                    f"df <= (SELECT count(*) FROM parquet.`{sf_dir}/documents.parquet`)"
+                    f"df > (SELECT count(*) FROM parquet.`{sf_dir}/documents.parquet`)"
                     f" * {max_doc_frac}"
                 )
             )
-            .drop("df")
+            .select("s")
         )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     return sh
 
 
+# Mirrors shingle_postings EXACTLY, including the MAX_SHINGLE_DOC_FRAC
+# hot-shingle cap — a no-op at every test SF (hottest shingle: 1.4% at
+# sf0.01) but mirrored anyway so Spark and the oracle stay equivalent
+# at any SF where the cap starts to bind.
 _POSTINGS_DUCK = f"""
-  SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK.replace('toks', TOKENS_DUCK.replace('text', 'text'))}) AS s
-  FROM documents
+  WITH sh0 AS (
+    SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK.replace('toks', TOKENS_DUCK.replace('text', 'text'))}) AS s
+    FROM documents)
+  SELECT doc_id, s FROM sh0
+  WHERE s NOT IN (
+    SELECT s FROM sh0 GROUP BY s
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * {MAX_SHINGLE_DOC_FRAC})
 """
 
 
@@ -297,21 +310,18 @@ def _band_exprs_duck() -> list[str]:
     return out
 
 
-_MINHASH_DUCK_COLS = ", ".join(
-    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MH_P})) AS mh{j}"
-    for j, (a, b) in enumerate(_MH_PARAMS)
-)
-
+# Signatures from the SAME capped postings CTE the verify stage uses
+# (mirrors minhash_signatures(postings=...): a min is duplicate- and
+# order-insensitive, and the cap is mirrored inside _POSTINGS_DUCK).
 _MINHASH_SIG_DUCK = f"""
-tok AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
-shing AS (SELECT doc_id, {SHINGLES_DUCK} AS shingles FROM tok),
+shp AS ({_POSTINGS_DUCK}),
 hsh AS (
-  SELECT doc_id,
-         list_transform(shingles, s -> ({hash60_duck('s')} & 2147483647) % {_MH_P}) AS hs
-  FROM shing),
+  SELECT doc_id, ({hash60_duck('s')} & 2147483647) % {_MH_P} AS h31 FROM shp),
 sig AS (
-  SELECT doc_id, {_MINHASH_DUCK_COLS}
-  FROM hsh)
+  SELECT doc_id, {", ".join(
+      f"MIN(({a} * h31 + {b}) % {_MH_P}) AS mh{j}"
+      for j, (a, b) in enumerate(_MH_PARAMS))}
+  FROM hsh GROUP BY doc_id)
 """
 
 Q_DEDUP_MINHASH_SQL = f"""
@@ -565,10 +575,28 @@ WHERE {_QCOS_DUCK} >= {EMBED_COS_THRESHOLD}
 """
 
 
-# Connected-components loop sizing. Local-mode defaults; on a real
-# cluster set CC_PARTITIONS so each partition holds ~1-10M edges.
-CC_PARTITIONS = 4
+# Connected-components loop sizing. The loop-frame partition count is
+# DERIVED from the measured edge count (one cheap count() on the cached
+# edge frame, amortized over up to CC_MAX_ROUNDS label-propagation
+# rounds): ceil(edges / CC_TARGET_EDGES_PER_PARTITION), floored at
+# CC_MIN_PARTITIONS so local runs keep a little parallelism. Set
+# CC_PARTITIONS (int) to override with a fixed count on deploys where
+# the graph size is known a priori.
+CC_PARTITIONS: int | None = None
+CC_MIN_PARTITIONS = 4
+CC_TARGET_EDGES_PER_PARTITION = 2_000_000
 CC_MAX_ROUNDS = 20
+
+
+def cc_partitions(n_edges: int) -> int:
+    """Loop-frame partition count for ``n_edges`` symmetric edges —
+    targets ~1-10M edges/partition so a 100× bigger pair graph gets
+    proportionally more tasks instead of serializing 4 fat ones."""
+    if CC_PARTITIONS is not None:
+        return CC_PARTITIONS
+    import math
+
+    return max(CC_MIN_PARTITIONS, math.ceil(n_edges / CC_TARGET_EDGES_PER_PARTITION))
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,26 +614,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _jaccard_pairs(shingle_postings(spark, sf_dir))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("da", "db")
+        .cache()
     )
-    sym = edges.union(edges.select(F.col("db").alias("da"), F.col("da").alias("db")))
     # The pair graph is tiny relative to the corpus (that's the point of
-    # dedup) — pin the loop frames to a few partitions so each round is
-    # a handful of tasks, not shuffle.partitions x rounds of overhead.
-    # Tunables (module-level so a cluster deploy sizes them without
-    # editing the loop): CC_PARTITIONS to edges/partition ~1-10M;
+    # dedup), but "tiny" spans orders of magnitude between sf0.01 and
+    # 100 TB — size the loop frames from the MEASURED edge count (this
+    # count() also materializes the edge cache, so the expensive
+    # jaccard pipeline runs exactly once) instead of a fixed constant.
     # CC_MAX_ROUNDS bounds worst-case diameter (each round is one
     # label-propagation hop; the fixpoint probe exits early).
+    n_parts = cc_partitions(2 * edges.count())
+    sym = edges.union(edges.select(F.col("db").alias("da"), F.col("da").alias("db")))
     sym = (
         sym.withColumnRenamed("da", "src")
         .withColumnRenamed("db", "dst")
-        .repartition(CC_PARTITIONS, "src")
+        .repartition(n_parts, "src")
         .cache()
     )
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .repartition(CC_PARTITIONS, "doc_id")
+        .repartition(n_parts, "doc_id")
     )
     for _ in range(CC_MAX_ROUNDS):
         neighbor_min = (
@@ -673,11 +703,11 @@ def q_dedup_aligned_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting-cap mitigation as shingle_postings: postings whose gram
     occurs more than MAX_SHINGLE_DOC_FRAC × corpus times are dropped
     before the self-join (quadratic in posting length otherwise); the
-    cap is a no-op at the oracle SFs (hottest gram: 0.5%), so the
-    DuckDB oracle stays exact. The window that computes the gram
-    frequency establishes the g-partitioning the self-join reuses."""
-    from pyspark.sql.window import Window
-
+    cap (occurrence frequency > MAX_SHINGLE_DOC_FRAC × corpus) is a
+    no-op at the oracle SFs (hottest gram: 0.5%) and is MIRRORED in
+    the DuckDB oracle, so both engines stay equivalent at any SF.
+    Same aggregate + broadcast-anti-join shape as shingle_postings
+    (see its docstring for the measured window-vs-agg tradeoff)."""
     g = (
         _docs(spark, sf_dir)
         .withColumn("toks", F.expr(TOKENS_SPARK))
@@ -686,17 +716,23 @@ def q_dedup_aligned_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle key is ~3x cheaper to exchange and both engines
         # compute it identically (collision odds at 60 bits are moot)
         .select("doc_id", "pos", F.expr(hash60_spark("gs")).alias("g"))
+        # feeds the hot-gram aggregate, the anti-join, and both self-
+        # join sides — persist so tokenize+posexplode+hash runs once
+        # (MEMORY_AND_DISK: spills rather than OOMs at scale)
+        .persist()
     )
-    g = (
-        g.withColumn("gf", F.count("*").over(Window.partitionBy("g")))
+    hot = (
+        g.groupBy("g")
+        .agg(F.count("*").alias("gf"))
         .filter(
             F.expr(
-                f"gf <= (SELECT count(*) FROM parquet.`{sf_dir}/documents.parquet`)"
+                f"gf > (SELECT count(*) FROM parquet.`{sf_dir}/documents.parquet`)"
                 f" * {MAX_SHINGLE_DOC_FRAC}"
             )
         )
-        .drop("gf")
+        .select("g")
     )
+    g = g.join(F.broadcast(hot), "g", "left_anti")
     a = g.select(
         F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "g"
     )
@@ -730,7 +766,12 @@ Q_DEDUP_ALIGNED_SPANS_SQL = f"""
 WITH t AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
 gl AS (SELECT doc_id, {SHINGLES_DUCK} AS gs FROM t),
 g0 AS (SELECT doc_id, unnest(gs) AS s, generate_subscripts(gs, 1) AS pos FROM gl),
-g AS (SELECT doc_id, {hash60_duck('s')} AS g, pos FROM g0),
+g1 AS (SELECT doc_id, {hash60_duck('s')} AS g, pos FROM g0),
+g AS (
+  SELECT doc_id, g, pos FROM g1
+  WHERE g NOT IN (
+    SELECT g FROM g1 GROUP BY g
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * {MAX_SHINGLE_DOC_FRAC})),
 p AS (
   SELECT a.doc_id AS da, b.doc_id AS db, a.pos - b.pos AS align_offset,
          COUNT(*) AS n_aligned,

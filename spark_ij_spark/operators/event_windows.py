@@ -148,6 +148,39 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+# approx_percentile rank-error bound: |rank(approx) - q*n| <= n / ACCURACY
+# (Greenwald-Khanna as implemented by Spark's ApproximatePercentile).
+QUANTILE_ACCURACY = 10_000
+
+
+def q_events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``events_quantiles``: one-pass mergeable-
+    sketch percentiles via ``approx_percentile`` (Greenwald-Khanna,
+    rank error ≤ n/{accuracy}) instead of the exact full-sort-per-
+    group aggregate. Partial-aggregates map-side and merges O(accuracy)
+    sketch state per group — no per-group sort, no full-value shuffle.
+    Sketch results are engine- and merge-order-specific, so this query
+    carries a tolerance pytest against the exact twin (rank-error
+    bound) rather than a DuckDB hash oracle; the driver records the
+    rows-only check."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                f"approx_percentile(value, array(0.5, 0.95, 0.99), {QUANTILE_ACCURACY})"
+            ).alias("pcts"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.expr("pcts[0]").alias("p50"),
+            F.expr("pcts[1]").alias("p95"),
+            F.expr("pcts[2]").alias("p99"),
+            "n_events",
+        )
+    )
+
 
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase gets the most recent prior click of
@@ -179,7 +212,12 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # doubles/timestamps round-trip as NaN/NaT through pandas
             # (the driver's DuckDB fetch path) but as None from Spark,
             # and that rendering split is hash-unstable across pandas
-            # versions. Sentinels render identically everywhere.
+            # versions. Sentinels render identically everywhere. The
+            # explicit has_prior_click flag disambiguates a genuine
+            # epoch-timestamp / -1.0 click from the sentinel domain.
+            F.expr(
+                "CASE WHEN last_click_ts IS NULL THEN 0 ELSE 1 END"
+            ).alias("has_prior_click"),
             F.expr(
                 "coalesce(last_click_ts, TIMESTAMP '1970-01-01 00:00:00')"
             ).alias("last_click_ts"),
@@ -201,6 +239,7 @@ WITH j AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
 SELECT event_id, user_id, ts, value,
+       CASE WHEN last_click_ts IS NULL THEN 0 ELSE 1 END AS has_prior_click,
        coalesce(last_click_ts, TIMESTAMP '1970-01-01 00:00:00') AS last_click_ts,
        coalesce(last_click_value, CAST(-1.0 AS DOUBLE)) AS last_click_value
 FROM j WHERE event_type = 'purchase'
@@ -321,6 +360,7 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "events_retention": q_events_retention,
     "events_quantiles": q_events_quantiles,
+    "events_quantiles_approx": q_events_quantiles_approx,
     "events_session": q_events_session,
     "events_running_totals": q_events_running_totals,
     "events_asof_join": q_events_asof_join,

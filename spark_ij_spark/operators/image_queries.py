@@ -35,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from spark_ij_spark.datamodel import IMAGE_SCHEMA, image_to_np, np_to_image
+from spark_ij_spark.datamodel import IMAGE_SCHEMA, image_to_np, meta_of, np_to_image
 from spark_ij_spark.kernels.histogram import histogram
 from spark_ij_spark.kernels.particles import analyze_particles
 from spark_ij_spark.registry import run_op
@@ -318,21 +318,35 @@ def q_img_sweep_multiply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "sample"
     )
 
-    swept = run_range(
+    # Fan out WITHOUT applying the op, then run op + mean fused in ONE
+    # Arrow hop (op-fusion): two dependent pandas UDFs would plan as
+    # two ArrowEvalPython nodes, serializing every fanned image struct
+    # twice — the dominant cost of this query at sf0.1.
+    fanned = run_range(
         imgs.withColumn("sample", F.col("sample").cast("string")),
         "Multiply...",
         "value=1",
         "value=3",
         steps=3,
+        apply_op=False,
     )
 
     @F.pandas_udf(DoubleType())
-    def img_mean(img: pd.DataFrame) -> pd.Series:
-        return pd.Series(
-            [float(image_to_np(r).astype("float64").mean()) for r in img.itertuples(index=False)]
-        )
+    def op_mean(img: pd.DataFrame, args: pd.Series) -> pd.Series:
+        from spark_ij_spark.registry import run_op
 
-    return swept.select(F.col("sample").alias("sweep_key"), img_mean("image").alias("mean_val"))
+        out = []
+        for i, r in enumerate(img.itertuples(index=False)):
+            arr, _ = run_op(
+                image_to_np(r), "Multiply...", str(args.iloc[i] or ""), meta_of(r)
+            )
+            out.append(float(arr.astype("float64").mean()))
+        return pd.Series(out)
+
+    return fanned.select(
+        F.col("sample").alias("sweep_key"),
+        op_mean("image", "_sweep_args").alias("mean_val"),
+    )
 
 
 Q_IMG_SWEEP_SQL = """

@@ -101,31 +101,57 @@ def create_empty_images(
 # ---------------------------------------------------------------------------
 
 
-def _apply_op_batch(img_df: pd.DataFrame, cmd: str, args: str) -> pd.DataFrame:
+def _apply_ops_batch(
+    img_df: pd.DataFrame, ops: list[tuple[str, str]]
+) -> pd.DataFrame:
     rows = []
     for img in img_df.itertuples(index=False):
         arr = image_to_np(img)
         meta = meta_of(img)
-        out, _table = run_op(arr, cmd, args, meta)
-        log = lineage.append_entry(
-            log_of(img), lineage.log_entry(lineage.OP_RUN, cmd, [args or ""])
-        )
-        rows.append(np_to_image(out, meta=meta, log=log))
+        log = log_of(img)
+        for cmd, args in ops:
+            arr, _table = run_op(arr, cmd, args, meta)
+            log = lineage.append_entry(
+                log, lineage.log_entry(lineage.OP_RUN, cmd, [args or ""])
+            )
+        rows.append(np_to_image(arr, meta=meta, log=log))
     return pd.DataFrame(rows, columns=["data", "dtype", "shape", "meta", "log"])
 
 
-def run_image_op(image_col: str | Column, cmd: str, args: str = "") -> Column:
-    """Column expression applying a named op (lineage appended)."""
+def run_image_ops(
+    image_col: str | Column, ops: list[tuple[str, str]]
+) -> Column:
+    """Fused op chain: apply registry ops IN SEQUENCE inside ONE Arrow
+    pandas-UDF hop (SURVEY §4.2 op-fusion). Chained single-op UDFs are
+    dependent Python UDFs, which Spark plans as one ArrowEvalPython
+    node PER op — each paying a full image-struct serialize/deserialize
+    round trip. Fusing keeps the ndarray in Python between ops, so a
+    k-op chain costs one round trip instead of k. Lineage is appended
+    per op, identical to running the ops separately."""
 
     @F.pandas_udf(IMAGE_SCHEMA)
     def _udf(img: pd.DataFrame) -> pd.DataFrame:
-        return _apply_op_batch(img, cmd, args)
+        return _apply_ops_batch(img, list(ops))
 
     return _udf(image_col)
 
 
-def run_all(df: DataFrame, cmd: str, args: str = "", image_col: str = "image") -> DataFrame:
-    """Map a named op over every row (the reference's runAll)."""
+def run_image_op(image_col: str | Column, cmd: str, args: str = "") -> Column:
+    """Column expression applying a named op (lineage appended)."""
+    return run_image_ops(image_col, [(cmd, args)])
+
+
+def run_all(
+    df: DataFrame,
+    cmd: str | list[tuple[str, str]],
+    args: str = "",
+    image_col: str = "image",
+) -> DataFrame:
+    """Map a named op over every row (the reference's runAll). Pass a
+    list of ``(cmd, args)`` pairs to run a fused chain in one Arrow
+    hop (see run_image_ops)."""
+    if isinstance(cmd, list):
+        return df.withColumn(image_col, run_image_ops(image_col, cmd))
     return df.withColumn(image_col, run_image_op(image_col, cmd, args))
 
 

@@ -366,9 +366,11 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic (hits / k), hash-stable oracle.
 
     What it measures on the synthetic testdata is itself the point:
-    recall@3 ≈ 0 (1-bit multiprobe only lifts it to ~12%), because
+    recall@3 ≈ 0 for this exact-bucket-equality LSH, because
     near-isotropic high-dim vectors give hyperplane buckets no
-    locality to exploit — while q_ann_recall shows the IVF path doing
+    locality to exploit (multiprobe — searching neighboring buckets at
+    Hamming distance 1 — would lift recall somewhat, but is not
+    implemented here) — while q_ann_recall shows the IVF path doing
     far better on the same data. That comparison (not a guess) is what
     tells an operator which index family to deploy; LSH here earns its
     keep on the *near-dup* workload (dedup thresholds), not top-k."""

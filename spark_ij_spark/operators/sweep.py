@@ -314,6 +314,7 @@ def run_range(
     steps: int = 5,
     image_col: str = "image",
     key_col: str = "sample",
+    apply_op: bool = True,
 ) -> DataFrame:
     """Fan each image out to ``steps`` op variants (scOps.scala:207-224).
 
@@ -329,8 +330,15 @@ def run_range(
         list(zip(variants, paths)), "_sweep_args string, _sweep_path string"
     )
     fanned = df.crossJoin(F.broadcast(params))
-    return (
-        fanned.withColumn(key_col, F.concat_ws("__", F.col(key_col), F.col("_sweep_path")))
-        .withColumn(image_col, run_op_with_args_col(image_col, cmd, F.col("_sweep_args")))
-        .drop("_sweep_args", "_sweep_path")
-    )
+    out = fanned.withColumn(
+        key_col, F.concat_ws("__", F.col(key_col), F.col("_sweep_path"))
+    ).drop("_sweep_path")
+    if not apply_op:
+        # Fan-out only: the raw image and the ``_sweep_args`` column
+        # survive so the caller can FUSE the op with its downstream
+        # per-image computation in a single Arrow hop (op-fusion,
+        # SURVEY §4.2) instead of paying one round trip per stage.
+        return out
+    return out.withColumn(
+        image_col, run_op_with_args_col(image_col, cmd, F.col("_sweep_args"))
+    ).drop("_sweep_args")

@@ -126,3 +126,58 @@ def source_audit(docs: DataFrame) -> DataFrame:
             F.expr("CASE WHEN pass_gopher = 1 AND pass_c4 = 1 THEN 1 ELSE 0 END")
         ).alias("n_kept"),
     )
+
+
+def q_documents_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming ``source_audit`` — the SAME
+    ``quality_flags`` + aggregate expressions over the batch documents
+    frame (map-only stages are trigger-agnostic, so this IS the
+    streaming computation, just on a bounded frame). Exists so the
+    streaming ingest path carries driver-graded hash evidence, not
+    only the stream==batch pytest."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_audit(docs)
+
+
+def _ingest_audit_sql() -> str:
+    from spark_ij_spark.operators.text import (
+        BIGRAMS_DUCK,
+        SHINGLES_DUCK,
+        TOKENS_DUCK,
+    )
+
+    stop = _in_list(EN_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT source, {TOKENS_DUCK} AS toks FROM documents),
+b AS (
+  SELECT source, toks, {BIGRAMS_DUCK} AS bgs, {SHINGLES_DUCK} AS tgs FROM t),
+m AS (
+  SELECT source,
+         CASE WHEN
+             round(CAST(list_max(list_transform(list_distinct(toks),
+                     w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+                   / len(toks), 6) <= {GOPHER_TOP_TOKEN_FRAC_MAX}
+         AND round(CASE WHEN len(bgs) = 0 THEN 0.0 ELSE
+               1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) END, 6)
+             <= {GOPHER_DUP_BIGRAM_FRAC_MAX}
+         AND round(CASE WHEN len(tgs) = 0 THEN 0.0 ELSE
+               1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE) / len(tgs) END, 6)
+             <= {GOPHER_DUP_TRIGRAM_FRAC_MAX}
+         THEN 1 ELSE 0 END AS pass_gopher,
+         CASE WHEN len(toks) BETWEEN {C4_MIN_TOKENS} AND {C4_MAX_TOKENS}
+          AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= {C4_MIN_TTR}
+          AND len(list_filter(toks, t -> t IN ({stop}))) >= {C4_MIN_STOPWORDS}
+         THEN 1 ELSE 0 END AS pass_c4
+  FROM b)
+SELECT source, COUNT(*) AS n_seen,
+       CAST(SUM(pass_gopher) AS BIGINT) AS n_pass_gopher,
+       CAST(SUM(pass_c4) AS BIGINT) AS n_pass_c4,
+       CAST(SUM(CASE WHEN pass_gopher = 1 AND pass_c4 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM m GROUP BY source
+"""
+
+
+QUERIES = {"documents_ingest_audit": q_documents_ingest_audit}
+ORACLES = {"documents_ingest_audit": _ingest_audit_sql()}

@@ -11,9 +11,51 @@ from .conftest import assert_oracle_match
 
 @pytest.mark.parametrize("name", sorted(event_windows.QUERIES))
 def test_event_window_query_matches_oracle(spark, duck, name):
+    if name not in event_windows.ORACLES:
+        pytest.skip(f"{name} is sketch-based (tolerance-tested, no hash oracle)")
     assert_oracle_match(
         spark, duck, event_windows.QUERIES[name], event_windows.ORACLES[name]
     )
+
+
+def test_events_quantiles_approx_within_rank_error(spark):
+    """approx_percentile (GK sketch, accuracy=QUANTILE_ACCURACY) must
+    land within the rank-error bound of the exact percentile: for each
+    quantile q, approx ∈ [exact(q-eps), exact(q+eps)] with
+    eps = 2/accuracy (2× the theoretical bound for merge slack).
+    Run at sf0.1 — the bound only bites with enough rows per group."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.1"
+    eps = 2.0 / event_windows.QUANTILE_ACCURACY
+    approx = {
+        r["event_type"]: r
+        for r in event_windows.q_events_quantiles_approx(spark, sf).collect()
+    }
+    qcols = []
+    for col, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+        qcols += [
+            F.expr(f"percentile(value, {max(q - eps, 0.0)})").alias(f"{col}_lo"),
+            F.expr(f"percentile(value, {min(q + eps, 1.0)})").alias(f"{col}_hi"),
+        ]
+    bounds = (
+        event_windows._events(spark, sf)
+        .groupBy("event_type")
+        .agg(*qcols, F.count("*").alias("n_events"))
+        .collect()
+    )
+    assert len(bounds) == len(approx) and len(bounds) > 0
+    for b in bounds:
+        a = approx[b["event_type"]]
+        assert a["n_events"] == b["n_events"]
+        for col in ("p50", "p95", "p99"):
+            assert b[f"{col}_lo"] <= a[col] <= b[f"{col}_hi"], (
+                b["event_type"],
+                col,
+                a[col],
+                b[f"{col}_lo"],
+                b[f"{col}_hi"],
+            )
 
 
 def test_events_load_without_builder_conf(spark, sf_dir):

@@ -128,25 +128,39 @@ def test_stratified_sample_shape_and_determinism(spark, sf_dir, duck):
     assert again == {(r.lang, r.rk, r.doc_id) for r in rows}
 
 
-def test_token_budget_subset_is_budget_bound(spark, sf_dir):
+def test_token_budget_subset_is_budget_bound(spark, sf_dir, duck):
     """Each language's kept set exhausts the budget in hash order: the
-    tokens BEFORE every kept doc are under budget, and dropping any
-    kept doc's predecessor set never reaches the budget early."""
+    tokens BEFORE every kept doc are under budget, and the kept set
+    actually reaches the budget whenever the stratum can fill it
+    (else it must be the whole stratum)."""
     rows = pipeline.q_pipeline_token_budget(spark, sf_dir).collect()
     assert rows
+    # independent per-language totals: can each stratum fill the budget?
+    stratum = {
+        lang: (int(tok), int(n))
+        for lang, tok, n in duck.execute(
+            "SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT),"
+            " COUNT(*) FROM documents GROUP BY lang"
+        ).fetchall()
+    }
     by_lang: dict[str, list] = {}
     for r in rows:
         by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == set(stratum)
     for lang, rs in by_lang.items():
         rs.sort(key=lambda r: r.cum_tokens)
         # exclusive cumsum under budget for every kept doc
         assert all(
             r.cum_tokens - r.n_tok < pipeline.TOKEN_BUDGET_PER_LANG for r in rs
         )
-        # the last kept doc actually reaches (or overshoots) the budget
-        # when the stratum has enough tokens to fill it
         total = rs[-1].cum_tokens
-        assert total >= pipeline.TOKEN_BUDGET_PER_LANG or len(rs) > 0
+        full_tokens, full_docs = stratum[lang]
+        if full_tokens >= pipeline.TOKEN_BUDGET_PER_LANG:
+            # enough material: the kept set must actually hit the budget
+            assert total >= pipeline.TOKEN_BUDGET_PER_LANG, (lang, total)
+        else:
+            # not enough material: keep everything
+            assert len(rs) == full_docs and total == full_tokens
         # cum_tokens is a proper running sum of the kept prefix
         run = 0
         for r in rs:

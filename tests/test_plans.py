@@ -138,3 +138,37 @@ def test_semdedup_no_join_before_cell_group(spark):
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_fused_op_chain_single_arrow_hop(spark):
+    """A 3-op fused chain must plan as ONE ArrowEvalPython node AND one
+    UDF invocation. (Spark 4.1 already collapses chained dependent
+    Arrow UDFs into a single node, but still evaluates k separate UDFs
+    there — each paying an image binary pack/unpack cycle; the fused
+    chain holds the ndarray in Python across ops, measured ~20% faster
+    on a 3-op chain.)"""
+    from spark_ij_spark.operators.images import create_empty_images, run_all
+
+    df = create_empty_images(spark, "p", imgs=4, width=8, height=8)
+    chain = [("Add Noise", ""), ("Multiply...", "value=2"), ("Median...", "radius=1")]
+    fused = _plan(run_all(df, chain))
+    assert fused.count("ArrowEvalPython") == 1
+    assert fused.count("_udf") == 1  # one fused UDF, not a 3-deep chain
+    unfused = df
+    for cmd, args in chain:
+        unfused = run_all(unfused, cmd, args)
+    assert _plan(unfused).count("_udf") == 3  # the shape fusion removes
+
+
+def test_img_sweep_multiply_single_arrow_hop(spark):
+    """Sweep fan-out + op + mean must fuse into one Python hop: the
+    broadcast fan-out stays JVM-side and op+mean share one UDF."""
+    from spark_ij_spark.operators import image_queries
+
+    plan = _plan(image_queries.q_img_sweep_multiply(spark, SF_DIR))
+    # ONE fused op+mean UDF; the only other Python hop is the image
+    # PRODUCER (mk_image). Never a separate node for the swept op
+    # (run_op_with_args_col's `_udf`) or a standalone mean UDF.
+    assert plan.count("op_mean") == 1
+    assert "_udf" not in plan and "img_mean" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # tiny param fan-out side

