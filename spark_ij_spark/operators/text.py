@@ -428,6 +428,61 @@ LIMIT {BM25_TOPN}
 Q_TEXT_BM25_SQL = _bm25_duck()
 
 
+# HLL relative standard deviation ≈ 1.04/sqrt(2^p); rsd=0.01 is the
+# tightest Spark accepts without erroring, well inside the pytest
+# tolerance band.
+VOCAB_HLL_RSD = 0.01
+
+
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language vocabulary size (distinct tokens + doc
+    count). COUNT(DISTINCT) is the exactness baseline: Spark plans it
+    as expand + two-phase aggregate, which shuffles every distinct
+    (lang, token) pair — fine here, the 100 TB twin is
+    q_text_vocab_approx below."""
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("token").alias("vocab_size"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+Q_TEXT_VOCAB_SQL = f"""
+SELECT lang,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab_size,
+       COUNT(*) AS n_tokens
+FROM (SELECT lang, unnest({TOKENS_DUCK}) AS token FROM documents)
+GROUP BY lang
+"""
+
+
+def q_text_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of q_text_vocab: HyperLogLog++ cardinality via
+    ``approx_count_distinct`` (rsd=VOCAB_HLL_RSD). Map-side the sketch
+    is O(2^p) registers per group regardless of token count, and
+    merge is register-wise max — no shuffle of distinct (lang, token)
+    pairs at all, where exact COUNT(DISTINCT) shuffles every one.
+    Sketch estimates are engine-specific, so this query carries a
+    tolerance pytest against the exact twin (3x the configured rsd)
+    rather than a DuckDB hash oracle; the driver records the
+    rows-only check."""
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+        .groupBy("lang")
+        .agg(
+            F.expr(
+                f"approx_count_distinct(token, {VOCAB_HLL_RSD}D)"
+            ).alias("vocab_size"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "text_bm25": q_text_bm25,
     "text_quality": q_text_quality,
@@ -436,6 +491,8 @@ QUERIES = {
     "text_token_topk": q_text_token_topk,
     "text_surprisal": q_text_surprisal,
     "text_fingerprint": q_text_fingerprint,
+    "text_vocab": q_text_vocab,
+    "text_vocab_approx": q_text_vocab_approx,
 }
 
 ORACLES = {
@@ -446,4 +503,7 @@ ORACLES = {
     "text_token_topk": Q_TEXT_TOKEN_TOPK_SQL,
     "text_surprisal": Q_TEXT_SURPRISAL_SQL,
     "text_fingerprint": Q_TEXT_FINGERPRINT_SQL,
+    "text_vocab": Q_TEXT_VOCAB_SQL,
+    # text_vocab_approx: sketch-based, tolerance-tested in pytest
+    # (tests/test_north_star.py), no hash oracle by design.
 }

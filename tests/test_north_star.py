@@ -13,7 +13,27 @@ from .conftest import assert_oracle_match
 
 @pytest.mark.parametrize("name", sorted(text.QUERIES))
 def test_text_query_matches_oracle(spark, duck, name):
+    if name not in text.ORACLES:
+        pytest.skip(f"{name} is sketch-based (tolerance-tested, no hash oracle)")
     assert_oracle_match(spark, duck, text.QUERIES[name], text.ORACLES[name])
+
+
+def test_text_vocab_approx_within_hll_error(spark):
+    """approx_count_distinct (HLL++, rsd=VOCAB_HLL_RSD) must land
+    within 3x the configured relative standard deviation of the exact
+    per-language vocabulary size, and must agree exactly on the
+    non-sketched n_tokens column. Run at sf0.1 for enough distinct
+    tokens per stratum."""
+    sf = "/root/testdata/sf0.1"
+    exact = {r["lang"]: r for r in text.q_text_vocab(spark, sf).collect()}
+    approx = {r["lang"]: r for r in text.q_text_vocab_approx(spark, sf).collect()}
+    assert set(exact) == set(approx) and len(exact) > 0
+    tol = 3 * text.VOCAB_HLL_RSD
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a["n_tokens"] == e["n_tokens"]
+        rel = abs(a["vocab_size"] - e["vocab_size"]) / e["vocab_size"]
+        assert rel <= tol, (lang, a["vocab_size"], e["vocab_size"], rel)
 
 
 @pytest.mark.parametrize("name", sorted(dedup.QUERIES))

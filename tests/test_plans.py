@@ -172,3 +172,36 @@ def test_img_sweep_multiply_single_arrow_hop(spark):
     assert plan.count("op_mean") == 1
     assert "_udf" not in plan and "img_mean" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # tiny param fan-out side
+
+
+def test_lsh_multiprobe_equi_join_no_cartesian(spark):
+    """Multiprobe candidate generation must stay an equi-join on the
+    probed bucket id — the probe fan-out is a map-only explode, never
+    an all-pairs or nested-loop shape — and fully JVM-side."""
+    from spark_ij_spark.operators import similarity
+
+    plan = _plan(similarity.q_ann_lsh_multiprobe(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # the only nested-loop joins are the tiny Range x Range plane-table
+    # builds the base LSH path already has — multiprobe must not add one
+    base = _plan(similarity.q_ann_lsh(spark, SF_DIR))
+    assert plan.count("BroadcastNestedLoopJoin") <= base.count(
+        "BroadcastNestedLoopJoin"
+    )
+
+
+def test_vocab_approx_is_single_pass_no_expand(spark):
+    """The HLL twin must aggregate sketches in one pass: no Expand node
+    (the COUNT(DISTINCT) rewrite) and no shuffle of distinct
+    (lang, token) pairs — that is the exact twin's cost."""
+    from spark_ij_spark.operators import text as text_ops
+
+    plan = _plan(text_ops.q_text_vocab_approx(spark, SF_DIR))
+    assert "Expand" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # sketches only
+    # the exact twin de-dups (lang, token) pairs first: one extra
+    # keyed exchange — the shuffle the sketch path exists to avoid
+    exact = _plan(text_ops.q_text_vocab(spark, SF_DIR))
+    assert exact.count("Exchange hashpartitioning") >= 2
