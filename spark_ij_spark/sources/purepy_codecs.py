@@ -10,12 +10,15 @@ opener, which this engine reaches through
 Scope (documented, checked, and raising clear errors outside it):
 
 - PNG — decode: 8/16-bit, gray / RGB / palette / gray+alpha / RGBA
-  (alpha stripped on ingest), all five scanline filters, no Adam7
-  interlace. Encode: filter-0 scanlines, 8/16-bit gray and 8-bit
-  RGB. CRCs written and verified with ``zlib.crc32``.
-- TIFF — little-endian baseline: uncompressed strips, gray
+  (alpha stripped on ingest), all five scanline filters, Adam7
+  interlace (byte-aligned depths). Encode: filter-0 scanlines,
+  8/16-bit gray and 8-bit RGB. CRCs written and verified with
+  ``zlib.crc32``.
+- TIFF — little-endian: uncompressed, LZW (early-change, with
+  horizontal-differencing predictor) and PackBits strips, gray
   uint8/uint16/uint32/int16/float32 and 8-bit RGB; multi-page IFD
   chains map to the image model's slice axis both directions.
+  Encode: uncompressed baseline.
 - PGM/PPM — binary P5/P6, 8/16-bit (16-bit is big-endian per spec).
 
 Everything decodes to the [h][w] / [h][w][3] shapes ``ensure_3d``
@@ -85,6 +88,44 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _deinterlace_adam7(
+    raw: bytes, width: int, height: int, bpp: int
+) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images, scattered back
+    onto the full raster. Byte-aligned depths only (8/16-bit, which is
+    all decode_png accepts), so each pass is a plain _unfilter over its
+    own reduced stride followed by a strided numpy scatter."""
+    out = np.zeros((height, width, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        if x0 >= width or y0 >= height:
+            continue
+        w_p = (width - x0 + dx - 1) // dx
+        h_p = (height - y0 + dy - 1) // dy
+        if w_p == 0 or h_p == 0:
+            continue
+        stride_p = w_p * bpp
+        span = h_p * (stride_p + 1)
+        sub = _unfilter(raw[pos : pos + span], h_p, stride_p, bpp)
+        pos += span
+        out[y0::dy, x0::dx, :] = sub.reshape(h_p, w_p, bpp)
+    if pos != len(raw):
+        raise ValueError("PNG: Adam7 data size mismatch")
+    return out.reshape(height, width * bpp)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     if data[:8] != PNG_SIG:
         raise ValueError("PNG: bad signature")
@@ -113,8 +154,8 @@ def decode_png(data: bytes) -> np.ndarray:
     width, height, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("PNG: nonstandard compression/filter method")
-    if interlace != 0:
-        raise ValueError("PNG: Adam7 interlace not supported by the pure codec")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
     if depth not in (8, 16):
         raise ValueError(f"PNG: bit depth {depth} not supported (8/16 only)")
     if color not in _PNG_CHANNELS:
@@ -123,9 +164,12 @@ def decode_png(data: bytes) -> np.ndarray:
     bpp = ch * depth // 8
     stride = width * bpp
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG: decompressed size mismatch")
-    flat = _unfilter(raw, height, stride, bpp)
+    if interlace == 1:
+        flat = _deinterlace_adam7(raw, width, height, bpp)
+    else:
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG: decompressed size mismatch")
+        flat = _unfilter(raw, height, stride, bpp)
     if depth == 16:
         arr = flat.reshape(height, stride).view(">u2").astype(np.uint16)
         arr = arr.reshape(height, width, ch)
@@ -232,6 +276,75 @@ def _read_ifd(data: bytes, off: int) -> tuple[dict[int, list], int]:
     return tags, nxt
 
 
+def _lzw_decode(buf: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, codes
+    start at 9 bits, ClearCode=256, EOI=257, first table entry 258,
+    and the TIFF "early change" — the code width grows one code EARLIER
+    than generic LZW, when the table reaches 2^width - 1."""
+    table: list[bytes] = []
+    width = 9
+
+    def reset() -> None:
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    reset()
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, nbits = 0, len(buf) * 8
+    while bitpos + width <= nbits:
+        byte0 = bitpos // 8
+        chunk = int.from_bytes(buf[byte0 : byte0 + 3].ljust(3, b"\x00"), "big")
+        code = (chunk >> (24 - (bitpos % 8) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == 256:
+            reset()
+            prev = None
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            if code > 255:
+                raise ValueError("TIFF LZW: literal expected after clear")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("TIFF LZW: code out of range")
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        if expected and len(out) >= expected:
+            break
+    return bytes(out)
+
+
+def _packbits_decode(buf: bytes) -> bytes:
+    """TIFF PackBits (compression 32773): run-length byte scheme."""
+    out = bytearray()
+    i = 0
+    while i < len(buf):
+        n = buf[i]
+        i += 1
+        if n < 128:
+            out += buf[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([buf[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    return bytes(out)
+
+
+_T_PREDICTOR = 317
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     if data[:4] == b"MM\x00*":
         raise ValueError("TIFF: big-endian files not supported by the pure codec")
@@ -244,19 +357,41 @@ def decode_tiff(data: bytes) -> np.ndarray:
         w = tags[_T_WIDTH][0]
         h = tags[_T_HEIGHT][0]
         comp = tags.get(_T_COMP, [1])[0]
-        if comp != 1:
-            raise ValueError(f"TIFF: compression {comp} not supported (baseline only)")
+        if comp not in (1, 5, 32773):
+            raise ValueError(
+                f"TIFF: compression {comp} not supported (none/LZW/PackBits)"
+            )
         spp = tags.get(_T_SPP, [1])[0]
         bits = tags.get(_T_BITS, [8])[0]
         fmt = tags.get(_T_SAMPLE_FMT, [_FMT_UINT])[0]
+        predictor = tags.get(_T_PREDICTOR, [1])[0]
         dt = _TIFF_DTYPES.get((bits, fmt))
         if dt is None:
             raise ValueError(f"TIFF: {bits}-bit sample format {fmt} not supported")
         offs = tags[_T_STRIP_OFF]
         cnts = tags.get(_T_STRIP_CNT, [h * w * spp * bits // 8])
-        buf = b"".join(data[o : o + c] for o, c in zip(offs, cnts))
+        rows_per = tags.get(_T_ROWS_PER_STRIP, [h])[0]
+        row_bytes = w * spp * bits // 8
+        strips = []
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            chunk = data[o : o + c]
+            if comp == 5:
+                nrows = min(rows_per, h - i * rows_per)
+                chunk = _lzw_decode(chunk, nrows * row_bytes)
+            elif comp == 32773:
+                chunk = _packbits_decode(chunk)
+            strips.append(chunk)
+        buf = b"".join(strips)
         arr = np.frombuffer(buf, dtype=np.dtype(dt).newbyteorder("<")).astype(dt)
-        pages.append(arr.reshape((h, w) if spp == 1 else (h, w, spp)))
+        arr = arr.reshape((h, w) if spp == 1 else (h, w, spp))
+        if predictor == 2:
+            # horizontal differencing: rows stored as per-channel deltas
+            arr = np.cumsum(
+                arr.astype(np.int64), axis=1, dtype=np.int64
+            ).astype(dt)
+        elif predictor != 1:
+            raise ValueError(f"TIFF: predictor {predictor} not supported")
+        pages.append(arr)
     if not pages:
         raise ValueError("TIFF: no pages")
     if len(pages) == 1:

@@ -273,3 +273,180 @@ def test_float_stack_survives_tiff_dispatch():
     back = codecs.decode_bytes(codecs.encode_array(stack, ".tif"), "s.tif")
     assert back.shape == (4, 5, 2)
     np.testing.assert_array_equal(back, stack)
+
+
+# --- PNG Adam7 interlace ----------------------------------------------
+
+
+def _interlace_adam7(arr: np.ndarray) -> bytes:
+    """Independent reference interlacer: split into the seven Adam7
+    passes, emit each pass's rows with filter byte 0, concatenate."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, _ch = a.shape
+    body = bytearray()
+    for x0, y0, dx, dy in pp._ADAM7:
+        sub = a[y0::dy, x0::dx, :]
+        if sub.size == 0:
+            continue
+        if sub.dtype == np.uint16:
+            rows = sub.astype(">u2").tobytes()
+        else:
+            rows = sub.astype(np.uint8).tobytes()
+        stride = len(rows) // sub.shape[0]
+        for y in range(sub.shape[0]):
+            body += b"\x00" + rows[y * stride : (y + 1) * stride]
+    return bytes(body)
+
+
+@pytest.mark.parametrize(
+    "arr",
+    [
+        (np.arange(13 * 9, dtype=np.uint8) * 31 % 256).reshape(9, 13),
+        (np.arange(15 * 20, dtype=np.uint16) * 199 % 65536).reshape(15, 20).astype(np.uint16),
+        (np.arange(7 * 5 * 3, dtype=np.uint8) * 37 % 256).reshape(5, 7, 3),
+    ],
+    ids=["gray8-odd", "gray16", "rgb8"],
+)
+def test_png_adam7_decode(arr):
+    a = np.asarray(arr)
+    depth = 16 if a.dtype == np.uint16 else 8
+    color = 2 if a.ndim == 3 else 0
+    h, w = a.shape[0], a.shape[1]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1)  # interlace=1
+    png = (
+        pp.PNG_SIG
+        + pp._png_chunk(b"IHDR", ihdr)
+        + pp._png_chunk(b"IDAT", zlib.compress(_interlace_adam7(a)))
+        + pp._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(pp.decode_png(png), arr)
+
+
+# --- TIFF LZW / PackBits ----------------------------------------------
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Independent TIFF-LZW compressor with libtiff's conventions:
+    MSB-first, clear=256, EOI=257, encoder widens when the next free
+    code reaches 2^w; the DECODER compensates by widening one code
+    early (2^w - 1) because its table lags the encoder's by one entry
+    — the TIFF 'early change'."""
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    out_bits.append((256, width))
+    w = b""
+    for ch in data:
+        k = bytes([ch])
+        if w + k in table:
+            w += k
+            continue
+        out_bits.append((table[w], width))
+        table[w + k] = nxt
+        nxt += 1
+        if nxt >= (1 << width) and width < 12:
+            width += 1
+        if nxt >= 4094:  # table nearly full: clear (libtiff CODE_MAX-1)
+            out_bits.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+        w = k
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))
+    acc = bitlen = 0
+    out = bytearray()
+    for code, cw in out_bits:
+        acc = (acc << cw) | code
+        bitlen += cw
+        while bitlen >= 8:
+            out.append((acc >> (bitlen - 8)) & 0xFF)
+            bitlen -= 8
+    if bitlen:
+        out.append((acc << (8 - bitlen)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_golden_all_zeros():
+    """Hand-derived code sequence for bytes([0,0,0,0]):
+    CLEAR, 0, 258 (the just-defined "00"), 0, EOI — all 9-bit."""
+    codes = [(256, 9), (0, 9), (258, 9), (0, 9), (257, 9)]
+    acc = bitlen = 0
+    golden = bytearray()
+    for code, cw in codes:
+        acc = (acc << cw) | code
+        bitlen += cw
+        while bitlen >= 8:
+            golden.append((acc >> (bitlen - 8)) & 0xFF)
+            bitlen -= 8
+    if bitlen:
+        golden.append((acc << (8 - bitlen)) & 0xFF)
+    assert _lzw_encode(bytes(4)) == bytes(golden)
+    assert pp._lzw_decode(bytes(golden), 4) == bytes(4)
+
+
+def test_lzw_roundtrip_exercises_width_growth():
+    # >253 distinct pairs forces the 9->10 bit early change
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, size=6000, dtype=np.uint8).tobytes()
+    assert pp._lzw_decode(_lzw_encode(data), len(data)) == data
+
+
+def _tiff_one_strip(arr: np.ndarray, comp: int, strip: bytes, predictor: int = 1) -> bytes:
+    """Minimal little-endian single-page TIFF with one strip."""
+    h, w = arr.shape[0], arr.shape[1]
+    spp = arr.shape[2] if arr.ndim == 3 else 1
+    bits = arr.dtype.itemsize * 8
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, bits), (259, 3, 1, comp),
+        (262, 3, 1, 1), (273, 4, 1, 0), (277, 3, 1, spp), (278, 4, 1, h),
+        (279, 4, 1, len(strip)), (317, 3, 1, predictor),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, ttype, count, val in entries:
+        ifd += struct.pack("<HHII", tag, ttype, count, val)
+    ifd += struct.pack("<I", 0)
+    header = struct.pack("<2sHI", b"II", 42, 8 + len(strip))
+    out = bytearray(header) + strip + ifd
+    # patch strip offset (tag 273) now that we know it: value at fixed pos
+    off_pos = len(header) + len(strip) + 2 + 12 * 5 + 8
+    struct.pack_into("<I", out, off_pos, len(header))
+    return bytes(out)
+
+
+def test_tiff_lzw_strip_decodes():
+    arr = (np.arange(11 * 17) * 23 % 256).astype(np.uint8).reshape(11, 17)
+    tif = _tiff_one_strip(arr, 5, _lzw_encode(arr.tobytes()))
+    np.testing.assert_array_equal(pp.decode_tiff(tif), arr)
+
+
+def test_tiff_lzw_with_horizontal_predictor():
+    arr = (np.arange(9 * 13) * 41 % 256).astype(np.uint8).reshape(9, 13)
+    deltas = np.diff(arr.astype(np.int16), axis=1, prepend=0).astype(np.uint8)
+    tif = _tiff_one_strip(arr, 5, _lzw_encode(deltas.tobytes()), predictor=2)
+    np.testing.assert_array_equal(pp.decode_tiff(tif), arr)
+
+
+def test_tiff_packbits_strip_decodes():
+    arr = np.concatenate([np.full(130, 7, np.uint8), np.arange(6, dtype=np.uint8)]).reshape(8, 17)
+    raw = arr.tobytes()
+    # hand-pack: one long run + a literal tail
+    packed = bytearray()
+    i = 0
+    while i < len(raw):
+        run = 1
+        while i + run < len(raw) and raw[i + run] == raw[i] and run < 128:
+            run += 1
+        if run >= 2:
+            packed += bytes([257 - run, raw[i]])
+            i += run
+        else:
+            j = i
+            while j < len(raw) and (j + 1 >= len(raw) or raw[j + 1] != raw[j]) and j - i < 128:
+                j += 1
+            packed += bytes([j - i - 1]) + raw[i:j]
+            i = j
+    tif = _tiff_one_strip(arr, 32773, bytes(packed))
+    np.testing.assert_array_equal(pp.decode_tiff(tif), arr)
