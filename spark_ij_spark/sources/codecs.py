@@ -12,14 +12,14 @@ formats have REAL pure-stdlib codec bodies (``purepy_codecs``):
 - ``.tif`` / ``.tiff``— little-endian baseline TIFF; multi-page IFD
   chains ↔ the image model's slice axis.
 - ``.pgm`` / ``.ppm`` — binary netpbm, 8/16-bit.
+- ``.bmp``            — uncompressed BI_RGB (8-bit palette / 24-bit).
 - ``.dcm`` / ``.dicom``— uncompressed little-endian DICOM (the format
   the reference's RDD tests exercise, IjRDDTests.scala:83-99).
 
-If PIL is installed it takes over the PNG path (and enables JPEG /
-GIF / BMP); those three remain import-gated because lossy/LZW codecs
-aren't reasonably reimplementable here — the dispatch, schema, and
-plumbing around them are real, only that codec body raises when the
-library is absent.
+If PIL is installed it enables JPEG / GIF; those two remain
+import-gated because lossy codecs aren't reasonably reimplementable
+here — the dispatch, schema, and plumbing around them are real, only
+that codec body raises when the library is absent.
 """
 
 from __future__ import annotations
@@ -33,9 +33,11 @@ from spark_ij_spark.datamodel import coerce_ingest, ensure_3d
 from spark_ij_spark.sources import purepy_codecs as pp
 
 #: suffixes with a real in-container codec
-NATIVE_SUFFIXES = (".npy", ".png", ".tif", ".tiff", ".pgm", ".ppm", ".dcm", ".dicom")
+NATIVE_SUFFIXES = (
+    ".npy", ".png", ".tif", ".tiff", ".pgm", ".ppm", ".bmp", ".dcm", ".dicom",
+)
 #: suffixes that need PIL (stubbed when PIL is absent)
-PIL_SUFFIXES = (".jpg", ".jpeg", ".gif", ".bmp")
+PIL_SUFFIXES = (".jpg", ".jpeg", ".gif")
 
 SUPPORTED_SUFFIXES = NATIVE_SUFFIXES + PIL_SUFFIXES
 
@@ -63,6 +65,8 @@ def decode_bytes(data: bytes, path: str) -> np.ndarray:
         return ensure_3d(coerce_ingest(pp.decode_tiff(data)))
     if sfx in (".pgm", ".ppm"):
         return ensure_3d(coerce_ingest(pp.decode_pnm(data)))
+    if sfx == ".bmp":
+        return ensure_3d(coerce_ingest(pp.decode_bmp(data)))
     if sfx in (".dcm", ".dicom"):
         return ensure_3d(coerce_ingest(pp.decode_dicom(data)))
     if sfx in PIL_SUFFIXES:
@@ -94,6 +98,8 @@ def encode_array(arr: np.ndarray, suffix: str = ".npy") -> bytes:
         return pp.encode_tiff(arr)
     if suffix in (".pgm", ".ppm"):
         return pp.encode_pnm(arr)
+    if suffix == ".bmp":
+        return pp.encode_bmp(arr)
     if suffix in (".dcm", ".dicom"):
         return pp.encode_dicom(arr)
     if suffix in PIL_SUFFIXES:

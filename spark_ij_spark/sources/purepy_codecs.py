@@ -14,12 +14,14 @@ Scope (documented, checked, and raising clear errors outside it):
   interlace (byte-aligned depths). Encode: filter-0 scanlines,
   8/16-bit gray and 8-bit RGB. CRCs written and verified with
   ``zlib.crc32``.
-- TIFF — little-endian: uncompressed, LZW (early-change, with
-  horizontal-differencing predictor) and PackBits strips, gray
+- TIFF — decode both byte orders: uncompressed, LZW (early-change,
+  with horizontal-differencing predictor) and PackBits strips, gray
   uint8/uint16/uint32/int16/float32 and 8-bit RGB; multi-page IFD
   chains map to the image model's slice axis both directions.
-  Encode: uncompressed baseline.
+  Encode: uncompressed little-endian baseline.
 - PGM/PPM — binary P5/P6, 8/16-bit (16-bit is big-endian per spec).
+- BMP — uncompressed BI_RGB: 8-bit palette / 24-bit / 32-bit decode
+  (bottom-up and top-down), 8-bit gray / 24-bit encode.
 
 Everything decodes to the [h][w] / [h][w][3] shapes ``ensure_3d``
 normalizes, so the rest of the engine is format-agnostic.
@@ -256,23 +258,23 @@ _TIFF_DTYPES = {
 }
 
 
-def _read_ifd(data: bytes, off: int) -> tuple[dict[int, list], int]:
-    (n,) = struct.unpack_from("<H", data, off)
+def _read_ifd(data: bytes, off: int, bo: str = "<") -> tuple[dict[int, list], int]:
+    (n,) = struct.unpack_from(f"{bo}H", data, off)
     tags: dict[int, list] = {}
     for i in range(n):
-        tag, ttype, count = struct.unpack_from("<HHI", data, off + 2 + 12 * i)
+        tag, ttype, count = struct.unpack_from(f"{bo}HHI", data, off + 2 + 12 * i)
         voff = off + 2 + 12 * i + 8
         size = {1: 1, 3: 2, 4: 4, 11: 4}.get(ttype)
         if size is None:
             continue  # tag type we don't need (rationals etc.)
         total = size * count
         if total > 4:
-            (pos,) = struct.unpack_from("<I", data, voff)
+            (pos,) = struct.unpack_from(f"{bo}I", data, voff)
         else:
             pos = voff
         fmt = {1: "B", 3: "H", 4: "I", 11: "f"}[ttype]
-        tags[tag] = list(struct.unpack_from(f"<{count}{fmt}", data, pos))
-    (nxt,) = struct.unpack_from("<I", data, off + 2 + 12 * n)
+        tags[tag] = list(struct.unpack_from(f"{bo}{count}{fmt}", data, pos))
+    (nxt,) = struct.unpack_from(f"{bo}I", data, off + 2 + 12 * n)
     return tags, nxt
 
 
@@ -347,13 +349,15 @@ _T_PREDICTOR = 317
 
 def decode_tiff(data: bytes) -> np.ndarray:
     if data[:4] == b"MM\x00*":
-        raise ValueError("TIFF: big-endian files not supported by the pure codec")
-    if data[:4] != b"II*\x00":
+        bo = ">"
+    elif data[:4] == b"II*\x00":
+        bo = "<"
+    else:
         raise ValueError("TIFF: bad header")
-    (off,) = struct.unpack_from("<I", data, 4)
+    (off,) = struct.unpack_from(f"{bo}I", data, 4)
     pages = []
     while off:
-        tags, off = _read_ifd(data, off)
+        tags, off = _read_ifd(data, off, bo)
         w = tags[_T_WIDTH][0]
         h = tags[_T_HEIGHT][0]
         comp = tags.get(_T_COMP, [1])[0]
@@ -382,7 +386,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
                 chunk = _packbits_decode(chunk)
             strips.append(chunk)
         buf = b"".join(strips)
-        arr = np.frombuffer(buf, dtype=np.dtype(dt).newbyteorder("<")).astype(dt)
+        arr = np.frombuffer(buf, dtype=np.dtype(dt).newbyteorder(bo)).astype(dt)
         arr = arr.reshape((h, w) if spp == 1 else (h, w, spp))
         if predictor == 2:
             # horizontal differencing: rows stored as per-channel deltas
@@ -670,3 +674,84 @@ def encode_pnm(arr: np.ndarray) -> bytes:
     magic = b"P6" if rgb else b"P5"
     head = magic + b"\n%d %d\n%d\n" % (a.shape[1], a.shape[0], maxval)
     return head + body
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows BITMAPINFOHEADER, BI_RGB uncompressed)
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB Windows bitmaps: 24-bit BGR and 32-bit BGRA
+    (alpha stripped) to RGB, 8-bit paletted (grayscale palettes become
+    gray, color palettes expand to RGB). Bottom-up rows (the common
+    case) and top-down (negative height) both handled; rows are padded
+    to 4-byte boundaries per spec."""
+    if data[:2] != b"BM":
+        raise ValueError("BMP: bad signature")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise ValueError("BMP: BITMAPCOREHEADER (OS/2) not supported")
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp, comp = struct.unpack_from("<HI", data, 28)
+    (clr_used,) = struct.unpack_from("<I", data, 46)
+    if comp != 0:
+        raise ValueError(f"BMP: compression {comp} not supported (BI_RGB only)")
+    topdown = h < 0
+    h = abs(h)
+    stride = ((bpp * w + 31) // 32) * 4
+    rows = np.frombuffer(data, np.uint8, count=h * stride, offset=pix_off)
+    rows = rows.reshape(h, stride)
+    if not topdown:
+        rows = rows[::-1]
+    if bpp == 24:
+        arr = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    elif bpp == 32:
+        arr = rows[:, : w * 4].reshape(h, w, 4)[:, :, 2::-1]  # BGRA → RGB
+    elif bpp == 8:
+        n_pal = clr_used or 256
+        pal = np.frombuffer(
+            data, np.uint8, count=n_pal * 4, offset=14 + hdr_size
+        ).reshape(n_pal, 4)[:, 2::-1]  # BGRX → RGB
+        idx = rows[:, :w]
+        if np.all(pal[:, 0] == pal[:, 1]) and np.all(pal[:, 1] == pal[:, 2]):
+            arr = pal[idx, 0]  # grayscale palette → gray
+        else:
+            arr = pal[idx]
+    else:
+        raise ValueError(f"BMP: {bpp}-bit not supported (8/24/32)")
+    return np.ascontiguousarray(arr)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """24-bit BI_RGB for RGB uint8; 8-bit grayscale-palette for gray
+    uint8. Rows bottom-up, 4-byte padded."""
+    a = np.asarray(arr)
+    if a.ndim == 4 and a.shape[2] == 1 and a.shape[3] == 3:
+        a = a[:, :, 0, :]
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    if a.dtype != np.uint8:
+        raise ValueError(f"BMP encode: dtype {a.dtype} unsupported (uint8 only)")
+    h, w = a.shape[0], a.shape[1]
+    if a.ndim == 3 and a.shape[2] == 3:
+        bpp, pal = 24, b""
+        body_rows = a[:, :, ::-1].reshape(h, w * 3)  # RGB → BGR
+    elif a.ndim == 2:
+        bpp = 8
+        pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+        body_rows = a
+    else:
+        raise ValueError(f"BMP encode: unsupported shape {a.shape}")
+    stride = ((bpp * w + 31) // 32) * 4
+    padded = np.zeros((h, stride), np.uint8)
+    padded[:, : body_rows.shape[1]] = body_rows
+    body = padded[::-1].tobytes()  # bottom-up
+    pix_off = 14 + 40 + len(pal)
+    header = struct.pack("<2sIHHI", b"BM", pix_off + len(body), 0, 0, pix_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body), 2835, 2835,
+        256 if bpp == 8 else 0, 0,
+    )
+    return header + info + pal + body

@@ -450,3 +450,73 @@ def test_tiff_packbits_strip_decodes():
             i = j
     tif = _tiff_one_strip(arr, 32773, bytes(packed))
     np.testing.assert_array_equal(pp.decode_tiff(tif), arr)
+
+
+# --- BMP ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "arr",
+    [
+        (np.arange(7 * 9) * 13 % 256).astype(np.uint8).reshape(7, 9),
+        (np.arange(5 * 6 * 3) * 7 % 256).astype(np.uint8).reshape(5, 6, 3),
+    ],
+    ids=["gray8", "rgb8"],
+)
+def test_bmp_roundtrip(arr):
+    np.testing.assert_array_equal(pp.decode_bmp(pp.encode_bmp(arr)), arr)
+
+
+def test_bmp_topdown_and_32bit():
+    """Negative height = top-down rows; 32-bit BGRA decodes with alpha
+    stripped. Hand-built container, independent of encode_bmp."""
+    rgb = (np.arange(3 * 4 * 3) * 11 % 256).astype(np.uint8).reshape(3, 4, 3)
+    h, w = 3, 4
+    bgra = np.dstack([rgb[:, :, ::-1], np.full((h, w), 200, np.uint8)])
+    body = bgra.reshape(h, w * 4).tobytes()  # stride w*4 = 16, already 4-aligned
+    pix_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", pix_off + len(body), 0, 0, pix_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(body), 0, 0, 0, 0)
+    np.testing.assert_array_equal(pp.decode_bmp(header + info + body), rgb)
+
+
+def test_bmp_color_palette_expands_to_rgb():
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in [(255, 0, 0), (0, 255, 0)])
+    pal += bytes(4) * 254
+    idx = np.array([[0, 1, 0, 1]], dtype=np.uint8)  # stride 4, aligned
+    pix_off = 14 + 40 + len(pal)
+    body = idx.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", pix_off + len(body), 0, 0, pix_off)
+    info = struct.pack("<IiiHHIIiiII", 40, 4, -1, 1, 8, 0, len(body), 0, 0, 256, 0)
+    out = pp.decode_bmp(header + info + pal + body)
+    np.testing.assert_array_equal(out[0, 0], [255, 0, 0])
+    np.testing.assert_array_equal(out[0, 1], [0, 255, 0])
+
+
+def test_codec_dispatch_bmp():
+    arr = (np.arange(6 * 4) * 3 % 256).astype(np.uint8).reshape(6, 4)
+    back = codecs.decode_bytes(codecs.encode_array(arr, ".bmp"), "x.bmp")
+    np.testing.assert_array_equal(back[:, :, 0], arr)
+
+
+# --- big-endian TIFF ---------------------------------------------------
+
+
+def test_tiff_big_endian_decodes():
+    """Hand-built MM (Motorola) uncompressed gray16 page."""
+    arr = (np.arange(4 * 5) * 999 % 65536).astype(np.uint16).reshape(4, 5)
+    strip = arr.astype(">u2").tobytes()
+    entries = [
+        (256, 4, 1, 5), (257, 4, 1, 4), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, 4),
+        (279, 4, 1, len(strip)),
+    ]
+    ifd = struct.pack(">H", len(entries))
+    for tag, ttype, count, val in entries:
+        if ttype == 3:  # SHORT value sits in the HIGH half big-endian
+            ifd += struct.pack(">HHIHH", tag, ttype, count, val, 0)
+        else:
+            ifd += struct.pack(">HHII", tag, ttype, count, val)
+    ifd += struct.pack(">I", 0)
+    data = struct.pack(">2sHI", b"MM", 42, 8 + len(strip)) + strip + ifd
+    np.testing.assert_array_equal(pp.decode_tiff(data), arr)
