@@ -356,6 +356,124 @@ GROUP BY first.cohort_week, week_index
 """
 
 
+# Salt fan-out for the two-stage aggregation. 16 sub-keys per hot key
+# is enough to spread a 5-key aggregate across a 32-executor stage;
+# at 1000 executors raise toward the executor count.
+SALT_BUCKETS = 16
+
+
+def q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation: per-event-type totals computed as a
+    two-stage SALTED aggregate.
+
+    ``groupBy(event_type)`` alone hashes 100 TB of events onto 5
+    reducer keys — 5 straggler tasks no matter how many executors.
+    Stage 1 groups on (event_type, salt) with salt = event_id %
+    SALT_BUCKETS, spreading each hot key over SALT_BUCKETS parallel
+    partial aggregates; stage 2 re-aggregates the 5 × SALT_BUCKETS
+    partials. Decimal sums are associative, so the result is
+    bit-identical to the single-stage form the oracle runs — the
+    partials stay DECIMAL between stages and only the final sum casts
+    to DOUBLE.
+    """
+    ev = _events(spark, sf_dir)
+    stage1 = (
+        ev.withColumn("salt", F.expr(f"event_id % {SALT_BUCKETS}"))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.expr("SUM(CAST(value AS DECIMAL(28,6)))").alias("pv"),
+        )
+    )
+    return (
+        stage1.groupBy("event_type")
+        .agg(
+            F.expr("CAST(SUM(pn) AS BIGINT)").alias("n_events"),
+            F.expr("CAST(SUM(pv) AS DOUBLE)").alias("sum_value"),
+        )
+        .withColumn(
+            "avg_value", F.expr("round(sum_value / n_events, 6)")
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_EVENTS_SALTED_AGG_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup hierarchy: hourly → daily → monthly
+    aggregates where each coarser level RE-AGGREGATES the previous
+    level's partials instead of rescanning the fact table.
+
+    The hourly frame (the only scan of events) is persisted; daily
+    sums hourly rows, monthly sums daily rows — at 100 TB that's one
+    fact-table pass plus two aggregations over O(hours) and O(days)
+    rows. Counts and decimal value-sums are associative, so every
+    level is bit-identical to aggregating the raw events directly
+    (which is exactly what the oracle does). Partials stay DECIMAL
+    between levels; only the emitted columns cast to DOUBLE.
+    """
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("SUM(CAST(value AS DECIMAL(28,6)))").alias("pv"),
+        )
+        .persist()
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket")
+    ).agg(F.expr("CAST(SUM(n) AS BIGINT)").alias("n"), F.expr("SUM(pv)").alias("pv"))
+    monthly = daily.groupBy(
+        F.date_trunc("month", F.col("bucket")).alias("bucket")
+    ).agg(F.expr("CAST(SUM(n) AS BIGINT)").alias("n"), F.expr("SUM(pv)").alias("pv"))
+
+    def _emit(frame: DataFrame, level: str) -> DataFrame:
+        return frame.select(
+            F.lit(level).alias("level"),
+            "bucket",
+            F.expr("CAST(n AS BIGINT)").alias("n_events"),
+            F.expr("CAST(pv AS DOUBLE)").alias("sum_value"),
+        )
+
+    return _emit(hourly, "hour").union(_emit(daily, "day")).union(
+        _emit(monthly, "month")
+    )
+
+
+Q_EVENTS_ROLLUP_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(28,6))) AS pv
+  FROM events GROUP BY 1),
+daily AS (
+  SELECT date_trunc('day', bucket) AS bucket, CAST(SUM(n) AS BIGINT) AS n,
+         SUM(pv) AS pv
+  FROM hourly GROUP BY 1),
+monthly AS (
+  SELECT date_trunc('month', bucket) AS bucket, CAST(SUM(n) AS BIGINT) AS n,
+         SUM(pv) AS pv
+  FROM daily GROUP BY 1)
+SELECT 'hour' AS level, bucket, CAST(n AS BIGINT) AS n_events,
+       CAST(pv AS DOUBLE) AS sum_value FROM hourly
+UNION ALL
+SELECT 'day', bucket, CAST(n AS BIGINT), CAST(pv AS DOUBLE) FROM daily
+UNION ALL
+SELECT 'month', bucket, CAST(n AS BIGINT), CAST(pv AS DOUBLE) FROM monthly
+"""
+
+
 QUERIES = {
     "events_sliding": q_events_sliding,
     "events_retention": q_events_retention,
@@ -365,6 +483,8 @@ QUERIES = {
     "events_running_totals": q_events_running_totals,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
+    "events_salted_agg": q_events_salted_agg,
+    "events_rollup": q_events_rollup,
 }
 
 ORACLES = {
@@ -375,4 +495,6 @@ ORACLES = {
     "events_running_totals": Q_EVENTS_RUNNING_TOTALS_SQL,
     "events_asof_join": Q_EVENTS_ASOF_SQL,
     "events_range_join": Q_EVENTS_RANGE_SQL,
+    "events_salted_agg": Q_EVENTS_SALTED_AGG_SQL,
+    "events_rollup": Q_EVENTS_ROLLUP_SQL,
 }

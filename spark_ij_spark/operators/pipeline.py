@@ -589,6 +589,229 @@ FROM c WHERE cum_tokens - n_tok < {TOKEN_BUDGET_PER_LANG}
 """
 
 
+# --- context-window chunking ------------------------------------------
+
+# Overlapping token windows: CHUNK_TOKENS per chunk, a new chunk every
+# CHUNK_STRIDE tokens (overlap = CHUNK_TOKENS - CHUNK_STRIDE).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+_CHUNK_NEW = CHUNK_TOKENS - CHUNK_STRIDE  # tokens a non-first chunk must add
+
+
+def q_pipeline_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping context-window chunks (the
+    retrieval / pretraining-window prep stage): token windows of
+    CHUNK_TOKENS with stride CHUNK_STRIDE.
+
+    A trailing start is emitted only if its chunk adds tokens beyond
+    the previous chunk's coverage (``s = 1 OR s + overlap <= n``), so
+    no chunk is a subset of its predecessor. Output carries the 60-bit
+    chunk-text hash, not the text — at 100 TB the chunk table is a
+    join key table, and re-slicing the source is cheaper than
+    duplicating it 1.33×.
+
+    Shape: map-only (tokenize → higher-order filter over the start
+    sequence → explode → slice), zero shuffles, whole-stage codegen
+    end-to-end; the explode multiplies rows ≈ n_tokens/stride, which
+    partitions absorb row-group-locally.
+    """
+    chunk = f"slice(toks, s, {CHUNK_TOKENS})"
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKENS_SPARK))
+        .withColumn(
+            "s",
+            F.explode(
+                F.expr(
+                    f"filter(sequence(1, size(toks), {CHUNK_STRIDE}),"
+                    f" s -> s = 1 OR s + {_CHUNK_NEW} <= size(toks))"
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"CAST((s - 1) DIV {CHUNK_STRIDE} AS BIGINT)").alias("chunk_id"),
+            F.expr("CAST(s AS BIGINT)").alias("start_token"),
+            F.expr(f"CAST(size({chunk}) AS BIGINT)").alias("n_chunk_tokens"),
+            F.expr(hash60_spark(f"concat_ws(' ', {chunk})")).alias("chunk_hash"),
+        )
+    )
+
+
+Q_PIPELINE_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
+st AS (
+  SELECT doc_id, toks,
+         unnest(list_filter(range(1, len(toks) + 1, {CHUNK_STRIDE}),
+                            s -> s = 1 OR s + {_CHUNK_NEW} <= len(toks))) AS s
+  FROM t),
+ch AS (
+  SELECT doc_id, s,
+         list_slice(toks, s, least(s + {CHUNK_TOKENS - 1}, len(toks))) AS chunk
+  FROM st)
+SELECT doc_id,
+       CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_token,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       {hash60_duck("array_to_string(chunk, ' ')")} AS chunk_hash
+FROM ch
+"""
+
+
+# --- model-based quality classifier inference -------------------------
+
+# Hashed-bag-of-words linear classifier (fastText-style inference): a
+# token hashes to one of CLF_BUCKETS feature buckets; the doc score is
+# the sum of the bucket weights. Weights are a fixed, deterministic
+# table (stand-in for trained parameters) chosen as multiples of 1/8 —
+# binary fractions, so every partial sum is exactly representable and
+# the score is order-independent in IEEE doubles (no decimal-sum
+# machinery needed, and no libm exp/sigmoid in the graded output).
+CLF_BUCKETS = 64
+CLF_WEIGHTS = tuple(((i * 37 + 11) % 13 - 6) / 8.0 for i in range(CLF_BUCKETS))
+
+_W_SPARK = "array(" + ", ".join(f"{w}D" for w in CLF_WEIGHTS) + ")"
+_W_DUCK = "[" + ", ".join(f"CAST({w} AS DOUBLE)" for w in CLF_WEIGHTS) + "]"
+
+
+def q_pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (the model-scored sibling of
+    the rule-based Gopher/C4 filters): per-doc linear margin from a
+    hashed-feature bag-of-words model, keep = margin > 0.
+
+    Inference is a pure Catalyst expression — tokenize → transform
+    each token to its hashed bucket weight → aggregate-sum → compare.
+    Map-only, zero shuffles, whole-stage codegen: at 100 TB this is
+    exactly a scan with a slightly more expensive projection, which is
+    what model-based filtering must compile to (a Python-UDF scorer
+    would bottleneck the whole corpus pass).
+    """
+    bucket = f"CAST(({hash60_spark('t')}) % {CLF_BUCKETS} AS INT) + 1"
+    score = (
+        f"aggregate(transform(toks, t -> element_at({_W_SPARK}, {bucket})),"
+        f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKENS_SPARK))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(f"round({score}, 6)").alias("quality_margin"),
+            F.expr(f"CAST({score} > 0 AS INT)").alias("kept"),
+        )
+    )
+
+
+_CLF_BUCKET_DUCK = f"CAST(({hash60_duck('t')}) % {CLF_BUCKETS} AS INT) + 1"
+_CLF_SCORE_DUCK = (
+    f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    f" list_transform(toks, t -> list_extract({_W_DUCK}, {_CLF_BUCKET_DUCK}))),"
+    f" (acc, x) -> acc + x)"
+)
+
+Q_PIPELINE_CLASSIFIER_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {TOKENS_DUCK} AS toks FROM documents)
+SELECT doc_id, lang,
+       round({_CLF_SCORE_DUCK}, 6) AS quality_margin,
+       CAST({_CLF_SCORE_DUCK} > 0 AS INT) AS kept
+FROM t
+"""
+
+
+# --- leakage-safe (cluster-aware) split -------------------------------
+
+
+def q_pipeline_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: every document hashes on its near-dup CLUSTER
+    representative (connected-component min doc_id) instead of its own
+    id, so a whole dup-cluster always lands in one split — the
+    split-time complement of dedup (leaving near-dups of training docs
+    in the test set inflates eval).
+
+    Output is per-split accounting plus ``max_splits_per_cluster``, a
+    graded witness of the no-leakage invariant (must be 1).
+
+    Scale shape: the cluster-label frame from the CC loop joins the
+    corpus on doc_id (labels exist only for docs in near-dup pairs — a
+    small fraction by construction, but not broadcast-safe at 100 TB,
+    so it's a keyed shuffle join AQE can downgrade to broadcast when
+    small); everything downstream is the map-only hash-split plus two
+    tiny aggregates. The labels frame is localCheckpoint()ed by the CC
+    loop, so its double use (witness + accounting) re-reads the
+    checkpoint, not the pair-graph pipeline.
+    """
+    from spark_ij_spark.operators.dedup import q_dedup_clusters
+
+    labels = q_dedup_clusters(spark, sf_dir)
+    bucket = f"({hash60_spark('CAST(rep AS STRING)')}) % 100"
+    split = (
+        f"CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train'"
+        f" WHEN {bucket} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'"
+        f" ELSE 'test' END"
+    )
+    s = (
+        _docs(spark, sf_dir)
+        .join(labels, "doc_id", "left")
+        .withColumn("rep", F.coalesce("cluster_rep", "doc_id"))
+        .withColumn("split", F.expr(split))
+    )
+    wit = F.broadcast(
+        s.where(F.col("cluster_rep").isNotNull())
+        .groupBy("cluster_rep")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.coalesce(F.max("ns"), F.lit(0))
+            .cast("bigint")
+            .alias("max_splits_per_cluster")
+        )
+    )
+    return (
+        s.crossJoin(wit)
+        .groupBy("split", "max_splits_per_cluster")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr(
+                "CAST(SUM(CASE WHEN cluster_rep IS NOT NULL THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_clustered_docs"),
+            F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("sum_chars"),
+        )
+    )
+
+
+def _leakage_split_sql() -> str:
+    from spark_ij_spark.operators.dedup import Q_DEDUP_CLUSTERS_SQL
+
+    bucket = f"({hash60_duck('CAST(rep AS VARCHAR)')}) % 100"
+    return f"""
+WITH labels AS (SELECT * FROM ({Q_DEDUP_CLUSTERS_SQL})),
+j AS (
+  SELECT d.doc_id, d.n_chars, l.cluster_rep,
+         COALESCE(l.cluster_rep, d.doc_id) AS rep
+  FROM documents d LEFT JOIN labels l USING (doc_id)),
+s AS (
+  SELECT *,
+         CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {bucket} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM j),
+wit AS (
+  SELECT CAST(COALESCE(MAX(ns), 0) AS BIGINT) AS max_splits_per_cluster
+  FROM (SELECT cluster_rep, COUNT(DISTINCT split) AS ns
+        FROM s WHERE cluster_rep IS NOT NULL GROUP BY cluster_rep))
+SELECT split, wit.max_splits_per_cluster,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN cluster_rep IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clustered_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM s CROSS JOIN wit
+GROUP BY split, wit.max_splits_per_cluster
+"""
+
+
 QUERIES = {
     "pipeline_hash_split": q_pipeline_hash_split,
     "pipeline_source_mix": q_pipeline_source_mix,
@@ -599,6 +822,9 @@ QUERIES = {
     "pipeline_c4_filter": q_pipeline_c4_filter,
     "pipeline_stratified_sample": q_pipeline_stratified_sample,
     "pipeline_token_budget": q_pipeline_token_budget,
+    "pipeline_chunk_windows": q_pipeline_chunk_windows,
+    "pipeline_leakage_split": q_pipeline_leakage_split,
+    "pipeline_quality_classifier": q_pipeline_quality_classifier,
 }
 
 ORACLES = {
@@ -611,4 +837,7 @@ ORACLES = {
     "pipeline_c4_filter": Q_PIPELINE_C4_SQL,
     "pipeline_stratified_sample": Q_PIPELINE_SAMPLE_SQL,
     "pipeline_token_budget": Q_PIPELINE_TOKEN_BUDGET_SQL,
+    "pipeline_chunk_windows": Q_PIPELINE_CHUNK_SQL,
+    "pipeline_leakage_split": _leakage_split_sql(),
+    "pipeline_quality_classifier": Q_PIPELINE_CLASSIFIER_SQL,
 }

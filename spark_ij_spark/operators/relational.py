@@ -696,6 +696,383 @@ FROM part
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bilateral trade volume: shipping between two
+    named nations, by supplier nation × customer nation × ship year.
+
+    Shape: fact-fact join (lineitem ⋈ orders) shuffled on orderkey,
+    then supplier/customer key joins, with BOTH nation lookups
+    broadcast (O(25) rows at any SF) so the disjunctive nation-pair
+    predicate is evaluated map-side right after the broadcast joins —
+    no shuffle ever carries rows outside the two nations of interest
+    beyond the first fact join.
+    """
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "orders", "supplier", "customer", "nation"]
+    )
+    n1 = F.broadcast(
+        t["nation"].select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        t["nation"].select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 6, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum_sql('volume', 6)} AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         EXTRACT(YEAR FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-line profit by nation × year (adapted:
+    the trimmed schema has no partsupp, so profit = discounted revenue
+    for parts whose name matches the product line).
+
+    Shape: the p_name LIKE filter prunes part BEFORE its join (filter
+    pushdown through the 5-way join), part joins lineitem on partkey,
+    then orderkey/suppkey joins, nation broadcast. Widest join tree in
+    the matrix — the test asserts Catalyst orders filters below joins.
+    """
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "orders", "supplier", "part", "nation"]
+    )
+    parts = t["part"].where(F.col("p_name").like("%gear%"))
+    return (
+        t["lineitem"]
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 6, "profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report: top-20 customers by lost
+    revenue from returned lineitems in one quarter.
+
+    Shape: date-filtered orders ⋈ returnflag-filtered lineitem (both
+    filters pushed to the scans), customer join, nation broadcast;
+    the top-k sort runs over grouped output only. Ties broken by
+    c_custkey for oracle determinism.
+    """
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t["lineitem"].where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 6, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: supplier(s) whose quarterly
+    revenue equals the maximum over all suppliers.
+
+    Shape: revenue per suppkey via one partial-aggregated shuffle; the
+    "= MAX" comparison joins against a broadcast 1-row MAX
+    re-aggregate (textbook scalar-subquery shape, two pruned scans).
+    Deliberately NOT a global window max: that funnels all
+    O(suppliers) aggregated rows through a single task at scale,
+    while the re-aggregate is fully partial-aggregated map-side and
+    broadcasts 1 row (no-Window plan-guarded).
+    """
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 6, "total_revenue"))
+    )
+    top = F.broadcast(rev.agg(F.max("total_revenue").alias("max_revenue")))
+    rev = rev.join(top, F.col("total_revenue") == F.col("max_revenue")).drop(
+        "max_revenue"
+    )
+    return (
+        rev.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive predicate: revenue from three
+    OR-ed (brand, size-range, quantity-range) conjunct groups
+    (adapted: p_container/l_shipmode are not in the trimmed schema).
+
+    Shape: the common conjunct (the partkey equi-join) is factored out
+    by Catalyst so the join stays a hash join with the OR-of-ANDs as a
+    post-join filter; per-branch part predicates still prune the
+    broadcast side scan. Single aggregate output row.
+    """
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    joined = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    branch = (
+        "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+        " AND l_quantity BETWEEN 1 AND 11)"
+        " OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
+        " AND l_quantity BETWEEN 10 AND 20)"
+        " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 "
+        " AND l_quantity BETWEEN 20 AND 30)"
+    )
+    return joined.where(F.expr(branch)).agg(
+        dsum("l_extendedprice * (1 - l_discount)", 6, "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_SQL = f"""
+SELECT {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction: parse the events ``props``
+    JSON column with built-in JSON path expressions (JVM-side, no
+    Python), bucket the extracted value, and aggregate per
+    (event_type, bucket).
+
+    Shape: map-only extraction fused into the scan stage, then one
+    partial-aggregated shuffle on the two low-cardinality keys. At
+    100 TB the JSON parse is the scan's CPU cost — it stays inside
+    whole-stage codegen (get_json_object), never a Python UDF.
+    """
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.select(
+            "event_type",
+            F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)").alias("k"),
+        )
+        .withColumn("k_bucket", F.expr("CAST(k DIV 10 AS BIGINT)"))
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(SUM(k) AS BIGINT)").alias("sum_k"),
+            F.expr("round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6)").alias("avg_k"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+Q_JSON_PROPS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, CAST(k // 10 AS BIGINT) AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_k
+FROM e
+GROUP BY event_type, k_bucket
+ORDER BY event_type, k_bucket
+"""
+
+
+# Fixed pivot columns: passing the value list to pivot() skips the
+# extra distinct-values job Spark otherwise runs, and keeps the output
+# schema static (a driver-contract requirement).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: hour-of-day event counts, one column per type.
+
+    groupBy(month).pivot(type, fixed_list).count() plans as two keyed
+    partial-aggregated shuffles: (month, type) pair counts, then a
+    pivot_first assembly over the O(months × types) aggregated rows —
+    the second exchange carries group counts, not events. Passing the
+    fixed value list skips the distinct-values pre-job Spark otherwise
+    runs. Missing combinations coalesce to 0 so the output is
+    NULL-free (driver hash contract).
+    """
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    piv = (
+        ev.withColumn("hour", F.hour("ts"))
+        .groupBy("hour")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return piv.select(
+        "hour",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    ).orderBy("hour")
+
+
+Q_EVENTS_PIVOT_SQL = f"""
+SELECT EXTRACT(hour FROM ts) AS hour,
+       {", ".join(
+           f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+           f" AS BIGINT) AS n_{t}"
+           for t in EVENT_TYPES
+       )}
+FROM events GROUP BY 1 ORDER BY hour
+"""
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface — mean, sample stddev, and
+    Pearson correlation of quantity vs extended price per return flag.
+
+    NOT Spark's built-in stddev/corr: those accumulate doubles in
+    partition order and drift across engines/partitionings. Instead
+    the five raw power sums are computed exactly (decimal pattern),
+    cast to double, and the moments derived per-group with scalar IEEE
+    arithmetic — bit-identical on any engine, any partition count.
+    One partial-aggregated shuffle on the 3-value group key.
+    """
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", 2, "sq"),
+        dsum("l_quantity * l_quantity", 4, "sqq"),
+        dsum("l_extendedprice", 2, "sp"),
+        dsum("l_extendedprice * l_extendedprice", 4, "spp"),
+        dsum("l_quantity * l_extendedprice", 4, "sqp"),
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.expr("round(sq / n, 6)").alias("mean_qty"),
+        F.expr("round(sqrt((sqq - sq * sq / n) / (n - 1)), 6)").alias("std_qty"),
+        F.expr("round(sp / n, 6)").alias("mean_price"),
+        F.expr(
+            "round((n * sqp - sq * sp) /"
+            " (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)"
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+Q_STATS_MOMENTS_SQL = f"""
+WITH sums AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         {dsum_sql('l_quantity', 2)} AS sq,
+         {dsum_sql('l_quantity * l_quantity', 4)} AS sqq,
+         {dsum_sql('l_extendedprice', 2)} AS sp,
+         {dsum_sql('l_extendedprice * l_extendedprice', 4)} AS spp,
+         {dsum_sql('l_quantity * l_extendedprice', 4)} AS sqp
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       round(sq / n, 6) AS mean_qty,
+       round(sqrt((sqq - sq * sq / n) / (n - 1)), 6) AS std_qty,
+       round(sp / n, 6) AS mean_price,
+       round((n * sqp - sq * sp) /
+             (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
+         AS corr_qty_price
+FROM sums ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -717,6 +1094,14 @@ QUERIES = {
     "q_events_funnel": q_events_funnel,
     "q_date_dims": q_date_dims,
     "q_scalar_funcs": q_scalar_funcs,
+    "q7_nation_volume": q7_nation_volume,
+    "q9_profit_by_nation": q9_profit_by_nation,
+    "q10_returned_items": q10_returned_items,
+    "q15_top_supplier": q15_top_supplier,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q_json_props": q_json_props,
+    "q_events_pivot": q_events_pivot,
+    "q_stats_moments": q_stats_moments,
 }
 
 ORACLES = {
@@ -740,4 +1125,12 @@ ORACLES = {
     "q_events_funnel": Q_EVENTS_FUNNEL_SQL,
     "q_date_dims": Q_DATE_DIMS_SQL,
     "q_scalar_funcs": Q_SCALAR_FUNCS_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "q9_profit_by_nation": Q9_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q_json_props": Q_JSON_PROPS_SQL,
+    "q_events_pivot": Q_EVENTS_PIVOT_SQL,
+    "q_stats_moments": Q_STATS_MOMENTS_SQL,
 }

@@ -483,6 +483,73 @@ def q_text_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_TERMS = 3
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: the top-3 highest-scoring terms per
+    document, score = tf × ln(N / df).
+
+    Shape (the canonical distributed TF-IDF):
+    1. explode → groupBy(doc, token): term frequencies, one
+       partial-aggregated shuffle;
+    2. groupBy(token) over that (already doc-distinct) frame: document
+       frequencies — no COUNT(DISTINCT) Expand;
+    3. tf ⋈ df equi-join on token (both sides shuffle on token — the
+       inverted-index shape; df is NOT broadcast because at 100 TB the
+       vocabulary is itself large);
+    4. per-doc top-k via row_number window over the scored frame
+       (partitioned by doc_id, so no global funnel).
+    N arrives as a broadcast 1-row count. ln/× are IEEE-identical
+    across engines on equal inputs, so the score hash-matches exactly.
+    """
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = F.broadcast(docs.agg(F.count("*").alias("n_docs")))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(n)
+        .withColumn(
+            "score",
+            F.expr("round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6)"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "rank", "token", "tf", "df", "score")
+    )
+
+
+Q_TEXT_TFIDF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents)
+  GROUP BY doc_id, token),
+df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n)
+SELECT doc_id, rank, token, tf, df, score
+FROM (
+  SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, token ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {TFIDF_TOP_TERMS}
+"""
+
+
 QUERIES = {
     "text_bm25": q_text_bm25,
     "text_quality": q_text_quality,
@@ -493,6 +560,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_vocab": q_text_vocab,
     "text_vocab_approx": q_text_vocab_approx,
+    "text_tfidf": q_text_tfidf,
 }
 
 ORACLES = {
@@ -504,6 +572,7 @@ ORACLES = {
     "text_surprisal": Q_TEXT_SURPRISAL_SQL,
     "text_fingerprint": Q_TEXT_FINGERPRINT_SQL,
     "text_vocab": Q_TEXT_VOCAB_SQL,
+    "text_tfidf": Q_TEXT_TFIDF_SQL,
     # text_vocab_approx: sketch-based, tolerance-tested in pytest
     # (tests/test_north_star.py), no hash oracle by design.
 }

@@ -205,3 +205,125 @@ def test_vocab_approx_is_single_pass_no_expand(spark):
     # keyed exchange — the shuffle the sketch path exists to avoid
     exact = _plan(text_ops.q_text_vocab(spark, SF_DIR))
     assert exact.count("Exchange hashpartitioning") >= 2
+
+
+def test_q7_q9_q10_broadcast_dims_no_python(spark):
+    """The wide TPC-H-style join trees keep nation lookups broadcast,
+    filters pushed to the scans, and never leave the JVM."""
+    for q in (
+        relational.q7_nation_volume,
+        relational.q9_profit_by_nation,
+        relational.q10_returned_items,
+    ):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, q.__name__
+        assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan, (
+            q.__name__
+        )
+        assert "EvalPython" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_q15_no_global_window_funnel(spark):
+    """The '= MAX' comparison must be a broadcast 1-row re-aggregate,
+    never a partition-less window (single-task funnel at scale)."""
+    plan = _plan(relational.q15_top_supplier(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    """OR-of-ANDs with a common equi-conjunct must still plan as a
+    hash join (Catalyst factors the join key out of the disjunction),
+    not a nested-loop join over the disjunction."""
+    plan = _plan(relational.q19_disjunctive_revenue(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_json_props_jvm_side_partial_agg(spark):
+    """JSON path extraction stays in codegen (no Python UDF) and the
+    aggregate partial-aggregates before its single exchange."""
+    plan = _plan(relational.q_json_props(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "get_json_object" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()
+
+
+def test_chunk_windows_map_only_zero_shuffle(spark):
+    """Chunking is tokenize→filter→explode→slice: a pure map stage.
+    Any Exchange here would ship the 1.33×-expanded chunk rows."""
+    plan = _plan(pipeline.q_pipeline_chunk_windows(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_tfidf_no_distinct_expand_no_python(spark):
+    """df must come from the already-doc-distinct tf frame (plain
+    count), never a COUNT(DISTINCT) Expand; scoring stays JVM-side.
+    The 1-row corpus count joins as a broadcast."""
+    plan = _plan(text.q_text_tfidf(spark, SF_DIR))
+    assert "Expand" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_events_pivot_single_exchange_partial_agg(spark):
+    """pivot with a fixed value list must compile to exactly the
+    two-phase aggregate (pair counts + tiny pivot_first assembly) —
+    no distinct-values pre-job, no Expand."""
+    plan = _plan(relational.q_events_pivot(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Expand" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_stats_moments_single_exchange_no_builtin_corr(spark):
+    """Moments derive from exact decimal power sums in one shuffle;
+    Spark's order-dependent corr/stddev aggregates must not appear."""
+    plan = _plan(relational.q_stats_moments(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "corr(" not in plan and "stddev" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_leakage_split_no_cartesian_no_python(spark):
+    """Cluster-aware split: corpus⋈labels stays a keyed equi-join and
+    the witness joins as a 1-row broadcast — never a cartesian
+    product; whole pipeline stays JVM-side."""
+    plan = _plan(pipeline.q_pipeline_leakage_split(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_quality_classifier_map_only_jvm(spark):
+    """Model inference must compile to a scan + projection: zero
+    shuffles, no Python worker."""
+    plan = _plan(pipeline.q_pipeline_quality_classifier(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_salted_agg_two_stage_shape(spark):
+    """The salted aggregate must show both stages (salted partial +
+    final re-aggregate) and stay JVM-side."""
+    plan = _plan(event_windows.q_events_salted_agg(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Expand" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_rollup_single_fact_scan(spark):
+    """The rollup hierarchy must scan events ONCE (hourly persist) and
+    derive daily/monthly from in-memory partials."""
+    df = event_windows.q_events_rollup(spark, SF_DIR)
+    df.collect()  # materialize the persisted hourly frame
+    plan = _plan(df)
+    # all three levels root at the cached hourly frame (the plan text
+    # repeats the cache's parquet lineage, so count cache reads, not
+    # scan strings)
+    assert plan.count("TableCacheQueryStage") == 3
+    assert "EvalPython" not in plan
