@@ -1073,6 +1073,48 @@ FROM sums ORDER BY l_returnflag
 """
 
 
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function surface: per-customer order timeline
+    with lag/lead navigation, quartile bucketing (ntile), and
+    percent_rank — one keyed window, every function sharing it.
+
+    All four functions evaluate in a single Window operator over one
+    hash-partition shuffle on o_custkey (plan-guarded): Spark merges
+    window expressions with identical (partition, order) specs. Ties
+    in the sort are broken by o_orderkey so ranks are deterministic.
+    """
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("CAST(o_totalprice AS DOUBLE)").alias("price"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.expr("round(percent_rank() OVER (PARTITION BY o_custkey"
+               " ORDER BY o_orderdate ASC, o_orderkey ASC), 6)").alias("pct_rank"),
+    ).withColumn("prev_price", F.expr("coalesce(prev_price, -1.0D)")).withColumn(
+        "next_price", F.expr("coalesce(next_price, -1.0D)")
+    )
+
+
+Q_WINDOW_FUNCS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS price,
+       COALESCE(lag(o_totalprice, 1) OVER w, -1.0) AS prev_price,
+       COALESCE(lead(o_totalprice, 1) OVER w, -1.0) AS next_price,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1102,6 +1144,7 @@ QUERIES = {
     "q_json_props": q_json_props,
     "q_events_pivot": q_events_pivot,
     "q_stats_moments": q_stats_moments,
+    "q_window_funcs": q_window_funcs,
 }
 
 ORACLES = {
@@ -1133,4 +1176,5 @@ ORACLES = {
     "q_json_props": Q_JSON_PROPS_SQL,
     "q_events_pivot": Q_EVENTS_PIVOT_SQL,
     "q_stats_moments": Q_STATS_MOMENTS_SQL,
+    "q_window_funcs": Q_WINDOW_FUNCS_SQL,
 }

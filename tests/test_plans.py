@@ -327,3 +327,12 @@ def test_rollup_single_fact_scan(spark):
     # scan strings)
     assert plan.count("TableCacheQueryStage") == 3
     assert "EvalPython" not in plan
+
+
+def test_window_funcs_single_window_single_shuffle(spark):
+    """lag/lead/ntile/percent_rank share one (partition, order) spec:
+    Spark must merge them into ONE Window operator over ONE shuffle."""
+    plan = _plan(relational.q_window_funcs(spark, SF_DIR))
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
