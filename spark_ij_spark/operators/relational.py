@@ -1115,6 +1115,71 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
 
 
+def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style double-correlated EXISTS/NOT-EXISTS (adapted:
+    the trimmed schema has no receipt/commit dates, so "late" becomes
+    "returned"): suppliers who shipped a returned lineitem on a
+    multi-supplier order where NO other supplier's items were returned
+    — the sole-blame supplier report.
+
+    Shape: both correlated subqueries decorrelate into aggregates +
+    left-semi joins — EXISTS(other supplier on the order) becomes a
+    per-order distinct-supplier count; NOT EXISTS(other supplier with
+    a returned item) becomes "exactly one distinct R-supplier on the
+    order". No per-row subquery execution, no nested-loop join
+    (plan-guarded); the oracle keeps the textbook NOT EXISTS form, so
+    the hash match proves the rewrite.
+    """
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    li = t["lineitem"]
+    r = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .where("ns >= 2")
+        .select("l_orderkey")
+    )
+    solo = (
+        r.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("nr"))
+        .where("nr = 1")
+        .select("l_orderkey")
+    )
+    return (
+        r.join(multi, "l_orderkey", "left_semi")
+        .join(solo, "l_orderkey", "left_semi")
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH multi AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2),
+r AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R')
+SELECT s_name, COUNT(*) AS numwait
+FROM r
+JOIN multi USING (l_orderkey)
+JOIN supplier ON r.l_suppkey = s_suppkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM r r2
+  WHERE r2.l_orderkey = r.l_orderkey AND r2.l_suppkey <> r.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1145,6 +1210,7 @@ QUERIES = {
     "q_events_pivot": q_events_pivot,
     "q_stats_moments": q_stats_moments,
     "q_window_funcs": q_window_funcs,
+    "q21_sole_blame_supplier": q21_sole_blame_supplier,
 }
 
 ORACLES = {
@@ -1177,4 +1243,5 @@ ORACLES = {
     "q_events_pivot": Q_EVENTS_PIVOT_SQL,
     "q_stats_moments": Q_STATS_MOMENTS_SQL,
     "q_window_funcs": Q_WINDOW_FUNCS_SQL,
+    "q21_sole_blame_supplier": Q21_SQL,
 }

@@ -13,13 +13,15 @@ formats have REAL pure-stdlib codec bodies (``purepy_codecs``):
   chains ↔ the image model's slice axis.
 - ``.pgm`` / ``.ppm`` — binary netpbm, 8/16-bit.
 - ``.bmp``            — uncompressed BI_RGB (8-bit palette / 24-bit).
+- ``.gif``            — GIF87a/89a first frame (LSB-first LZW, global/
+  local palettes, interlace); grayscale literal-LZW encode.
 - ``.dcm`` / ``.dicom``— uncompressed little-endian DICOM (the format
   the reference's RDD tests exercise, IjRDDTests.scala:83-99).
 
-If PIL is installed it enables JPEG / GIF; those two remain
-import-gated because lossy codecs aren't reasonably reimplementable
-here — the dispatch, schema, and plumbing around them are real, only
-that codec body raises when the library is absent.
+If PIL is installed it enables JPEG; that one remains import-gated
+because a lossy DCT codec isn't reasonably reimplementable here — the
+dispatch, schema, and plumbing around it are real, only that codec
+body raises when the library is absent.
 """
 
 from __future__ import annotations
@@ -34,10 +36,11 @@ from spark_ij_spark.sources import purepy_codecs as pp
 
 #: suffixes with a real in-container codec
 NATIVE_SUFFIXES = (
-    ".npy", ".png", ".tif", ".tiff", ".pgm", ".ppm", ".bmp", ".dcm", ".dicom",
+    ".npy", ".png", ".tif", ".tiff", ".pgm", ".ppm", ".bmp", ".gif",
+    ".dcm", ".dicom",
 )
 #: suffixes that need PIL (stubbed when PIL is absent)
-PIL_SUFFIXES = (".jpg", ".jpeg", ".gif")
+PIL_SUFFIXES = (".jpg", ".jpeg")
 
 SUPPORTED_SUFFIXES = NATIVE_SUFFIXES + PIL_SUFFIXES
 
@@ -67,6 +70,8 @@ def decode_bytes(data: bytes, path: str) -> np.ndarray:
         return ensure_3d(coerce_ingest(pp.decode_pnm(data)))
     if sfx == ".bmp":
         return ensure_3d(coerce_ingest(pp.decode_bmp(data)))
+    if sfx == ".gif":
+        return ensure_3d(coerce_ingest(pp.decode_gif(data)))
     if sfx in (".dcm", ".dicom"):
         return ensure_3d(coerce_ingest(pp.decode_dicom(data)))
     if sfx in PIL_SUFFIXES:
@@ -100,6 +105,8 @@ def encode_array(arr: np.ndarray, suffix: str = ".npy") -> bytes:
         return pp.encode_pnm(arr)
     if suffix == ".bmp":
         return pp.encode_bmp(arr)
+    if suffix == ".gif":
+        return pp.encode_gif(arr)
     if suffix in (".dcm", ".dicom"):
         return pp.encode_dicom(arr)
     if suffix in PIL_SUFFIXES:

@@ -755,3 +755,177 @@ def encode_bmp(arr: np.ndarray) -> bytes:
         256 if bpp == 8 else 0, 0,
     )
     return header + info + pal + body
+
+
+# --------------------------------------------------------------------------
+# GIF (87a/89a) — pure stdlib
+# --------------------------------------------------------------------------
+
+def _gif_lzw_decode(buf: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW (GIF89a spec, appendix F): LSB-first bit
+    packing, initial width = min_code_size + 1, ClearCode =
+    2^min_code_size, EOI = Clear + 1, and (unlike TIFF) NO early
+    change — the width grows when the table reaches 2^width, cap 12."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh() -> list[bytes]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, nbits = 0, len(buf) * 8
+    while bitpos + width <= nbits:
+        byte0 = bitpos // 8
+        chunk = int.from_bytes(buf[byte0 : byte0 + 3].ljust(3, b"\x00"), "little")
+        code = (chunk >> (bitpos % 8)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = fresh()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: literal expected after clear")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("GIF LZW: code out of range")
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _gif_deinterlace(idx: np.ndarray) -> np.ndarray:
+    """GIF 4-pass row interlace: rows 0::8, 4::8, 2::4, 1::2."""
+    h = idx.shape[0]
+    out = np.empty_like(idx)
+    src = 0
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        n = len(range(start, h, step))
+        out[start::step] = idx[src : src + n]
+        src += n
+    return out
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a stream: global or local color
+    table, optional interlace; grayscale palettes become gray (h, w),
+    color palettes expand to RGB (h, w, 3) — same convention as the
+    BMP/PNG palette paths."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("GIF: bad signature")
+    sw, sh, flags = struct.unpack_from("<HHB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{block:02x}")
+        _, _, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(data, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF: no color table")
+        min_code_size = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        raw = _gif_lzw_decode(bytes(lzw), min_code_size)
+        if len(raw) < w * h:
+            raise ValueError("GIF: truncated pixel data")
+        idx = np.frombuffer(raw[: w * h], np.uint8).reshape(h, w)
+        if iflags & 0x40:
+            idx = _gif_deinterlace(idx)
+        if np.all(pal[:, 0] == pal[:, 1]) and np.all(pal[:, 1] == pal[:, 2]):
+            return np.ascontiguousarray(pal[idx, 0])  # grayscale palette
+        return np.ascontiguousarray(pal[idx])
+    raise ValueError("GIF: no image descriptor found")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Grayscale GIF87a: 256-gray palette, literal LZW codes with a
+    Clear emitted before the 9-bit width would grow (valid,
+    modestly-compressed output every decoder accepts). RGB input would
+    need palette quantization — out of scope, raise like the other
+    palette encoders."""
+    a = np.asarray(arr)
+    if a.ndim == 4 and a.shape[2] == 1 and a.shape[3] == 3:
+        a = a[:, :, 0, :]
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    if a.ndim != 2:
+        raise ValueError(f"GIF encode: grayscale only, got shape {a.shape}")
+    if a.dtype != np.uint8:
+        raise ValueError(f"GIF encode: dtype {a.dtype} unsupported (uint8 only)")
+    h, w = a.shape
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # GCT, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([8])  # min code size
+    # LSB-first bit writer, all codes 9 bits wide
+    bits = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += 9
+        while n_acc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    emit(256)  # initial clear
+    pending = 0  # decoder table entries added since last clear
+    for p in a.tobytes():
+        # decoder grows past 9 bits once its table hits 512 entries
+        # (258 base + 253 adds); clear first so every code stays 9-bit
+        if pending == 253:
+            emit(256)
+            pending = 0
+        emit(p)
+        pending += 1
+    emit(257)  # EOI
+    if n_acc:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -520,3 +520,65 @@ def test_tiff_big_endian_decodes():
     ifd += struct.pack(">I", 0)
     data = struct.pack(">2sHI", b"MM", 42, 8 + len(strip)) + strip + ifd
     np.testing.assert_array_equal(pp.decode_tiff(data), arr)
+
+
+# --- GIF ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "arr",
+    [
+        (np.arange(7 * 9) * 13 % 256).astype(np.uint8).reshape(7, 9),
+        # > 253 pixels: exercises the mid-stream Clear codes that keep
+        # the literal-LZW encoder at 9-bit width
+        (np.arange(31 * 29) * 17 % 256).astype(np.uint8).reshape(31, 29),
+    ],
+    ids=["small", "multi_clear"],
+)
+def test_gif_roundtrip_gray(arr):
+    np.testing.assert_array_equal(pp.decode_gif(pp.encode_gif(arr)), arr)
+
+
+def test_gif_color_palette_expands_to_rgb():
+    """Patch a color palette into the encoder's gray-palette output:
+    palette entry i becomes (i, 255-i, 37); decode must expand indices
+    through it. (Palette bytes sit at a fixed offset: 13-byte header +
+    768-byte GCT.)"""
+    idx = (np.arange(6 * 5) * 11 % 256).astype(np.uint8).reshape(6, 5)
+    data = bytearray(pp.encode_gif(idx))
+    for i in range(256):
+        data[13 + 3 * i : 13 + 3 * i + 3] = bytes([i, 255 - i, 37])
+    out = pp.decode_gif(bytes(data))
+    assert out.shape == (6, 5, 3)
+    np.testing.assert_array_equal(out[:, :, 0], idx)
+    np.testing.assert_array_equal(out[:, :, 1], 255 - idx)
+    assert (out[:, :, 2] == 37).all()
+
+
+def test_gif_interlaced_rows_reordered():
+    """Encode rows pre-permuted into GIF's 4-pass interlace order and
+    set the interlace flag; decode must restore the original order."""
+    img = (np.arange(16 * 4) % 256).astype(np.uint8).reshape(16, 4)
+    inter = np.concatenate([img[0::8], img[4::8], img[2::4], img[1::2]])
+    data = bytearray(pp.encode_gif(inter))
+    desc = 13 + 768  # image descriptor: 0x2C + 9 bytes
+    assert data[desc] == 0x2C
+    data[desc + 9] |= 0x40  # interlace flag
+    np.testing.assert_array_equal(pp.decode_gif(bytes(data)), img)
+
+
+def test_gif_extension_blocks_skipped():
+    """A graphic-control extension (the 89a common case) before the
+    image descriptor must be skipped, not break parsing."""
+    arr = (np.arange(4 * 4) * 5 % 256).astype(np.uint8).reshape(4, 4)
+    data = pp.encode_gif(arr)
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, one 4-byte sub-block
+    patched = data[: 13 + 768] + ext + data[13 + 768 :]
+    np.testing.assert_array_equal(pp.decode_gif(b"GIF89a" + patched[6:]), arr)
+
+
+def test_codec_dispatch_gif():
+    arr = (np.arange(8 * 6) * 29 % 256).astype(np.uint8).reshape(8, 6)
+    back = codecs.decode_bytes(codecs.encode_array(arr, ".gif"), "x.gif")
+    assert back[:, :, 0].shape == arr.shape
+    np.testing.assert_array_equal(back[:, :, 0], arr)

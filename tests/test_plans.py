@@ -336,3 +336,14 @@ def test_window_funcs_single_window_single_shuffle(spark):
     assert plan.count("Window") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "EvalPython" not in plan
+
+
+def test_q21_decorrelated_no_nested_loop(spark):
+    """Both correlated EXISTS subqueries must decorrelate into
+    aggregate + semi-join shapes — no nested-loop or cartesian join,
+    supplier lookup broadcast."""
+    plan = _plan(relational.q21_sole_blame_supplier(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "EvalPython" not in plan
