@@ -1180,6 +1180,40 @@ LIMIT 20
 """
 
 
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: per-region CSV of nation names plus
+    collected-list cardinality — the listagg/string_agg surface.
+
+    collect_list is order-nondeterministic under parallelism, so the
+    result is sort_array()ed before concat_ws — that (and only that)
+    makes the aggregate partition-count-independent and lets it
+    hash-match DuckDB's ORDER BY string_agg. One broadcast join +
+    one tiny grouped aggregate.
+    """
+    t = load_tables(spark, sf_dir, ["region", "nation"])
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.expr("concat_ws(',', sort_array(collect_list(n_name)))").alias(
+                "nations_csv"
+            ),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+Q_STRING_AGG_SQL = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+       COUNT(DISTINCT n_name) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1211,6 +1245,7 @@ QUERIES = {
     "q_stats_moments": q_stats_moments,
     "q_window_funcs": q_window_funcs,
     "q21_sole_blame_supplier": q21_sole_blame_supplier,
+    "q_string_agg": q_string_agg,
 }
 
 ORACLES = {
@@ -1244,4 +1279,5 @@ ORACLES = {
     "q_stats_moments": Q_STATS_MOMENTS_SQL,
     "q_window_funcs": Q_WINDOW_FUNCS_SQL,
     "q21_sole_blame_supplier": Q21_SQL,
+    "q_string_agg": Q_STRING_AGG_SQL,
 }

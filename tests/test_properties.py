@@ -167,3 +167,44 @@ def test_hash60_cross_engine_identity(spark):
             f"SELECT {hash60_duck('?')}", [s]
         ).fetchone()
         assert got[s] == want, f"hash60 diverged on {s!r}"
+
+
+@given(
+    arrays(
+        dtype=np.uint8,
+        shape=st.tuples(st.integers(1, 40), st.integers(1, 40)),
+        elements=st.integers(0, 255),
+    )
+)
+@settings(**SMALL)
+def test_gif_roundtrip_lossless_any_gray(a):
+    from spark_ij_spark.sources.purepy_codecs import decode_gif, encode_gif
+
+    np.testing.assert_array_equal(decode_gif(encode_gif(a)), a)
+
+
+@given(st.integers(1, 400))
+@settings(**SMALL)
+def test_chunk_starts_cover_every_token_without_subset_chunks(n):
+    """Pure-python twin of the chunking start rule (s = 1 OR
+    s + overlap <= n over stride steps): every token lands in >= 1
+    chunk, and no chunk is a subset of its predecessor."""
+    from spark_ij_spark.operators.pipeline import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        _CHUNK_NEW,
+    )
+
+    starts = [
+        s
+        for s in range(1, n + 1, CHUNK_STRIDE)
+        if s == 1 or s + _CHUNK_NEW <= n
+    ]
+    covered = set()
+    prev_end = 0
+    for s in starts:
+        end = min(s + CHUNK_TOKENS - 1, n)
+        assert end > prev_end  # adds new tokens -> not a subset
+        covered.update(range(s, end + 1))
+        prev_end = end
+    assert covered == set(range(1, n + 1))
