@@ -40,46 +40,40 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _best_cluster_expr(cents: list[tuple[int, list[float]]]):
+def _best_cluster_expr(cents: list[tuple[int, list[float]]], xcol: str = "x"):
     """Column: argmin-over-centroids with literal centroid arrays
-    compiled into the expression (F.lit doubles — NOT SQL text, where a
-    decimal-point literal would parse as DECIMAL and poison the
-    arithmetic). The candidates build as ONE array-of-structs literal
-    (constant-folded by Catalyst) scored by a single transform+
-    aggregate lambda — identical arithmetic to unrolled per-candidate
-    expressions but ~K× less generated code, which keeps the per-
-    iteration codegen compile cheap. Scoring runs in whole-stage
-    codegen — a map-only pass; `array_min` over (score, cid) structs
-    is the lexicographic argmin with the cid tie-break."""
-    cand_structs = []
+    compiled into the expression. The candidates build as ONE
+    array-of-structs literal (constant-folded by Catalyst) scored by a
+    single transform+aggregate lambda — identical arithmetic to
+    unrolled per-candidate expressions but ~K× less generated code,
+    which keeps the per-iteration codegen compile cheap. Scoring runs
+    in whole-stage codegen — a map-only pass; `array_min` over
+    (score, cid) structs is the lexicographic argmin with the cid
+    tie-break.
+
+    Built as ONE SQL text expression, not nested Column objects: the
+    Column form costs one Py4J round-trip per literal (K×dim of them —
+    measured ~1.9 s of pure plan-build time at 16×4×16 in the PQ op,
+    and a per-iteration rebuild here), while one expr string is a
+    single round-trip parsed JVM-side. Every literal carries the `D`
+    suffix so it parses as DOUBLE — a bare decimal literal would parse
+    as DECIMAL and poison the arithmetic. |c|² is pre-summed in Python
+    left-to-right, the same sequential fold the engines use."""
+    cands = []
     for cid, c in cents:
-        arr = F.array(*[F.lit(float(v)) for v in c])
-        # Python's left-to-right sum matches the engines' sequential
-        # folds, so this |c|^2 is the same double either would compute.
+        arr = ", ".join(f"{float(v)}D" for v in c)
         cnorm = 0.0
         for v in c:
             cnorm += float(v) * float(v)
-        cand_structs.append(
-            F.struct(
-                arr.alias("c"),
-                F.lit(cnorm).alias("cnorm"),
-                F.lit(cid).alias("cid"),
-            )
+        cands.append(
+            f"named_struct('c', array({arr}), 'cnorm', {cnorm}D, 'cid', {cid})"
         )
-    cands = F.array(*cand_structs)
-
-    def score(cand):
-        dot = F.aggregate(
-            F.zip_with(F.col("x"), cand.getField("c"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.struct(
-            (dot * F.lit(-2.0) + cand.getField("cnorm")).alias("score"),
-            cand.getField("cid").alias("cid"),
-        )
-
-    return F.array_min(F.transform(cands, score)).getField("cid")
+    return F.expr(
+        f"array_min(transform(array({', '.join(cands)}), cand -> "
+        f"named_struct('score', aggregate(zip_with({xcol}, cand.c,"
+        " (a, b) -> a * b), 0.0D, (acc, v) -> acc + v) * -2.0D + cand.cnorm,"
+        " 'cid', cand.cid))).cid"
+    )
 
 
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -347,3 +347,16 @@ def test_q21_decorrelated_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert "EvalPython" not in plan
+
+
+def test_pq_encode_and_adc_shapes(spark):
+    """PQ: codebooks compile into literal argmin codegen (encode is
+    join-free), the LUT joins as a broadcast hash join on (m, code),
+    and nothing falls to Python or a cartesian product."""
+    from spark_ij_spark.operators import similarity
+
+    plan = _plan(similarity.q_ann_pq(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
