@@ -1214,6 +1214,232 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-MIN subquery over a
+    region-restricted supply relation (adapted: the trimmed schema has
+    no partsupp, so the supply relation is derived from lineitem —
+    each (part, supplier)'s unit cost is its cheapest observed
+    extendedprice/quantity).
+
+    Expressed decorrelated, the way Catalyst rewrites it and the only
+    shape that scales: aggregate the European supply side ONCE to a
+    per-part min cost, then equi-join back on (part, cost) instead of
+    running a subquery per row. nation⋈region is O(10) rows →
+    broadcast; supplier joins by key (it is NOT broadcast — at 100 TB
+    supplier is a real table). Unit cost is a single IEEE double
+    division, bit-identical in both engines, so the min and the
+    equality join are hash-safe without the decimal machinery.
+    """
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation", "region", "part"])
+    eu_nation = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supply = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.expr("l_extendedprice / l_quantity")).alias("supply_cost"))
+    )
+    eu_supply = (
+        supply.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(eu_nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", "supply_cost", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = eu_supply.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    wanted = t["part"].where((F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
+    return (
+        eu_supply.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mk"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .join(wanted, F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eu AS (
+  SELECT l_partkey, supply_cost, s_acctbal, s_name, n_name
+  FROM supply
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost
+FROM eu
+JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10 AND p_type = 'STANDARD'
+  AND supply_cost = (SELECT MIN(supply_cost) FROM eu eu2
+                     WHERE eu2.l_partkey = eu.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: orders⋈lineitem with dual conditional counts
+    (adapted: no l_shipmode column, so lines group by l_returnflag; the
+    high/low split keys on o_orderpriority exactly as in the spec).
+
+    One equi-join shuffled on orderkey, then a tiny grouped aggregate
+    over CASE sums — the conditional-aggregation surface. The shipdate
+    range predicate is a pushed-down parquet filter on the fact side.
+    """
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    hi = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(f"SUM(CASE WHEN {hi} THEN 1 ELSE 0 END)").alias("high_line_count"),
+            F.expr(f"SUM(CASE WHEN {hi} THEN 0 ELSE 1 END)").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    with a NOT-IN excluded-supplier subquery (adapted: the exclusion
+    predicate is s_acctbal < 0 — the trimmed supplier has no comment
+    column for the spec's '%Customer%Complaints%' match).
+
+    The NOT IN subquery becomes a broadcast left-anti join on the
+    O(excluded) key list; COUNT(DISTINCT l_suppkey) is a two-phase
+    distinct aggregate Catalyst expands (partials per (group, suppkey)
+    first), so the shuffle carries distinct pairs, not raw lineitems.
+    """
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    excluded = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    wanted = t["part"].where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+    )
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .join(wanted, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested correlated IN — suppliers whose holding
+    of a part exceeds half that part's yearly demand (adapted: with no
+    partsupp availqty, "holding" is the supplier's own 1996 shipped
+    quantity and the threshold is half the part's total 1996 shipments
+    across all suppliers — the same sum-per-part correlated predicate).
+
+    Decorrelated into two aggregates over ONE persisted filtered scan
+    (per part+supplier, then per part), an equi-join between them, and
+    a final left-semi join into supplier. Quantity sums use the exact
+    decimal pattern so the 0.5× threshold compares identically in both
+    engines. Part names filter ('%widget%') prunes before any shuffle.
+    """
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation"])
+    widget = t["part"].where(F.col("p_name").like("%widget%")).select("p_partkey")
+    li = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum("l_quantity", 2, "supp_qty")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        dsum("l_quantity", 2, "part_qty")
+    )
+    dominant = (
+        per_ps.join(per_part, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, {dsum_sql('l_quantity', 2)} AS supp_qty
+  FROM li GROUP BY l_partkey, l_suppkey),
+per_part AS (
+  SELECT l_partkey AS pk, {dsum_sql('l_quantity', 2)} AS part_qty
+  FROM li GROUP BY l_partkey)
+SELECT s_name, n_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT DISTINCT l_suppkey FROM per_ps
+  JOIN per_part ON l_partkey = pk
+  WHERE supp_qty > 0.5 * part_qty)
+ORDER BY s_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1246,6 +1472,10 @@ QUERIES = {
     "q_window_funcs": q_window_funcs,
     "q21_sole_blame_supplier": q21_sole_blame_supplier,
     "q_string_agg": q_string_agg,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q16_supplier_part_count": q16_supplier_part_count,
+    "q20_dominant_supplier": q20_dominant_supplier,
 }
 
 ORACLES = {
@@ -1280,4 +1510,8 @@ ORACLES = {
     "q_window_funcs": Q_WINDOW_FUNCS_SQL,
     "q21_sole_blame_supplier": Q21_SQL,
     "q_string_agg": Q_STRING_AGG_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q12_priority_shipping": Q12_SQL,
+    "q16_supplier_part_count": Q16_SQL,
+    "q20_dominant_supplier": Q20_SQL,
 }

@@ -360,3 +360,48 @@ def test_pq_encode_and_adc_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_q2_q12_q16_q20_shapes(spark):
+    """The four round-6 TPC-H shapes: dims broadcast, filters pushed to
+    the parquet scans, all-JVM plans, and never a cartesian / nested
+    loop (Q2's min-cost equality and Q20's half-sum threshold are
+    decorrelated into equi-joins)."""
+    for q in (
+        relational.q2_min_cost_supplier,
+        relational.q12_priority_shipping,
+        relational.q16_supplier_part_count,
+        relational.q20_dominant_supplier,
+    ):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, q.__name__
+        assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan, (
+            q.__name__
+        )
+        assert "EvalPython" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_redact_curriculum_map_only_jvm(spark):
+    """Redaction and curriculum mixing are map-only corpus passes: one
+    keyed exchange for the audit aggregate, zero Python, no joins."""
+    from spark_ij_spark.operators import pipeline
+
+    for q in (pipeline.q_pipeline_redact_terms, pipeline.q_pipeline_curriculum_mix):
+        plan = _plan(q(spark, SF_DIR))
+        assert "EvalPython" not in plan, q.__name__
+        assert "Join" not in plan, q.__name__
+        assert plan.count("Exchange hashpartitioning") == 1, q.__name__
+
+
+def test_shard_order_single_shuffle_window(spark):
+    """Training-order sharding: one exchange on the shard key feeding
+    the per-shard row_number window — no join, no global sort."""
+    from spark_ij_spark.operators import pipeline
+
+    plan = _plan(pipeline.q_pipeline_shard_order(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
