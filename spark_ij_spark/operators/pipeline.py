@@ -812,6 +812,239 @@ GROUP BY split, wit.max_splits_per_cluster
 """
 
 
+# --- blocklist-term redaction (scrub transform + audit) ---------------
+
+# Terms to mask from the corpus (stand-in for a PII / toxic-term
+# blocklist; the synthetic corpus has no emails/digits, so the list is
+# vocabulary words — the machinery is term-set-agnostic). 'secret'
+# never occurs: it exercises the zero-hit path.
+REDACT_TERMS = ("customer", "vector", "secret")
+REDACT_MASK = "[REDACTED]"
+
+
+def q_pipeline_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-term redaction with per-source audit — the scrub
+    TRANSFORM stage of a PII/toxicity pass (C4 drops whole documents;
+    production PII handling masks in place and keeps the doc).
+
+    Per doc, blocklisted tokens are counted and their character mass
+    measured (what masking saves/changes); the graded output is the
+    per-source audit a compliance pass must produce: docs touched,
+    terms masked, chars masked, and the redacted corpus size assuming
+    each hit is replaced by the mask token.
+
+    Scale shape: tokenize → higher-order filter/aggregate per row (all
+    Catalyst, no Python, no explode — the token array never leaves the
+    row) → one tiny per-source aggregate. A 100 TB scrub is exactly a
+    map-only corpus pass plus an O(sources) audit table; integer
+    character arithmetic keeps both engines bit-identical.
+    """
+    pred = f"t -> t IN ({_in_list(REDACT_TERMS)})"
+    n_hits = f"size(filter(toks, {pred}))"
+    chars_hit = (
+        f"aggregate(transform(filter(toks, {pred}), t -> length(t)),"
+        f" 0, (acc, x) -> acc + x)"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKENS_SPARK))
+        .withColumn("n_hits", F.expr(n_hits))
+        .withColumn("chars_hit", F.expr(chars_hit))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)").alias(
+                "docs_affected"
+            ),
+            F.expr("CAST(SUM(n_hits) AS BIGINT)").alias("terms_redacted"),
+            F.expr("CAST(SUM(chars_hit) AS BIGINT)").alias("chars_redacted"),
+            F.expr(
+                f"CAST(SUM(length(text) - chars_hit"
+                f" + n_hits * {len(REDACT_MASK)}) AS BIGINT)"
+            ).alias("redacted_corpus_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_REDACT_PRED_DUCK = f"t -> t IN ({_in_list(REDACT_TERMS)})"
+_REDACT_CHARS_DUCK = (
+    f"list_reduce(list_prepend(0, list_transform("
+    f"list_filter(toks, {_REDACT_PRED_DUCK}), t -> length(t))),"
+    f" (acc, x) -> acc + x)"
+)
+
+Q_PIPELINE_REDACT_SQL = f"""
+WITH t AS (SELECT source, text, {TOKENS_DUCK} AS toks FROM documents),
+m AS (
+  SELECT source, text,
+         len(list_filter(toks, {_REDACT_PRED_DUCK})) AS n_hits,
+         {_REDACT_CHARS_DUCK} AS chars_hit
+  FROM t)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected,
+       CAST(SUM(n_hits) AS BIGINT) AS terms_redacted,
+       CAST(SUM(chars_hit) AS BIGINT) AS chars_redacted,
+       CAST(SUM(length(text) - chars_hit + n_hits * {len(REDACT_MASK)}) AS BIGINT)
+         AS redacted_corpus_chars
+FROM m
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- curriculum mixing by quality bucket ------------------------------
+
+# Quality-score bucket edges (calibrated offline — at sf0.01 these sit
+# near the corpus quartiles) and per-bucket keep percentages: the
+# curriculum keeps all of the best bucket and thins progressively
+# toward the worst — the quality-weighted mixing stage (DoReMi-style
+# reweighting with fixed weights).
+CURRICULUM_EDGES = (0.62, 0.64, 0.66)
+CURRICULUM_KEEP_PCT = (25, 50, 75, 100)
+
+
+def q_pipeline_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-bucketed curriculum mixing: score every document with
+    the map-only composite quality expression, place it in a bucket by
+    fixed calibrated thresholds, then keep a per-bucket deterministic
+    hash fraction (higher quality → higher keep rate).
+
+    Scale shape: bucket edges are literals (from an offline
+    calibration job), so the whole pass is map-only scoring + the
+    hash-mod keep decision — zero shuffles before the O(buckets)
+    audit aggregate. No RNG: re-runs and retries keep identical docs.
+    The same pattern reweights any corpus-wide mix at 100 TB without
+    a sort or a sample() pass.
+    """
+    stop = _in_list(EN_STOPWORDS)
+    score = (
+        "round(0.25 * least(size(toks) / 100.0, 1.0)"
+        " + 0.25 * (1.0 - CAST(size(filter(toks, t -> t IN"
+        f" ({stop}))) AS DOUBLE) / size(toks))"
+        " + 0.25 * (CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks))"
+        " + 0.25 * least((CAST(length(text) - (size(toks) - 1) AS DOUBLE)"
+        " / size(toks)) / 8.0, 1.0), 6)"
+    )
+    e0, e1, e2 = CURRICULUM_EDGES
+    bucket = (
+        f"CASE WHEN q < {e0} THEN 0 WHEN q < {e1} THEN 1"
+        f" WHEN q < {e2} THEN 2 ELSE 3 END"
+    )
+    rate = "CASE " + " ".join(
+        f"WHEN bucket = {i} THEN {p}" for i, p in enumerate(CURRICULUM_KEEP_PCT)
+    ) + " END"
+    keep = f"({hash60_spark('CAST(doc_id AS STRING)')}) % 100 < {rate}"
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKENS_SPARK))
+        .withColumn("q", F.expr(score))
+        .withColumn("bucket", F.expr(bucket))
+        .withColumn("kept", F.expr(f"CAST({keep} AS INT)"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("CAST(SUM(kept) AS BIGINT)").alias("n_kept"),
+            F.expr("CAST(SUM(kept * size(toks)) AS BIGINT)").alias("kept_tokens"),
+            F.expr("round(MIN(q), 6)").alias("min_q"),
+            F.expr("round(MAX(q), 6)").alias("max_q"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _curriculum_sql() -> str:
+    stop = _in_list(EN_STOPWORDS)
+    score = (
+        "round(0.25 * least(len(toks) / 100.0, 1.0)"
+        " + 0.25 * (1.0 - CAST(len(list_filter(toks, t -> t IN"
+        f" ({stop}))) AS DOUBLE) / len(toks))"
+        " + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))"
+        " + 0.25 * least((CAST(length(text) - (len(toks) - 1) AS DOUBLE)"
+        " / len(toks)) / 8.0, 1.0), 6)"
+    )
+    e0, e1, e2 = CURRICULUM_EDGES
+    rate = "CASE " + " ".join(
+        f"WHEN bucket = {i} THEN {p}" for i, p in enumerate(CURRICULUM_KEEP_PCT)
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, text, {TOKENS_DUCK} AS toks FROM documents),
+s AS (SELECT doc_id, toks, {score} AS q FROM t),
+b AS (SELECT doc_id, toks, q,
+             CASE WHEN q < {e0} THEN 0 WHEN q < {e1} THEN 1
+                  WHEN q < {e2} THEN 2 ELSE 3 END AS bucket
+      FROM s),
+k AS (SELECT bucket, q, toks,
+             CAST(({hash60_duck('CAST(doc_id AS VARCHAR)')}) % 100 < {rate}
+                  AS INT) AS kept
+      FROM b)
+SELECT bucket, COUNT(*) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(kept * len(toks)) AS BIGINT) AS kept_tokens,
+       round(MIN(q), 6) AS min_q,
+       round(MAX(q), 6) AS max_q
+FROM k GROUP BY bucket ORDER BY bucket
+"""
+
+
+# --- deterministic training-order sharding ----------------------------
+
+# Shards are sized like training files (a few GB each in production);
+# the count scales with the corpus, so the per-shard window below is
+# bounded by shard size — the same bounded-window argument as
+# PACK_SHARD_DOCS in sequence packing.
+ORDER_SHARDS = 8
+
+
+def q_pipeline_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order materialization: every doc
+    gets a (shard, position) so the training loader can stream shards
+    sequentially and still see a corpus-wide pseudo-random order — the
+    distributed "global shuffle" without RNG state.
+
+    Shard assignment and within-shard order use INDEPENDENT 60-bit
+    hashes (different salt prefixes), so position within a shard is
+    uncorrelated with shard membership. Re-runs reproduce the exact
+    order; adding documents perturbs only their own placements.
+
+    Scale shape: one shuffle partitioned by shard; position is a
+    row_number window per shard, bounded because shard count scales
+    with corpus size (shards ≈ training-file-sized). No global sort,
+    no driver collection.
+    """
+    shard_h = hash60_spark("concat('s:', CAST(doc_id AS STRING))")
+    okey = hash60_spark("concat('o:', CAST(doc_id AS STRING))")
+    shard = f"({shard_h}) % {ORDER_SHARDS}"
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(f"CAST({shard} AS BIGINT)").alias("shard"),
+            F.expr(okey).alias("okey"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+Q_PIPELINE_SHARD_ORDER_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(({hash60_duck("'s:' || CAST(doc_id AS VARCHAR)")})
+              % {ORDER_SHARDS} AS BIGINT) AS shard,
+         {hash60_duck("'o:' || CAST(doc_id AS VARCHAR)")} AS okey
+  FROM documents)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id)
+            AS BIGINT) AS pos
+FROM s
+"""
+
+
 QUERIES = {
     "pipeline_hash_split": q_pipeline_hash_split,
     "pipeline_source_mix": q_pipeline_source_mix,
@@ -825,6 +1058,9 @@ QUERIES = {
     "pipeline_chunk_windows": q_pipeline_chunk_windows,
     "pipeline_leakage_split": q_pipeline_leakage_split,
     "pipeline_quality_classifier": q_pipeline_quality_classifier,
+    "pipeline_redact_terms": q_pipeline_redact_terms,
+    "pipeline_curriculum_mix": q_pipeline_curriculum_mix,
+    "pipeline_shard_order": q_pipeline_shard_order,
 }
 
 ORACLES = {
@@ -840,4 +1076,7 @@ ORACLES = {
     "pipeline_chunk_windows": Q_PIPELINE_CHUNK_SQL,
     "pipeline_leakage_split": _leakage_split_sql(),
     "pipeline_quality_classifier": Q_PIPELINE_CLASSIFIER_SQL,
+    "pipeline_redact_terms": Q_PIPELINE_REDACT_SQL,
+    "pipeline_curriculum_mix": _curriculum_sql(),
+    "pipeline_shard_order": Q_PIPELINE_SHARD_ORDER_SQL,
 }

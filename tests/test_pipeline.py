@@ -166,3 +166,69 @@ def test_token_budget_subset_is_budget_bound(spark, sf_dir, duck):
         for r in rs:
             run += r.n_tok
             assert r.cum_tokens == run
+
+
+def test_redact_terms_audit_consistency(spark, sf_dir):
+    """Redaction audit: chars balance exactly (original chars − masked
+    chars + mask token chars = redacted corpus chars) and docs_affected
+    never exceeds n_docs."""
+    rows = pipeline.q_pipeline_redact_terms(spark, sf_dir).collect()
+    assert rows, "audit must cover every source"
+    from spark_ij_spark.operators.text import _docs
+
+    orig = {
+        r.source: r.chars
+        for r in _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(__import__("pyspark").sql.functions.expr(
+            "CAST(SUM(length(text)) AS BIGINT)").alias("chars"))
+        .collect()
+    }
+    mask_len = len(pipeline.REDACT_MASK)
+    for r in rows:
+        assert 0 <= r.docs_affected <= r.n_docs
+        assert r.redacted_corpus_chars == (
+            orig[r.source] - r.chars_redacted + r.terms_redacted * mask_len
+        )
+
+
+def test_curriculum_mix_rates_monotone(spark, sf_dir):
+    """Higher-quality buckets keep a (weakly) larger fraction, the top
+    bucket keeps everything, and bucket bounds respect the edges."""
+    rows = sorted(
+        pipeline.q_pipeline_curriculum_mix(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    fracs = [r.n_kept / r.n_docs for r in rows]
+    top = rows[-1]
+    assert top.n_kept == top.n_docs  # 100% keep rate
+    # sampling noise at small strata: check ordering loosely via rates
+    for i, r in enumerate(rows):
+        assert r.n_kept <= r.n_docs
+        lo = pipeline.CURRICULUM_EDGES[i - 1] if i > 0 else 0.0
+        hi = (
+            pipeline.CURRICULUM_EDGES[i]
+            if i < len(pipeline.CURRICULUM_EDGES)
+            else 1.0
+        )
+        assert lo <= r.min_q <= r.max_q <= hi + 1e-9
+    assert fracs[-1] >= fracs[0]
+
+
+def test_shard_order_is_a_permutation(spark, sf_dir):
+    """Every doc appears exactly once; positions are 1..len(shard) per
+    shard; assignment is deterministic across runs."""
+    rows = pipeline.q_pipeline_shard_order(spark, sf_dir).collect()
+    docs = [r.doc_id for r in rows]
+    assert len(docs) == len(set(docs))
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(pipeline.ORDER_SHARDS))
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    again = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in pipeline.q_pipeline_shard_order(spark, sf_dir).collect()
+    }
+    assert again == {r.doc_id: (r.shard, r.pos) for r in rows}
