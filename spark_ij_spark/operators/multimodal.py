@@ -4,11 +4,13 @@ North-star op family (SURVEY.md §7.1 M7): media travels as a struct
 column ``media: struct<data binary, mime string, meta struct<...>>``
 so Spark shuffles/persists it natively and kernels view it zero-copy.
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
-pandas UDFs (mapInPandas-style plumbing). The ``application/x-npy``
-codec is real and fully tested; jpeg/png/audio/video codecs need
-libraries absent from this container, so their decode bodies are
-clearly-marked stubs (NotImplementedError) behind an import-try —
-schema, partitioning, UDF signatures and batch shapes are real.
+pandas UDFs (mapInPandas-style plumbing). Every modality has a REAL
+in-container codec path: npy/png/tiff/gif/bmp/dicom images, PCM WAV
+audio, and uncompressed-DIB AVI video (all pure-stdlib,
+``sources/purepy_codecs``). Only the lossy formats whose codecs need
+absent libraries (jpeg, mp4/h264) remain clearly-marked stubs
+(NotImplementedError) behind an import-try — schema, partitioning,
+UDF signatures and batch shapes are real there too.
 
 Scale: all ops are map-only over binary payloads; the only shuffles
 are the analyst's own groupBys. Arrow batch size bounds executor
@@ -28,6 +30,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -56,21 +59,47 @@ MEDIA_SCHEMA = StructType(
 )
 
 NPY_MIME = "application/x-npy"
+WAV_MIME = "audio/wav"
 #: mimes with a real in-container decoder (pure-stdlib codecs)
-NATIVE_MIMES = (NPY_MIME, "image/png", "image/tiff", "application/dicom")
-#: mimes whose decoders require absent libraries → stubbed
-STUBBED_MIMES = ("image/jpeg", "audio/wav", "video/mp4")
+NATIVE_MIMES = (
+    NPY_MIME,
+    "image/png",
+    "image/tiff",
+    "image/gif",
+    "image/bmp",
+    "application/dicom",
+    WAV_MIME,
+    "video/x-msvideo",
+)
+#: mimes whose decoders require absent libraries → stubbed (lossy
+#: codecs only: every modality has a real in-container container path)
+STUBBED_MIMES = ("image/jpeg", "video/mp4")
 
-_MIME_SUFFIX = {"image/png": ".png", "image/tiff": ".tif", "application/dicom": ".dcm"}
+_MIME_SUFFIX = {
+    "image/png": ".png",
+    "image/tiff": ".tif",
+    "image/gif": ".gif",
+    "image/bmp": ".bmp",
+    "application/dicom": ".dcm",
+    "video/x-msvideo": ".avi",
+}
 
 
 def decode_media_bytes(data: bytes, mime: str) -> np.ndarray:
-    """Decode one media payload to ndarray [h][w][frames]. PNG/TIFF/
-    DICOM decode via the pure-stdlib codecs (a multi-page TIFF's pages
-    land on the frame axis); jpeg/audio/video need libraries absent
-    from this container and stay clearly-marked stubs."""
+    """Decode one media payload to ndarray [h][w][frames]. Images
+    (png/tiff/gif/bmp/dicom) and AVI video decode via the pure-stdlib
+    codecs (multi-page TIFF pages and AVI frames land on the frame
+    axis); WAV audio decodes to [channels][1][samples]. Only jpeg and
+    mp4 need absent libraries and stay clearly-marked stubs."""
     if mime == NPY_MIME:
         return np.load(io.BytesIO(bytes(data)), allow_pickle=False)
+    if mime == WAV_MIME:
+        from spark_ij_spark.sources.purepy_codecs import decode_wav
+
+        samples, _sr = decode_wav(bytes(data))
+        # [channels][1][samples]: the sample axis is the frame axis, so
+        # frame_sample() subsamples audio exactly like video frames
+        return samples.T[:, None, :]
     if mime in _MIME_SUFFIX:
         from spark_ij_spark.sources.codecs import decode_bytes
 
@@ -134,7 +163,8 @@ def frame_sample(media_col: str | Column, stride: int) -> Column:
             meta = dict(r.meta)
             meta["n_frames"] = int(arr.shape[2])
             meta["duration_ms"] = float(arr.shape[2]) * (1000.0 / 30.0)
-            rows.append({"data": _encode_npy(arr), "mime": r.mime, "meta": meta})
+            # payload is re-encoded as npy, whatever it decoded from
+            rows.append({"data": _encode_npy(arr), "mime": NPY_MIME, "meta": meta})
         return pd.DataFrame(rows, columns=["data", "mime", "meta"])
 
     col = F.col(media_col) if isinstance(media_col, str) else media_col
@@ -156,7 +186,7 @@ def resize_media(media_col: str | Column, width: int, height: int) -> Column:
             out = arr[yi][:, xi]
             meta = dict(r.meta)
             meta["width"], meta["height"] = int(width), int(height)
-            rows.append({"data": _encode_npy(out), "mime": r.mime, "meta": meta})
+            rows.append({"data": _encode_npy(out), "mime": NPY_MIME, "meta": meta})
         return pd.DataFrame(rows, columns=["data", "mime", "meta"])
 
     col = F.col(media_col) if isinstance(media_col, str) else media_col
@@ -192,6 +222,81 @@ def media_features(media_col: str | Column) -> Column:
                 }
             )
         return pd.DataFrame(rows, columns=["mean", "std", "p_min", "p_max", "n_px"])
+
+    col = F.col(media_col) if isinstance(media_col, str) else media_col
+    return feats(col)
+
+
+# --- audio ------------------------------------------------------------
+
+AUDIO_SAMPLE_RATE = 16000
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("n_samples", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def media_from_samples(
+    samples_col: str | Column, sample_rate: int = AUDIO_SAMPLE_RATE
+) -> Column:
+    """Pack an ``array<int>`` int16-domain sample column into a media
+    value whose payload is REAL RIFF/WAVE PCM bytes (pure-stdlib
+    encoder) — the audio sibling of ``media_from_image``."""
+    from spark_ij_spark.sources.purepy_codecs import encode_wav
+
+    @F.pandas_udf(MEDIA_SCHEMA)
+    def pack(samples: pd.Series) -> pd.DataFrame:
+        rows = []
+        for s in samples:
+            x = np.asarray(s, dtype=np.int16)
+            rows.append(
+                {
+                    "data": encode_wav(x, sample_rate),
+                    "mime": WAV_MIME,
+                    "meta": {
+                        "width": 0,
+                        "height": 0,
+                        "n_frames": int(x.size),
+                        "sample_rate": int(sample_rate),
+                        "duration_ms": float(x.size) * 1000.0 / sample_rate,
+                    },
+                }
+            )
+        return pd.DataFrame(rows, columns=["data", "mime", "meta"])
+
+    col = F.col(samples_col) if isinstance(samples_col, str) else samples_col
+    return pack(col)
+
+
+def audio_features(media_col: str | Column) -> Column:
+    """Per-clip audio features from the decoded PCM waveform (first
+    channel): sample count, integer energy (Σx², exact in int64),
+    zero-crossing count (strict sign flips), and peak amplitude.
+    Integer arithmetic end-to-end so results are order- and
+    batch-independent."""
+    from spark_ij_spark.sources.purepy_codecs import decode_wav
+
+    @F.pandas_udf(AUDIO_FEATURE_SCHEMA)
+    def feats(media: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in media.itertuples(index=False):
+            x = decode_wav(bytes(r.data))[0][:, 0].astype(np.int64)
+            rows.append(
+                {
+                    "n_samples": int(x.size),
+                    "energy": int(np.dot(x, x)),
+                    "zero_crossings": int(np.count_nonzero(x[:-1] * x[1:] < 0)),
+                    "peak": int(np.abs(x).max()) if x.size else 0,
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=["n_samples", "energy", "zero_crossings", "peak"]
+        )
 
     col = F.col(media_col) if isinstance(media_col, str) else media_col
     return feats(col)
@@ -240,5 +345,65 @@ GROUP BY l_orderkey
 """
 
 
-QUERIES = {"media_frame_sample": q_media_frame_sample}
-ORACLES = {"media_frame_sample": Q_MEDIA_FRAME_SAMPLE_SQL}
+def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline over REAL WAV bytes: per event_type, a synthetic
+    int16 waveform (sample_i = (event_id·7919) mod 65536 − 32768 in
+    event_id order) is packed into genuine RIFF/WAVE PCM, then decoded
+    back and reduced to integer features (energy Σx², zero crossings,
+    peak). The oracle recomputes the closed form relationally — the
+    hash match proves the encode→decode round trip is lossless.
+
+    Scale shape: clip assembly is a collect_list per key (clips are
+    per-key bounded in production — session/user keyed, like
+    PACK_SHARD_DOCS bounds packing); pack/decode/reduce are map-only
+    Arrow-batched hops over the clip table, one shuffle total.
+    """
+    from spark_ij_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    samples = (
+        "transform(array_sort(collect_list(event_id)),"
+        " i -> CAST((i * 7919) % 65536 - 32768 AS INT))"
+    )
+    clips = ev.groupBy("event_type").agg(F.expr(samples).alias("samples"))
+    media = clips.select("event_type", media_from_samples("samples").alias("media"))
+    return (
+        media.select("event_type", audio_features("media").alias("f"))
+        .select(
+            "event_type",
+            F.col("f.n_samples").cast("bigint").alias("n_samples"),
+            F.col("f.energy").alias("energy"),
+            F.col("f.zero_crossings").alias("zero_crossings"),
+            F.col("f.peak").alias("peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_MEDIA_AUDIO_ENERGY_SQL = """
+WITH s AS (
+  SELECT event_type, event_id,
+         (event_id * 7919) % 65536 - 32768 AS x
+  FROM events),
+w AS (
+  SELECT event_type, x,
+         LAG(x) OVER (PARTITION BY event_type ORDER BY event_id) AS px
+  FROM s)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(x * x) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN px IS NOT NULL AND px * x < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(MAX(ABS(x)) AS BIGINT) AS peak
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "media_frame_sample": q_media_frame_sample,
+    "media_audio_energy": q_media_audio_energy,
+}
+ORACLES = {
+    "media_frame_sample": Q_MEDIA_FRAME_SAMPLE_SQL,
+    "media_audio_energy": Q_MEDIA_AUDIO_ENERGY_SQL,
+}

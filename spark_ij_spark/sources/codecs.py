@@ -15,6 +15,8 @@ formats have REAL pure-stdlib codec bodies (``purepy_codecs``):
 - ``.bmp``            — uncompressed BI_RGB (8-bit palette / 24-bit).
 - ``.gif``            — GIF87a/89a first frame (LSB-first LZW, global/
   local palettes, interlace); grayscale literal-LZW encode.
+- ``.avi``            — uncompressed 8-bit-palette DIB frames in the
+  RIFF container; frames ↔ the image model's slice axis.
 - ``.dcm`` / ``.dicom``— uncompressed little-endian DICOM (the format
   the reference's RDD tests exercise, IjRDDTests.scala:83-99).
 
@@ -37,7 +39,7 @@ from spark_ij_spark.sources import purepy_codecs as pp
 #: suffixes with a real in-container codec
 NATIVE_SUFFIXES = (
     ".npy", ".png", ".tif", ".tiff", ".pgm", ".ppm", ".bmp", ".gif",
-    ".dcm", ".dicom",
+    ".avi", ".dcm", ".dicom",
 )
 #: suffixes that need PIL (stubbed when PIL is absent)
 PIL_SUFFIXES = (".jpg", ".jpeg")
@@ -72,6 +74,8 @@ def decode_bytes(data: bytes, path: str) -> np.ndarray:
         return ensure_3d(coerce_ingest(pp.decode_bmp(data)))
     if sfx == ".gif":
         return ensure_3d(coerce_ingest(pp.decode_gif(data)))
+    if sfx == ".avi":
+        return ensure_3d(coerce_ingest(pp.decode_avi(data)))
     if sfx in (".dcm", ".dicom"):
         return ensure_3d(coerce_ingest(pp.decode_dicom(data)))
     if sfx in PIL_SUFFIXES:
@@ -107,6 +111,8 @@ def encode_array(arr: np.ndarray, suffix: str = ".npy") -> bytes:
         return pp.encode_bmp(arr)
     if suffix == ".gif":
         return pp.encode_gif(arr)
+    if suffix == ".avi":
+        return pp.encode_avi(arr)
     if suffix in (".dcm", ".dicom"):
         return pp.encode_dicom(arr)
     if suffix in PIL_SUFFIXES:

@@ -929,3 +929,172 @@ def encode_gif(arr: np.ndarray) -> bytes:
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF PCM — stdlib `wave` container I/O)
+# --------------------------------------------------------------------------
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM to (samples[n][channels] int16, sample_rate).
+
+    8-bit unsigned PCM is centered to signed (x−128, then scaled ×256
+    so amplitudes share the int16 domain); 16-bit little-endian PCM is
+    taken verbatim. Compressed WAVE formats (ADPCM, float, mu-law) are
+    out of scope and raise via the stdlib parser.
+    """
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        nch, sw, sr, nf = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        raw = w.readframes(nf)
+    if sw == 1:
+        arr = (np.frombuffer(raw, np.uint8).astype(np.int16) - 128) * 256
+    elif sw == 2:
+        arr = np.frombuffer(raw, "<i2")
+    else:
+        raise ValueError(f"WAV: {8 * sw}-bit PCM not supported (8/16)")
+    return arr.reshape(-1, nch).copy(), sr
+
+
+def encode_wav(arr: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(samples[, channels]) int16 → 16-bit PCM RIFF/WAVE bytes."""
+    import io
+    import wave
+
+    a = np.asarray(arr)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2:
+        raise ValueError(f"WAV encode: unsupported shape {a.shape}")
+    if a.dtype != np.int16:
+        if not np.issubdtype(a.dtype, np.integer):
+            raise ValueError(f"WAV encode: dtype {a.dtype} unsupported (int16)")
+        if a.min() < -32768 or a.max() > 32767:
+            raise ValueError("WAV encode: samples exceed the int16 domain")
+        a = a.astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(a.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.ascontiguousarray(a, "<i2").tobytes())
+    return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# AVI (RIFF container, uncompressed 8-bit-palette DIB frames)
+# --------------------------------------------------------------------------
+# The video sibling of the BMP codec: frames are the same bottom-up
+# 4-byte-padded 8-bit grayscale-palette DIBs, wrapped in the RIFF
+# 'AVI ' container (hdrl: avih + one strl; movi: one '00db' chunk per
+# frame). Lossy codecs (mpeg4/h264) stay environment-gated — this
+# covers the uncompressed container path end-to-end.
+
+
+def decode_avi(data: bytes) -> np.ndarray:
+    """Uncompressed 8-bit-palette AVI → [h][w][frames] uint8.
+
+    Lenient RIFF walk: reads dims/bpp from the stream-format
+    BITMAPINFOHEADER ('strf'), collects every '00db'/'00dc' chunk in
+    the 'movi' list. Grayscale palettes collapse to gray; color
+    palettes raise (out of scope)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("AVI: bad RIFF signature")
+    w = h = bpp = None
+    pal = None
+    frames: list[np.ndarray] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal w, h, bpp, pal
+        pos = start
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + size)  # skip the 4-byte list type
+            elif cid == b"strf" and w is None:
+                w_, h_ = struct.unpack_from("<ii", data, body + 4)
+                (bpp_,) = struct.unpack_from("<H", data, body + 14)
+                w, h, bpp = w_, abs(h_), bpp_
+                if bpp != 8:
+                    raise ValueError(f"AVI: {bpp}-bit not supported (8-bit only)")
+                pal_ = np.frombuffer(
+                    data, np.uint8, count=256 * 4, offset=body + 40
+                ).reshape(256, 4)[:, 2::-1]
+                if not (
+                    np.all(pal_[:, 0] == pal_[:, 1]) and np.all(pal_[:, 1] == pal_[:, 2])
+                ):
+                    raise ValueError("AVI: color palettes not supported")
+                pal = pal_[:, 0]
+            elif cid in (b"00db", b"00dc") and size:
+                stride = ((8 * w + 31) // 32) * 4
+                rows = np.frombuffer(data, np.uint8, count=h * stride, offset=body)
+                frames.append(rows.reshape(h, stride)[::-1, :w])
+            pos = body + size + (size & 1)  # RIFF chunks are word-aligned
+
+    walk(12, len(data))
+    if not frames:
+        raise ValueError("AVI: no frames found")
+    stack = np.stack(frames, axis=2)  # [h][w][frames]
+    return pal[stack] if pal is not None else stack
+
+
+def encode_avi(arr: np.ndarray, fps: int = 30) -> bytes:
+    """[h][w] or [h][w][frames] uint8 → uncompressed 8-bit AVI."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.dtype != np.uint8:
+        raise ValueError(f"AVI encode: need [h][w][frames] uint8, got {a.shape} {a.dtype}")
+    h, w, nf = a.shape
+    stride = ((8 * w + 31) // 32) * 4
+    frame_bytes = []
+    for f in range(nf):
+        padded = np.zeros((h, stride), np.uint8)
+        padded[:, :w] = a[:, :, f]
+        frame_bytes.append(padded[::-1].tobytes())  # bottom-up DIB rows
+    frame_size = h * stride
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_size * fps, 0, 0x10,  # us/frame, byterate, pad, HASINDEX
+        nf, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, nf, frame_size, 0, 0,
+        0, 0, w, h,
+    )
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, frame_size, 2835, 2835, 256, 0
+    ) + pal
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00db", fb) for fb in frame_bytes)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame (AVIIF_KEYFRAME, offset from 'movi' tag)
+    idx = bytearray()
+    off = 4
+    for fb in frame_bytes:
+        idx += b"00db" + struct.pack("<III", 0x10, off, len(fb))
+        off += 8 + len(fb) + (len(fb) & 1)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -582,3 +582,74 @@ def test_codec_dispatch_gif():
     back = codecs.decode_bytes(codecs.encode_array(arr, ".gif"), "x.gif")
     assert back[:, :, 0].shape == arr.shape
     np.testing.assert_array_equal(back[:, :, 0], arr)
+
+
+# --- WAV ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,sr",
+    [((1000,), 8000), ((512, 2), 44100), ((1, 1), 16000)],
+    ids=["mono", "stereo", "single"],
+)
+def test_wav_roundtrip(shape, sr):
+    rng = np.random.RandomState(11)
+    x = rng.randint(-32768, 32768, size=shape).astype(np.int16)
+    back, sr2 = pp.decode_wav(pp.encode_wav(x, sr))
+    assert sr2 == sr
+    np.testing.assert_array_equal(back, x[:, None] if x.ndim == 1 else x)
+
+
+def test_wav_8bit_decodes_centered_scaled():
+    """8-bit unsigned PCM (foreign-produced) centers to signed and
+    scales into the int16 domain."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([0, 128, 255]))
+    back, sr = pp.decode_wav(buf.getvalue())
+    assert sr == 8000
+    np.testing.assert_array_equal(back[:, 0], [-128 * 256, 0, 127 * 256])
+
+
+def test_wav_encode_rejects_out_of_domain():
+    with pytest.raises(ValueError, match="int16"):
+        pp.encode_wav(np.array([70000], dtype=np.int64))
+    with pytest.raises(ValueError, match="unsupported"):
+        pp.encode_wav(np.array([0.5]))
+
+
+# --- AVI ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(17, 23, 5), (8, 8, 1), (31, 2, 3)],
+    ids=["multi", "single", "narrow"],
+)
+def test_avi_roundtrip(shape):
+    rng = np.random.RandomState(13)
+    v = rng.randint(0, 256, size=shape).astype(np.uint8)
+    np.testing.assert_array_equal(pp.decode_avi(pp.encode_avi(v, fps=24)), v)
+
+
+def test_avi_rejects_color_palette_and_bad_sig():
+    with pytest.raises(ValueError, match="signature"):
+        pp.decode_avi(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError, match="uint8"):
+        pp.encode_avi(np.zeros((4, 4), dtype=np.float64))
+
+
+def test_codec_dispatch_avi():
+    """Suffix dispatch: frames land on the image model's slice axis."""
+    # 5 frames (not 3 — a trailing dim of 3 would ingest as RGB)
+    v = (np.arange(100) * 4 % 256).reshape(5, 4, 5).astype(np.uint8)
+    data = codecs.encode_array(v, ".avi")
+    out = codecs.decode_bytes(data, "clip.avi")
+    assert out.shape == (5, 4, 5)
+    np.testing.assert_array_equal(out, v)

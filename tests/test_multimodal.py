@@ -89,3 +89,55 @@ def test_native_mime_decoders_are_real():
 
     dcm = pp.encode_dicom((np.arange(12, dtype=np.int16) - 6).reshape(3, 4))
     assert mm.decode_media_bytes(dcm, "application/dicom").shape == (3, 4, 1)
+
+
+def test_audio_query_matches_oracle(spark, duck):
+    assert_oracle_match(
+        spark,
+        duck,
+        mm.QUERIES["media_audio_energy"],
+        mm.ORACLES["media_audio_energy"],
+    )
+
+
+def test_audio_pack_roundtrip_and_features(spark):
+    """media_from_samples writes genuine WAV bytes; decode + features
+    agree with direct numpy on the same waveform."""
+    import pandas as pd
+
+    x = [0, 100, -100, 200, -300, 0, 50]
+    df = spark.createDataFrame(pd.DataFrame({"samples": [x]}))
+    row = df.select(mm.media_from_samples("samples").alias("m")).collect()[0]
+    assert row.m.mime == mm.WAV_MIME
+    assert bytes(row.m.data[:4]) == b"RIFF"
+    assert row.m.meta.n_frames == len(x)
+    assert row.m.meta.sample_rate == mm.AUDIO_SAMPLE_RATE
+    arr = mm.decode_media_bytes(row.m.data, mm.WAV_MIME)
+    assert arr.shape == (1, 1, len(x))  # [channels][1][samples]
+    np.testing.assert_array_equal(arr[0, 0], x)
+
+    feats = (
+        df.select(mm.media_from_samples("samples").alias("m"))
+        .select(mm.audio_features("m").alias("f"))
+        .collect()[0]
+        .f
+    )
+    xs = np.array(x, dtype=np.int64)
+    assert feats.n_samples == len(x)
+    assert feats.energy == int((xs * xs).sum())
+    assert feats.zero_crossings == int(np.count_nonzero(xs[:-1] * xs[1:] < 0))
+    assert feats.peak == int(np.abs(xs).max())
+
+
+def test_frame_sample_subsamples_audio_like_video(spark):
+    """The WAV frame axis is the sample axis: stride-2 sampling halves
+    the clip, and the resampled payload is npy-tagged (re-encoded)."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"samples": [list(range(10))]}))
+    media = df.select(mm.media_from_samples("samples").alias("media"))
+    r = media.select(mm.frame_sample("media", 2).alias("m")).collect()[0]
+    assert r.m.meta.n_frames == 5
+    assert r.m.mime == mm.NPY_MIME
+    out = mm.decode_media_bytes(r.m.data, mm.NPY_MIME)
+    np.testing.assert_array_equal(out[0, 0], [0, 2, 4, 6, 8])
