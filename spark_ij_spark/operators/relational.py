@@ -1214,6 +1214,96 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1's WITH RECURSIVE): walk an org-chart
+    hierarchy derived from the customer table — parent(k) = k DIV 10,
+    roots are custkey < 10 — and report, per chain depth, the customer
+    count and the exact-decimal sum of account balances.
+
+    The recursion is acyclic by construction (each step strictly
+    shrinks the key), depth ≤ ⌈log10(max custkey)⌉, and the work per
+    level is one equi-join — the shape a 100 TB hierarchy walk needs
+    (level-synchronous joins, no driver loop). The iterative-DataFrame
+    twin of this pattern is the CC loop in operators/dedup.py; this is
+    the declarative form for bounded-depth hierarchies.
+    """
+    t = load_tables(spark, sf_dir, ["customer"])
+    t["customer"].createOrReplaceTempView("_hier_customer")
+    return spark.sql(
+        f"""
+WITH RECURSIVE chain(custkey, anc, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM _hier_customer
+  UNION ALL
+  SELECT custkey, anc DIV 10, depth + 1 FROM chain WHERE anc >= 10
+)
+SELECT depth,
+       COUNT(*) AS n_customers,
+       CAST(MIN(anc) AS BIGINT) AS min_anc,
+       CAST(MAX(anc) AS BIGINT) AS max_anc,
+       {dsum_sql('b', 2)} AS sum_acctbal
+FROM chain JOIN (SELECT c_custkey AS k, c_acctbal AS b FROM _hier_customer)
+  ON custkey = k
+GROUP BY depth
+ORDER BY depth
+"""
+    )
+
+
+Q_RECURSIVE_SQL = f"""
+WITH RECURSIVE chain(custkey, anc, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT custkey, anc // 10, depth + 1 FROM chain WHERE anc >= 10
+)
+SELECT depth,
+       COUNT(*) AS n_customers,
+       CAST(MIN(anc) AS BIGINT) AS min_anc,
+       CAST(MAX(anc) AS BIGINT) AS max_anc,
+       {dsum_sql('b', 2)} AS sum_acctbal
+FROM chain JOIN (SELECT c_custkey AS k, c_acctbal AS b FROM customer)
+  ON custkey = k
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated-subquery join (the per-row-subquery surface):
+    top-3 customers by account balance per market segment, written as
+    ``outer, LATERAL (ORDER BY … LIMIT k)`` rather than a window rank
+    — the form Catalyst decorrelates via DecorrelateInnerQuery.
+
+    Ties break on custkey so the LIMIT is deterministic for the
+    oracle. The outer side is O(segments); at scale Catalyst turns the
+    correlated limit into a partitioned aggregation, not a per-row
+    re-scan — the plan, not the syntax, is what runs.
+    """
+    t = load_tables(spark, sf_dir, ["customer"])
+    t["customer"].createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+WITH seg AS (SELECT DISTINCT c_mktsegment AS seg FROM _lat_customer)
+SELECT seg, t.c_custkey AS custkey, t.c_acctbal AS acctbal
+FROM seg, LATERAL (
+  SELECT c_custkey, c_acctbal FROM _lat_customer c
+  WHERE c.c_mktsegment = seg.seg
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+ORDER BY seg, acctbal DESC, custkey
+"""
+    )
+
+
+Q_LATERAL_SQL = """
+WITH seg AS (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+SELECT seg, t.c_custkey AS custkey, t.c_acctbal AS acctbal
+FROM seg, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_mktsegment = seg.seg
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+ORDER BY seg, acctbal DESC, custkey
+"""
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated scalar-MIN subquery over a
     region-restricted supply relation (adapted: the trimmed schema has
@@ -1476,6 +1566,8 @@ QUERIES = {
     "q12_priority_shipping": q12_priority_shipping,
     "q16_supplier_part_count": q16_supplier_part_count,
     "q20_dominant_supplier": q20_dominant_supplier,
+    "q_recursive_hierarchy": q_recursive_hierarchy,
+    "q_lateral_topk": q_lateral_topk,
 }
 
 ORACLES = {
@@ -1514,4 +1606,6 @@ ORACLES = {
     "q12_priority_shipping": Q12_SQL,
     "q16_supplier_part_count": Q16_SQL,
     "q20_dominant_supplier": Q20_SQL,
+    "q_recursive_hierarchy": Q_RECURSIVE_SQL,
+    "q_lateral_topk": Q_LATERAL_SQL,
 }
