@@ -273,11 +273,77 @@ WHERE a1.vec_id < a2.vec_id
       >= {SEMDEDUP_TAU}
 """
 
+COV_DIM = 64
+
+
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass covariance partials over the embedding matrix — the
+    building block for whitening / PCA preprocessing: for every dim
+    pair (i ≤ j), the exact int64 sums (n, Σxᵢ, Σxⱼ, Σxᵢxⱼ) from which
+    cov(i,j) = Σxy/n − (Σx/n)(Σy/n) derives scalar-side. Sums are over
+    EMBED_QUANT-quantized values, so both engines are bit-identical
+    (order-independent integer adds) — the same quantization trick the
+    cosine/matmul family uses.
+
+    Scale shape: per-row flatten to d(d+1)/2 (i,j,x·y) triples →
+    posexplode → ONE partial-agg shuffle that carries only
+    O(d² × partitions) rows regardless of corpus size. The d²-per-row
+    amplification is map-side only; for embedding dims where d² per
+    row is too fat (d ≳ 10³), the block-matmul cogroup path
+    (dedup_embedding) is the sibling to reach for.
+    """
+    qe = quantized_embeddings(spark, sf_dir)
+    pairs = (
+        f"flatten(transform(sequence(1, {COV_DIM}),"
+        f" i -> transform(sequence(i, {COV_DIM}),"
+        " j -> struct(i AS i, j AS j,"
+        " element_at(qv, i) AS x, element_at(qv, j) AS y))))"
+    )
+    return (
+        qe.select(F.explode(F.expr(pairs)).alias("s"))
+        .select(
+            F.expr("CAST(s.i AS BIGINT)").alias("i"),
+            F.expr("CAST(s.j AS BIGINT)").alias("j"),
+            F.col("s.x").alias("x"),
+            F.col("s.y").alias("y"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(x) AS BIGINT)").alias("s_x"),
+            F.expr("CAST(SUM(y) AS BIGINT)").alias("s_y"),
+            F.expr("CAST(SUM(x * y) AS BIGINT)").alias("s_xy"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+Q_EMBED_COVARIANCE_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * {EMBED_QUANT}) AS BIGINT)) AS qv
+  FROM embeddings),
+p AS (
+  SELECT unnest(flatten(list_transform(range(1, {COV_DIM + 1}),
+           i -> list_transform(range(i, {COV_DIM + 1}),
+             j -> {{'i': i, 'j': j, 'x': qv[i], 'y': qv[j]}})))) AS s
+  FROM q)
+SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(s.x) AS BIGINT) AS s_x,
+       CAST(SUM(s.y) AS BIGINT) AS s_y,
+       CAST(SUM(s.x * s.y) AS BIGINT) AS s_xy
+FROM p GROUP BY s.i, s.j ORDER BY i, j
+"""
+
+
 QUERIES = {
     "embed_kmeans": q_embed_kmeans,
     "embed_semdedup": q_embed_semdedup,
+    "embed_covariance": q_embed_covariance,
 }
 ORACLES = {
     "embed_kmeans": Q_EMBED_KMEANS_SQL,
     "embed_semdedup": Q_EMBED_SEMDEDUP_SQL,
+    "embed_covariance": Q_EMBED_COVARIANCE_SQL,
 }

@@ -399,11 +399,151 @@ FROM w GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- feature retrieval (media → embedding → top-k) --------------------
+
+RETRIEVAL_BINS = 10  # quantity histogram bins (1..50 → width 5)
+RETRIEVAL_PROBE_MOD = 997  # ~1/997 of orders serve as the query batch
+RETRIEVAL_TOPK = 3
+
+
+def q_media_feature_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-to-embedding retrieval, end to end: decode each order's
+    quantity image (real bytes→numpy via the pandas UDF), reduce it to
+    a 10-bin integer histogram feature vector, then rank the corpus
+    against a hash-selected probe batch by cosine and keep the top-3
+    positive matches per probe.
+
+    Determinism: features are integer counts, the dot product and
+    norms are exact int64s (zip_with/aggregate, JVM-side), and the
+    cosine² score is ONE double division of identical int64s in both
+    engines — bit-identical, no quantization step needed. Ties break
+    on candidate key; zero-overlap candidates are excluded so rank is
+    total.
+
+    Scale shape: the probe batch is tiny by construction (a query
+    batch always is), so it broadcasts and the scoring pass is
+    map-only over the corpus — no corpus×corpus pair join, no shuffle
+    besides the per-probe top-k window over ≤ |probes|×|corpus| scored
+    rows. The image decode happens once per order on the flat
+    projected data column (struct→Python conversion avoided).
+    """
+    from pyspark.sql.types import ArrayType
+
+    from spark_ij_spark.operators.image_queries import order_quantity_images
+    from spark_ij_spark.operators.text import hash60_spark
+
+    imgs = order_quantity_images(spark, sf_dir).select(
+        "l_orderkey", F.col("image.data").alias("data")
+    )
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def hist(data: pd.Series) -> pd.Series:
+        out = []
+        for b in data:
+            q = np.frombuffer(b, dtype=np.float32).astype(np.int64)
+            bins = np.clip((q - 1) // 5, 0, RETRIEVAL_BINS - 1)
+            out.append(np.bincount(bins, minlength=RETRIEVAL_BINS).tolist())
+        return pd.Series(out)
+
+    # The histogram array is expanded to scalar columns h0..h9 right
+    # after the UDF: per-pair dot products via zip_with/aggregate are
+    # CodegenFallback (interpreted per row — measured 10x slower over
+    # the probe×corpus pairs), while a literal sum of products stays
+    # inside whole-stage codegen. persist(): the corpus branch AND the
+    # probe branch both read feats — without it the image decode +
+    # histogram UDF runs twice end to end.
+    hcols = [
+        F.expr(f"element_at(h, {b + 1})").alias(f"h{b}")
+        for b in range(RETRIEVAL_BINS)
+    ]
+    nn = " + ".join(f"h{b} * h{b}" for b in range(RETRIEVAL_BINS))
+    feats = (
+        imgs.select(F.col("l_orderkey").alias("k"), hist("data").alias("h"))
+        .select("k", *hcols)
+        .withColumn("nn", F.expr(nn))
+        .persist()
+    )
+    probe_h = hash60_spark("concat('r:', CAST(k AS STRING))")
+    probe_pred = f"({probe_h}) % {RETRIEVAL_PROBE_MOD} = 0"
+    probes = feats.where(F.expr(probe_pred)).select(
+        F.col("k").alias("pk"),
+        *[F.col(f"h{b}").alias(f"p{b}") for b in range(RETRIEVAL_BINS)],
+        F.col("nn").alias("pn"),
+    )
+    from pyspark.sql import Window
+
+    dot = " + ".join(f"h{b} * p{b}" for b in range(RETRIEVAL_BINS))
+    scored = (
+        feats.crossJoin(F.broadcast(probes))
+        .where(F.col("k") != F.col("pk"))
+        .withColumn("dot", F.expr(dot))
+        .where(F.col("dot") > 0)
+        .withColumn(
+            "score", F.expr("round(CAST(dot * dot AS DOUBLE) / (nn * pn), 6)")
+        )
+    )
+    # rank on the unrounded score expression; emit the rounded value
+    w = Window.partitionBy("pk").orderBy(
+        F.expr("CAST(dot * dot AS DOUBLE) / (nn * pn)").desc(), F.col("k").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= RETRIEVAL_TOPK)
+        .select(
+            F.col("pk").alias("probe"),
+            F.col("k").alias("cand"),
+            F.col("dot"),
+            F.col("score"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+        .orderBy("probe", "rn")
+    )
+
+
+def _retrieval_sql() -> str:
+    from spark_ij_spark.operators.text import hash60_duck
+
+    probe_h = hash60_duck("'r:' || CAST(k AS VARCHAR)")
+    probe = f"({probe_h}) % {RETRIEVAL_PROBE_MOD} = 0"
+    return f"""
+WITH h AS (
+  SELECT l_orderkey AS k,
+         CAST(LEAST((CAST(l_quantity AS BIGINT) - 1) // 5,
+                    {RETRIEVAL_BINS - 1}) AS INT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2),
+norms AS (SELECT k, SUM(c * c) AS nn FROM h GROUP BY k),
+probes AS (SELECT k FROM norms WHERE {probe}),
+dots AS (
+  SELECT p.k AS pk, c.k AS ck, CAST(SUM(p.c * c.c) AS BIGINT) AS dot
+  FROM h p JOIN h c USING (bin)
+  WHERE p.k IN (SELECT k FROM probes) AND c.k <> p.k
+  GROUP BY 1, 2),
+scored AS (
+  SELECT pk, ck, dot,
+         CAST(dot * dot AS DOUBLE) / (cn.nn * pn.nn) AS raw
+  FROM dots
+  JOIN norms cn ON cn.k = ck
+  JOIN norms pn ON pn.k = pk
+  WHERE dot > 0),
+ranked AS (
+  SELECT pk, ck, dot, raw,
+         ROW_NUMBER() OVER (PARTITION BY pk ORDER BY raw DESC, ck) AS rn
+  FROM scored)
+SELECT pk AS probe, ck AS cand, dot, round(raw, 6) AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {RETRIEVAL_TOPK}
+ORDER BY probe, rn
+"""
+
+
 QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "media_audio_energy": q_media_audio_energy,
+    "media_feature_retrieval": q_media_feature_retrieval,
 }
 ORACLES = {
     "media_frame_sample": Q_MEDIA_FRAME_SAMPLE_SQL,
     "media_audio_energy": Q_MEDIA_AUDIO_ENERGY_SQL,
+    "media_feature_retrieval": _retrieval_sql(),
 }

@@ -82,3 +82,38 @@ def test_semdedup_drops_are_sound(spark, sf_dir, duck):
     assert 0 not in dropped
     assert len(dropped) == len(rows)  # distinct vec_ids
     assert {r.cell for r in rows} <= set(range(clustering.KMEANS_K))
+
+
+def test_covariance_matches_oracle(spark, duck):
+    assert_oracle_match(
+        spark,
+        duck,
+        clustering.QUERIES["embed_covariance"],
+        clustering.ORACLES["embed_covariance"],
+    )
+
+
+def test_covariance_partials_agree_with_numpy(spark, sf_dir):
+    """Derived cov from the integer partials equals numpy's biased
+    covariance on the same quantized matrix (exactly, both int64)."""
+    import numpy as np
+
+    from spark_ij_spark.operators.dedup import quantized_embeddings
+
+    m = np.array(
+        [r.qv for r in quantized_embeddings(spark, sf_dir).collect()],
+        dtype=np.int64,
+    )
+    rows = clustering.q_embed_covariance(spark, sf_dir).collect()
+    assert len(rows) == clustering.COV_DIM * (clustering.COV_DIM + 1) // 2
+    n = m.shape[0]
+    for r in rows[:: 97]:  # spot-check a spread of pairs
+        x, y = m[:, r.i - 1], m[:, r.j - 1]
+        assert r.n == n
+        assert r.s_x == int(x.sum())
+        assert r.s_y == int(y.sum())
+        assert r.s_xy == int(np.dot(x, y))
+    diag = {(r.i, r.j): r for r in rows if r.i == r.j}
+    for (i, _), r in list(diag.items())[:5]:
+        # Σx² ≥ (Σx)²/n: variance of a real column is non-negative
+        assert r.s_xy * r.n >= r.s_x * r.s_x

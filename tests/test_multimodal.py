@@ -141,3 +141,29 @@ def test_frame_sample_subsamples_audio_like_video(spark):
     assert r.m.mime == mm.NPY_MIME
     out = mm.decode_media_bytes(r.m.data, mm.NPY_MIME)
     np.testing.assert_array_equal(out[0, 0], [0, 2, 4, 6, 8])
+
+
+def test_retrieval_query_matches_oracle(spark, duck):
+    assert_oracle_match(
+        spark,
+        duck,
+        mm.QUERIES["media_feature_retrieval"],
+        mm.ORACLES["media_feature_retrieval"],
+    )
+
+
+def test_retrieval_topk_properties(spark, sf_dir):
+    """Per probe: ≤ k results, ranks contiguous from 1, scores
+    non-increasing, candidate never equals probe, score ∈ (0, 1]."""
+    rows = mm.q_media_feature_retrieval(spark, sf_dir).collect()
+    assert rows
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        by_probe.setdefault(r.probe, []).append(r)
+    for probe, rs in by_probe.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= mm.RETRIEVAL_TOPK
+        assert all(r.cand != probe for r in rs)
+        assert all(0 < r.score <= 1.000001 for r in rs)
+        assert all(a.score >= b.score for a, b in zip(rs, rs[1:]))

@@ -405,3 +405,27 @@ def test_shard_order_single_shuffle_window(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_covariance_single_partial_agg_shuffle(spark):
+    """Covariance partials: map-side flatten/explode then ONE keyed
+    exchange carrying O(d^2 x partitions) rows — no join, no Python."""
+    from spark_ij_spark.operators import clustering
+
+    plan = _plan(clustering.q_embed_covariance(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_retrieval_probe_batch_broadcasts(spark):
+    """Feature retrieval: the probe batch joins as a broadcast (the
+    query-batch shape), never a partitioned corpus-pair join; image
+    decode+histogram is a single Arrow hop over the flat data column."""
+    from spark_ij_spark.operators import multimodal as mm
+
+    plan = _plan(mm.q_media_feature_retrieval(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan  # deliberate: tiny probe side
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
