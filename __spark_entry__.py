@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from spark_ij_spark.operators import (
         clustering,
         dedup,
+        entity,
         event_windows,
         image_queries,
         multimodal,
@@ -71,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(pipeline.QUERIES)
     out.update(streaming_documents.QUERIES)
     out.update(clustering.QUERIES)
+    out.update(entity.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(event_windows.QUERIES)
     out.update(similarity.QUERIES)
@@ -90,6 +92,7 @@ def oracle_sql() -> dict[str, str]:
     from spark_ij_spark.operators import (
         clustering,
         dedup,
+        entity,
         event_windows,
         image_queries,
         multimodal,
@@ -103,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(pipeline.ORACLES)
     out.update(streaming_documents.ORACLES)
     out.update(clustering.ORACLES)
+    out.update(entity.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(event_windows.ORACLES)
     out.update(similarity.ORACLES)

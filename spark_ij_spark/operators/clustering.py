@@ -273,6 +273,105 @@ WHERE a1.vec_id < a2.vec_id
       >= {SEMDEDUP_TAU}
 """
 
+# Fraction of each cell pruned as outliers. A binary fraction (1/16)
+# so n × frac is exact in both engines (CLAUDE.md float rule).
+OUTLIER_FRAC = 0.0625
+
+
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning (the D4 / SemDeDup-family sibling that
+    drops the OTHER tail): per cell, the OUTLIER_FRAC of vectors
+    FARTHEST from their seed centroid — training-data cleaning for
+    off-manifold/noise embeddings, where SemDeDup drops the
+    too-similar core.
+
+    Determinism is fully integer: seeds are quantized vectors, so
+    dist² = |x|² − 2x·c + |c|² is an exact sum of integers < 2^53
+    computed by the same sequential fold in both engines, then cast to
+    BIGINT; ranking is (dist² DESC, vec_id) — a total integer order.
+    The per-cell keep count ceil(n × 1/16) is exact because the
+    fraction is binary.
+
+    Scale shape: cell assignment + dist² is ONE map-only codegen pass
+    (literal centroids, no join — argmin and distance come out of the
+    same array_min struct); then one shuffle on cell for the
+    (rank, count) window. Nothing is all-pairs and the model state is
+    O(K×dim) literals."""
+    points = _points(spark, sf_dir)
+    cents = [
+        (int(r.vec_id), [float(v) for v in r.x])
+        for r in points.filter(F.col("vec_id") < KMEANS_K).collect()
+    ]
+    cents.sort()
+    cands = []
+    for cid, c in cents:
+        arr = ", ".join(f"{float(v)}D" for v in c)
+        cnorm = 0.0
+        for v in c:
+            cnorm += float(v) * float(v)
+        cands.append(
+            f"named_struct('c', array({arr}), 'cnorm', {cnorm}D, 'cid', {cid})"
+        )
+    best = (
+        f"array_min(transform(array({', '.join(cands)}), cand -> "
+        "named_struct('score', aggregate(zip_with(x, cand.c,"
+        " (a, b) -> a * b), 0.0D, (acc, v) -> acc + v) * -2.0D + cand.cnorm,"
+        " 'cid', cand.cid)))"
+    )
+    xx = "aggregate(zip_with(x, x, (a, b) -> a * b), 0.0D, (acc, v) -> acc + v)"
+    assigned = points.select(
+        "vec_id", F.expr(best).alias("s"), F.expr(xx).alias("xx")
+    ).select(
+        "vec_id",
+        F.expr("CAST(s.cid AS BIGINT)").alias("cell"),
+        F.expr("CAST(s.score + xx AS BIGINT)").alias("dist2"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cell")
+    rank = Window.partitionBy("cell").orderBy(
+        F.col("dist2").desc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.withColumn("rn", F.row_number().over(rank).cast("bigint"))
+        .withColumn("n_cell", F.count(F.lit(1)).over(w))
+        .where(F.expr(f"rn <= CAST(ceil(n_cell * {OUTLIER_FRAC}) AS BIGINT)"))
+        .select("vec_id", "cell", "dist2", "rn")
+        .orderBy("cell", "rn")
+    )
+
+
+Q_EMBED_OUTLIERS_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(CAST(round(CAST(v AS DOUBLE) * {EMBED_QUANT}) AS BIGINT) AS DOUBLE)) AS x
+  FROM embeddings),
+s AS (
+  SELECT vec_id AS cid, x AS c, list_dot_product(x, x) AS cnorm
+  FROM q WHERE vec_id < {KMEANS_K}),
+a AS (
+  SELECT vec_id, CAST(cid AS BIGINT) AS cell, CAST(score + xx AS BIGINT) AS dist2
+  FROM (
+    SELECT q.vec_id, s.cid,
+           -2 * list_dot_product(q.x, s.c) + s.cnorm AS score,
+           list_dot_product(q.x, q.x) AS xx,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY -2 * list_dot_product(q.x, s.c) + s.cnorm, s.cid) AS rn
+    FROM q CROSS JOIN s) WHERE rn = 1),
+ranked AS (
+  SELECT vec_id, cell, dist2,
+         CAST(row_number() OVER (
+           PARTITION BY cell ORDER BY dist2 DESC, vec_id) AS BIGINT) AS rn,
+         COUNT(*) OVER (PARTITION BY cell) AS n_cell
+  FROM a)
+SELECT vec_id, cell, dist2, rn
+FROM ranked WHERE rn <= CAST(ceil(n_cell * {OUTLIER_FRAC}) AS BIGINT)
+ORDER BY cell, rn
+"""
+
+
 COV_DIM = 64
 
 
@@ -285,34 +384,54 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-independent integer adds) — the same quantization trick the
     cosine/matmul family uses.
 
-    Scale shape: per-row flatten to d(d+1)/2 (i,j,x·y) triples →
-    posexplode → ONE partial-agg shuffle that carries only
-    O(d² × partitions) rows regardless of corpus size. The d²-per-row
-    amplification is map-side only; for embedding dims where d² per
-    row is too fat (d ≳ 10³), the block-matmul cogroup path
-    (dedup_embedding) is the sibling to reach for.
+    Scale shape: per-Arrow-batch partial Gram matrix (numpy int64
+    Mᵀ·M + column sums) emitted as d(d+1)/2 triangle rows per BATCH →
+    ONE partial-agg shuffle of O(d² × partitions) rows regardless of
+    corpus size. The Python hop is Arrow-batched and O(n·d²) in BLAS,
+    not d²-per-row Catalyst struct allocation (the explode form
+    measured 2.2 s vs ~0.8 s here at sf0.1, and its CPU amplification
+    is what dies first at 100 TB). Exactness: |x| ≤ EMBED_QUANT = 1e6
+    so per-batch products ≤ 1e12 and a 10k-row Arrow batch keeps every
+    int64 partial < 1.2e16 ≪ 2^63; the final SUM of batch partials is
+    the same order-independent integer add DuckDB performs.
     """
+    import numpy as np
+    import pandas as pd
+
     qe = quantized_embeddings(spark, sf_dir)
-    pairs = (
-        f"flatten(transform(sequence(1, {COV_DIM}),"
-        f" i -> transform(sequence(i, {COV_DIM}),"
-        " j -> struct(i AS i, j AS j,"
-        " element_at(qv, i) AS x, element_at(qv, j) AS y))))"
+    iu, ju = np.triu_indices(COV_DIM)
+    schema = (
+        "i BIGINT, j BIGINT, n_p BIGINT, sx_p BIGINT, sy_p BIGINT, "
+        "sxy_p BIGINT"
     )
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            g = m.T @ m
+            s = m.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu + 1,
+                    "j": ju + 1,
+                    "n_p": np.full(len(iu), len(m), dtype=np.int64),
+                    "sx_p": s[iu],
+                    "sy_p": s[ju],
+                    "sxy_p": g[iu, ju],
+                }
+            )
+
     return (
-        qe.select(F.explode(F.expr(pairs)).alias("s"))
-        .select(
-            F.expr("CAST(s.i AS BIGINT)").alias("i"),
-            F.expr("CAST(s.j AS BIGINT)").alias("j"),
-            F.col("s.x").alias("x"),
-            F.col("s.y").alias("y"),
-        )
+        qe.select("qv")
+        .mapInPandas(gram_partials, schema)
         .groupBy("i", "j")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("CAST(SUM(x) AS BIGINT)").alias("s_x"),
-            F.expr("CAST(SUM(y) AS BIGINT)").alias("s_y"),
-            F.expr("CAST(SUM(x * y) AS BIGINT)").alias("s_xy"),
+            F.expr("CAST(SUM(n_p) AS BIGINT)").alias("n"),
+            F.expr("CAST(SUM(sx_p) AS BIGINT)").alias("s_x"),
+            F.expr("CAST(SUM(sy_p) AS BIGINT)").alias("s_y"),
+            F.expr("CAST(SUM(sxy_p) AS BIGINT)").alias("s_xy"),
         )
         .orderBy("i", "j")
     )
@@ -341,9 +460,11 @@ QUERIES = {
     "embed_kmeans": q_embed_kmeans,
     "embed_semdedup": q_embed_semdedup,
     "embed_covariance": q_embed_covariance,
+    "embed_outliers": q_embed_outliers,
 }
 ORACLES = {
     "embed_kmeans": Q_EMBED_KMEANS_SQL,
     "embed_semdedup": Q_EMBED_SEMDEDUP_SQL,
     "embed_covariance": Q_EMBED_COVARIANCE_SQL,
+    "embed_outliers": Q_EMBED_OUTLIERS_SQL,
 }

@@ -474,8 +474,67 @@ SELECT 'month', bucket, CAST(n AS BIGINT), CAST(pv AS DOUBLE) FROM monthly
 """
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered pair of consecutive events of one
+    user, count (from_type → to_type) and the conditional probability
+    p(to|from) — the user-behavior-modeling building block (next-event
+    prediction features, funnel anomaly detection).
+
+    Determinism: the sequence order is the TOTAL order (ts, event_id)
+    — ts alone ties within a user and lag() would then be
+    engine-dependent. Counts are integers; p is ONE double division of
+    two bigints (identical IEEE op both engines), rounded in-engine.
+
+    Scale shape: one shuffle keyed on user_id for the lag window
+    (state per user is one row), then a partial-agg shuffle down to
+    O(|types|²) rows; the probability normalization is a window over
+    that tiny matrix — nothing rescans the fact table and no join
+    exists anywhere.
+    """
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        _events(spark, sf_dir)
+        .select(
+            F.lag("event_type").over(seq).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr(
+            "round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER "
+            "(PARTITION BY from_type) AS DOUBLE), 6)"
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+Q_EVENTS_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) /
+             CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM counts ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "events_sliding": q_events_sliding,
+    "events_transitions": q_events_transitions,
     "events_retention": q_events_retention,
     "events_quantiles": q_events_quantiles,
     "events_quantiles_approx": q_events_quantiles_approx,
@@ -489,6 +548,7 @@ QUERIES = {
 
 ORACLES = {
     "events_sliding": Q_EVENTS_SLIDING_SQL,
+    "events_transitions": Q_EVENTS_TRANSITIONS_SQL,
     "events_retention": Q_EVENTS_RETENTION_SQL,
     "events_quantiles": Q_EVENTS_QUANTILES_SQL,
     "events_session": Q_EVENTS_SESSION_SQL,

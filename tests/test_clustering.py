@@ -117,3 +117,51 @@ def test_covariance_partials_agree_with_numpy(spark, sf_dir):
     for (i, _), r in list(diag.items())[:5]:
         # Σx² ≥ (Σx)²/n: variance of a real column is non-negative
         assert r.s_xy * r.n >= r.s_x * r.s_x
+
+
+def test_outliers_match_oracle(spark, duck):
+    assert_oracle_match(
+        spark,
+        duck,
+        clustering.QUERIES["embed_outliers"],
+        clustering.ORACLES["embed_outliers"],
+    )
+
+
+def test_outliers_are_farthest_fraction(spark, sf_dir):
+    """Per cell: kept count == ceil(n_cell/16); the pruned dist² are
+    all >= every survivor's dist² in that cell (they really are the
+    far tail); ranks contiguous from 1."""
+    rows = clustering.q_embed_outliers(spark, sf_dir).collect()
+    assert rows
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    # recompute per-cell totals + full dist2 sets independently
+    import math
+
+    from pyspark.sql import functions as F
+
+    pts = clustering._points(spark, sf_dir)
+    cents = [
+        (int(r.vec_id), [float(v) for v in r.x])
+        for r in pts.filter(F.col("vec_id") < clustering.KMEANS_K).collect()
+    ]
+    cents.sort()
+    full = pts.select(
+        "vec_id", clustering._best_cluster_expr(cents).alias("cell"), "x"
+    ).collect()
+    cellmap: dict[int, list[tuple[int, int]]] = {}
+    for r in full:
+        c = dict(cents)[r.cell]
+        d2 = int(sum((a - b) * (a - b) for a, b in zip(r.x, c)))
+        cellmap.setdefault(r.cell, []).append((r.vec_id, d2))
+    for cell, kept in by_cell.items():
+        allpts = cellmap[cell]
+        assert len(kept) == math.ceil(len(allpts) / 16)
+        kept_ids = {r.vec_id for r in kept}
+        floor_kept = min(r.dist2 for r in kept)
+        for vid, d2 in allpts:
+            if vid not in kept_ids:
+                assert d2 <= floor_kept
+        assert sorted(r.rn for r in kept) == list(range(1, len(kept) + 1))

@@ -71,3 +71,23 @@ def test_events_load_without_builder_conf(spark, sf_dir):
         assert ev.limit(1).count() == 1
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_transitions_matrix_properties(spark, sf_dir, duck):
+    """Row-stochastic matrix: per from_type the probabilities sum to
+    ~1 (rounding each to 6 dp loses at most 5e-7 per cell), and the
+    total pair count equals total events minus the number of distinct
+    users (each user's first event has no predecessor)."""
+    rows = event_windows.q_events_transitions(spark, sf_dir).collect()
+    assert rows
+    n_events, n_users = duck.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT user_id) FROM events"
+    ).fetchone()
+    assert sum(r.n for r in rows) == n_events - n_users
+    by_from: dict[str, float] = {}
+    cells: dict[str, int] = {}
+    for r in rows:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p
+        cells[r.from_type] = cells.get(r.from_type, 0) + 1
+    for ft, total in by_from.items():
+        assert abs(total - 1.0) <= 5e-7 * cells[ft] + 1e-12, (ft, total)

@@ -408,12 +408,14 @@ def test_shard_order_single_shuffle_window(spark):
 
 
 def test_covariance_single_partial_agg_shuffle(spark):
-    """Covariance partials: map-side flatten/explode then ONE keyed
-    exchange carrying O(d^2 x partitions) rows — no join, no Python."""
+    """Covariance partials: one Arrow-batched partial-Gram hop (d²
+    rows per BATCH — no per-row explode) then ONE keyed exchange
+    carrying O(d² x partitions) rows — no join, no Generate."""
     from spark_ij_spark.operators import clustering
 
     plan = _plan(clustering.q_embed_covariance(spark, SF_DIR))
-    assert "EvalPython" not in plan
+    assert "MapInPandas" in plan  # the batched partial-Gram hop
+    assert "Generate" not in plan  # no d²-per-row explode
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial" in plan.lower()  # map-side combine before the shuffle
@@ -429,3 +431,40 @@ def test_retrieval_probe_batch_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" in plan  # deliberate: tiny probe side
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_transitions_no_join_two_keyed_shuffles(spark):
+    """Transition matrix: lag window keyed on user_id, partial-agg
+    shuffle to the tiny (from,to) matrix, window normalization over
+    that matrix — no join, no Python, fact table scanned once."""
+    from spark_ij_spark.operators import event_windows
+
+    plan = _plan(event_windows.q_events_transitions(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_er_blocked_equi_join_no_cartesian(spark):
+    """Entity resolution: records collapse via one partial-agg shuffle,
+    candidates come from a hash equi-join on the block key — never a
+    cartesian/nested-loop all-pairs — and scoring stays JVM-side."""
+    from spark_ij_spark.operators import entity
+
+    plan = _plan(entity.q_er_fuzzy_parts(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "partial" in plan.lower()  # map-side combine on the agg
+
+
+def test_outliers_map_only_assign_one_cell_shuffle(spark):
+    """Outlier pruning: literal-centroid assignment + dist² in one
+    map-only codegen pass (no join against a centroid table), then a
+    single shuffle on cell for the rank/count window."""
+    from spark_ij_spark.operators import clustering
+
+    plan = _plan(clustering.q_embed_outliers(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
