@@ -784,6 +784,90 @@ FROM p WHERE n_aligned >= {SPAN_RUN_MIN}
 """
 
 
+# --- incremental dedup (delta batch vs corpus index) -------------------
+
+# Hash-partition selector for the "newly arrived" batch: doc_id ≡ 7
+# (mod 10) plays the delta; everything else is the standing corpus.
+INCR_DELTA_MOD = 10
+INCR_DELTA_RESIDUE = 7
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: probe a NEW batch of documents
+    (the delta) against the standing corpus's LSH band index, without
+    re-deduping the corpus against itself — the shape a 100 TB corpus
+    actually runs daily, where re-running the full self-join per
+    ingest batch is a non-starter.
+
+    Same signature/band/verify machinery as ``q_dedup_minhash_lsh``;
+    the difference is the join: delta bands ⋈ corpus bands (never
+    corpus ⋈ corpus). In production the corpus side is a MATERIALIZED
+    band index (bucket-written by band key, so the probe co-locates
+    and only the delta shuffles); here both sides derive from one
+    postings scan, which keeps the oracle exact while preserving the
+    probe-join shape. Intra-delta duplicates are out of scope by
+    design — the standard self-join on the (tiny) delta covers those.
+
+    Output: (delta_doc, corpus_doc, jaccard) for every band-collision
+    candidate, verified with true Jaccard on the shared postings.
+    """
+    post = shingle_postings(spark, sf_dir).cache()
+    sig = minhash_signatures(spark, sf_dir, postings=post)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[F.expr(e) for e in _band_exprs()])).alias("band"),
+    )
+    is_delta = f"doc_id % {INCR_DELTA_MOD} = {INCR_DELTA_RESIDUE}"
+    d, c = bands.where(is_delta).alias("d"), bands.where(f"NOT ({is_delta})").alias("c")
+    cand = (
+        d.join(c, F.col("d.band") == F.col("c.band"))
+        .select(F.col("d.doc_id").alias("dd"), F.col("c.doc_id").alias("dc"))
+        .distinct()
+    )
+    sizes = post.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pa = post.withColumnRenamed("doc_id", "dd")
+    pb = post.withColumnRenamed("doc_id", "dc")
+    inter = (
+        cand.join(pa, "dd")
+        .join(pb, ["dc", "s"])
+        .groupBy("dd", "dc")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "dd").withColumnRenamed("n", "na"), "dd")
+        .join(sizes.withColumnRenamed("doc_id", "dc").withColumnRenamed("n", "nb"), "dc")
+        .select(
+            F.col("dd").alias("delta_doc"),
+            F.col("dc").alias("corpus_doc"),
+            F.expr("round(CAST(i AS DOUBLE) / (na + nb - i), 6)").alias("jaccard"),
+        )
+    )
+
+
+Q_DEDUP_INCREMENTAL_SQL = f"""
+WITH {_MINHASH_SIG_DUCK},
+bands AS (
+  SELECT doc_id, unnest([{", ".join(_band_exprs_duck())}]) AS band FROM sig),
+cand AS (
+  SELECT DISTINCT d.doc_id AS dd, c.doc_id AS dc
+  FROM bands d JOIN bands c ON d.band = c.band
+  WHERE d.doc_id % {INCR_DELTA_MOD} = {INCR_DELTA_RESIDUE}
+    AND c.doc_id % {INCR_DELTA_MOD} <> {INCR_DELTA_RESIDUE}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shp GROUP BY doc_id),
+inter AS (
+  SELECT cand.dd, cand.dc, COUNT(*) AS i
+  FROM cand
+  JOIN shp a ON a.doc_id = cand.dd
+  JOIN shp b ON b.doc_id = cand.dc AND b.s = a.s
+  GROUP BY 1, 2)
+SELECT inter.dd AS delta_doc, inter.dc AS corpus_doc,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.dd = sa.doc_id
+JOIN sizes sb ON inter.dc = sb.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -792,6 +876,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_aligned_spans": q_dedup_aligned_spans,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES = {
@@ -802,4 +887,5 @@ ORACLES = {
     "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
     "dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
     "dedup_aligned_spans": Q_DEDUP_ALIGNED_SPANS_SQL,
+    "dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
 }

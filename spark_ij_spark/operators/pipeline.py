@@ -741,27 +741,34 @@ def q_pipeline_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     small); everything downstream is the map-only hash-split plus two
     tiny aggregates. The labels frame is localCheckpoint()ed by the CC
     loop, so its double use (witness + accounting) re-reads the
-    checkpoint, not the pair-graph pipeline.
+    checkpoint, not the pair-graph pipeline. The witness itself never
+    touches the corpus: a clustered doc's split is a pure function of
+    cluster_rep, so countDistinct(split) per cluster aggregates the
+    LABEL frame (identical value to aggregating the joined corpus —
+    every label row is a corpus row — for one fewer full scan+join).
     """
     from spark_ij_spark.operators.dedup import q_dedup_clusters
 
     labels = q_dedup_clusters(spark, sf_dir)
-    bucket = f"({hash60_spark('CAST(rep AS STRING)')}) % 100"
-    split = (
-        f"CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train'"
-        f" WHEN {bucket} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'"
-        f" ELSE 'test' END"
-    )
+
+    def split_of(rep_col: str) -> str:
+        bucket = f"({hash60_spark(f'CAST({rep_col} AS STRING)')}) % 100"
+        return (
+            f"CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train'"
+            f" WHEN {bucket} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'"
+            f" ELSE 'test' END"
+        )
+
     s = (
         _docs(spark, sf_dir)
         .join(labels, "doc_id", "left")
         .withColumn("rep", F.coalesce("cluster_rep", "doc_id"))
-        .withColumn("split", F.expr(split))
+        .withColumn("split", F.expr(split_of("rep")))
     )
     wit = F.broadcast(
-        s.where(F.col("cluster_rep").isNotNull())
+        labels.withColumn("wsplit", F.expr(split_of("cluster_rep")))
         .groupBy("cluster_rep")
-        .agg(F.countDistinct("split").alias("ns"))
+        .agg(F.countDistinct("wsplit").alias("ns"))
         .agg(
             F.coalesce(F.max("ns"), F.lit(0))
             .cast("bigint")

@@ -175,6 +175,65 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+TRANSITIONS_OUTPUT_SCHEMA = "user_id long, from_type string, to_type string, n long"
+_TRANS_STATE_SCHEMA = "ts timestamp, eid long, tp string"
+
+
+def _transitions_fn(key, pdf_iter, state):
+    """applyInPandasWithState body: per-user consecutive-pair DELTA
+    counts for this micro-batch, with the user's last event carried in
+    state so pairs spanning a batch boundary are counted exactly once."""
+    import pandas as pd
+
+    pdfs = [p for p in pdf_iter if len(p)]
+    if not pdfs:
+        return
+    rows = pd.concat(pdfs, ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    prev = state.get[2] if state.exists else None
+    counts: dict[tuple[str, str], int] = {}
+    for tp in rows["event_type"]:
+        if prev is not None:
+            counts[(prev, tp)] = counts.get((prev, tp), 0) + 1
+        prev = tp
+    last = rows.iloc[-1]
+    state.update(
+        (last["ts"].to_pydatetime(), int(last["event_id"]), str(last["event_type"]))
+    )
+    yield pd.DataFrame(
+        [
+            {"user_id": key[0], "from_type": a, "to_type": b, "n": n}
+            for (a, b), n in counts.items()
+        ]
+    )
+
+
+def user_transitions(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch Markov transition matrix
+    (``event_windows.q_events_transitions``): custom stateful operator
+    emitting per-user (from_type → to_type) pair-count DELTAS each
+    micro-batch; state is ONE row per user (the last event seen), so
+    state size is O(users), not O(history).
+
+    Ordering contract: within a micro-batch rows sort by the same
+    total order as the batch twin (ts, event_id); ACROSS batches the
+    operator assumes per-user in-order delivery (file streams replayed
+    in arrival order — the usual log-ingest contract). Under
+    out-of-order delivery the boundary pair may differ from the batch
+    twin; a watermark-buffered reorder would be the fix, at the cost
+    of O(buffer) state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _transitions_fn,
+        TRANSITIONS_OUTPUT_SCHEMA,
+        _TRANS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_events_stream(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -257,3 +257,29 @@ def test_aligned_spans_witness_real_runs(spark, sf_dir):
         assert r.da < r.db
         assert r.n_aligned >= dedup.SPAN_RUN_MIN
         assert r.span_tokens >= r.n_aligned - 1 + dedup.SPAN_GRAM_K
+
+
+def test_incremental_equals_straddling_full_lsh_pairs(spark, sf_dir):
+    """The delta-vs-corpus probe finds exactly the full-LSH pairs that
+    straddle the delta boundary (in either orientation), with the same
+    verified Jaccard — incremental mode loses nothing and adds
+    nothing for the docs it covers."""
+    full = {
+        (r.da, r.db): r.jaccard
+        for r in dedup.q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    inc = {
+        (r.delta_doc, r.corpus_doc): r.jaccard
+        for r in dedup.q_dedup_incremental(spark, sf_dir).collect()
+    }
+    assert inc
+
+    def is_delta(d: int) -> bool:
+        return d % dedup.INCR_DELTA_MOD == dedup.INCR_DELTA_RESIDUE
+
+    straddle = {
+        (a, b) if is_delta(a) else (b, a): j
+        for (a, b), j in full.items()
+        if is_delta(a) != is_delta(b)
+    }
+    assert inc == straddle

@@ -468,3 +468,12 @@ def test_outliers_map_only_assign_one_cell_shuffle(spark):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_incremental_dedup_band_equi_join_no_cartesian(spark):
+    """Delta-vs-corpus probe: band equi-join between the two sides,
+    never an all-pairs product, JVM-side throughout."""
+    plan = _plan(dedup.q_dedup_incremental(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

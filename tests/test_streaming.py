@@ -319,3 +319,65 @@ def test_streaming_filter_agrees_with_batch_ops(spark):
         r.n_kept for r in bp.q_pipeline_gopher_quality(spark, SF_DIR).collect()
     )
     assert sum(r.n_pass_gopher for r in audit.values()) == gopher_total
+
+
+def test_transitions_stream_equals_batch(spark):
+    """Summing the stateful operator's per-batch deltas over users
+    reproduces the batch transition matrix exactly (single
+    availableNow batch: all pairs are intra-batch)."""
+    from spark_ij_spark.operators import event_windows
+
+    stream = se.read_events_stream(spark, SF_DIR)
+    _drain(spark, se.user_transitions(stream), "mem_trans", mode="update")
+    got: dict[tuple[str, str], int] = {}
+    for r in spark.table("mem_trans").collect():
+        k = (r.from_type, r.to_type)
+        got[k] = got.get(k, 0) + r.n
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in event_windows.q_events_transitions(spark, SF_DIR).collect()
+    }
+    assert got == want and want
+
+
+def test_transitions_state_spans_batches(spark, tmp_path):
+    """A user sequence split across two ordered micro-batches still
+    counts the boundary pair exactly once (the carried-state path)."""
+    import shutil
+    import time
+
+    base_us = 1_700_000_000_000_000
+
+    def mk_file(name, rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+
+    mk_file(
+        "a",
+        [
+            (1, base_us * 1000, 1, "click", 1.0, "{}"),
+            (2, (base_us + 1_000_000) * 1000, 1, "view", 1.0, "{}"),
+        ],
+    )
+    mk_file("b", [(3, (base_us + 2_000_000) * 1000, 1, "purchase", 1.0, "{}")])
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for sub, out in (("a", "f_a.parquet"), ("b", "f_b.parquet")):
+        src = next((tmp_path / sub).glob("part-*.parquet"))
+        shutil.copy(src, stream_dir / out)
+        time.sleep(1.1)
+
+    stream = se.read_events_stream(
+        spark, str(stream_dir), glob="*.parquet", max_files_per_trigger=1
+    )
+    _drain(spark, se.user_transitions(stream), "mem_trans2", mode="update")
+    got = {
+        (r.from_type, r.to_type): r.n for r in spark.table("mem_trans2").collect()
+    }
+    # batch 1 emits click->view; batch 2 emits view->purchase via the
+    # state-carried last event — never a duplicate or a miss
+    assert got == {("click", "view"): 1, ("view", "purchase"): 1}
