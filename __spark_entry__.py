@@ -61,8 +61,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         entity,
         event_windows,
         image_queries,
+        layout,
         multimodal,
         pipeline,
+        profile,
         relational,
         similarity,
         text,
@@ -73,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(streaming_documents.QUERIES)
     out.update(clustering.QUERIES)
     out.update(entity.QUERIES)
+    out.update(profile.QUERIES)
+    out.update(layout.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(event_windows.QUERIES)
     out.update(similarity.QUERIES)
@@ -95,8 +99,10 @@ def oracle_sql() -> dict[str, str]:
         entity,
         event_windows,
         image_queries,
+        layout,
         multimodal,
         pipeline,
+        profile,
         relational,
         similarity,
         text,
@@ -107,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(streaming_documents.ORACLES)
     out.update(clustering.ORACLES)
     out.update(entity.ORACLES)
+    out.update(profile.ORACLES)
+    out.update(layout.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(event_windows.ORACLES)
     out.update(similarity.ORACLES)

@@ -477,3 +477,26 @@ def test_incremental_dedup_band_equi_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_profile_single_scan_single_agg(spark):
+    """Column profile: ONE scan reduced to one row (the distinct
+    counts expand map-side), then a constant-size explode — no join,
+    no Python, no per-column rescans."""
+    from spark_ij_spark.operators import profile
+
+    plan = _plan(profile.q_profile_orders(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("FileScan") == 1  # one pass over the table
+
+
+def test_anomalies_broadcast_stats_back(spark):
+    """Anomaly detection: hourly grain shuffles once; the tiny
+    per-type stats join back as a broadcast, never re-shuffling the
+    hourly frame on the low-cardinality type key."""
+    from spark_ij_spark.operators import profile
+
+    plan = _plan(profile.q_events_anomalies(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
