@@ -193,11 +193,102 @@ ORDER BY event_type, hour
 """
 
 
+# PSI drift monitor: token-count bins of width PSI_BIN_W, capped at
+# PSI_MAX_BIN; slices = deterministic md5 halves of the corpus.
+PSI_BIN_W = 10
+PSI_MAX_BIN = 9
+
+
+def q_docs_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two corpus slices.
+
+    Splits ``documents`` into two deterministic md5 halves (the
+    new-crawl vs reference-crawl stand-in), histograms each over
+    token-count bins, and emits the per-bin PSI contribution
+    (p−q)·ln(p/q) with add-one smoothing — the standard pre-training
+    drift monitor between crawls (or train vs validation mix).
+
+    Scale shape: ONE map-only scan (hash slice + bin are codegen
+    expressions) feeding a single partial-aggregating groupBy to
+    O(bins) rows; the PSI arithmetic runs on that constant-size frame.
+    Determinism: bin counts are exact BIGINTs; p, q, and the PSI term
+    are the identical fixed sequence of IEEE double ops in both
+    engines (ln over rationals of exact integers), rounded in-engine
+    for display."""
+    from spark_ij_spark.operators.text import hash60_spark
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = hash60_spark("concat('psi:', CAST(doc_id AS STRING))")
+    binned = docs.select(
+        F.expr(
+            f"least(CAST(size(split(text, ' ')) AS BIGINT) div {PSI_BIN_W},"
+            f" {PSI_MAX_BIN})"
+        ).alias("bin"),
+        F.expr(f"({h}) % 2").alias("slice"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.expr("CAST(SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_a"
+        ),
+        F.expr("CAST(SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_b"
+        ),
+    )
+    nbins = PSI_MAX_BIN + 1
+    p = f"(CAST(n_a AS DOUBLE) + 1) / (CAST(ta AS DOUBLE) + {nbins})"
+    q = f"(CAST(n_b AS DOUBLE) + 1) / (CAST(tb AS DOUBLE) + {nbins})"
+    return (
+        counts.withColumn("ta", F.expr("CAST(SUM(n_a) OVER () AS BIGINT)"))
+        .withColumn("tb", F.expr("CAST(SUM(n_b) OVER () AS BIGINT)"))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.expr(f"round((({p}) - ({q})) * ln(({p}) / ({q})), 6)").alias("psi"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _drift_psi_sql() -> str:
+    from spark_ij_spark.operators.text import hash60_duck
+
+    h = hash60_duck("concat('psi:', CAST(doc_id AS STRING))")
+    nbins = PSI_MAX_BIN + 1
+    p = f"(CAST(n_a AS DOUBLE) + 1) / (CAST(ta AS DOUBLE) + {nbins})"
+    q = f"(CAST(n_b AS DOUBLE) + 1) / (CAST(tb AS DOUBLE) + {nbins})"
+    return f"""
+WITH binned AS (
+  SELECT least(CAST(len(string_split(text, ' ')) AS BIGINT) // {PSI_BIN_W},
+               {PSI_MAX_BIN}) AS bin,
+         ({h}) % 2 AS slice
+  FROM documents),
+counts AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM binned GROUP BY bin),
+tot AS (
+  SELECT bin, n_a, n_b,
+         CAST(SUM(n_a) OVER () AS BIGINT) AS ta,
+         CAST(SUM(n_b) OVER () AS BIGINT) AS tb
+  FROM counts)
+SELECT bin, n_a, n_b,
+       round((({p}) - ({q})) * ln(({p}) / ({q})), 6) AS psi
+FROM tot ORDER BY bin
+"""
+
+
+Q_DOCS_DRIFT_PSI_SQL = _drift_psi_sql()
+
+
 QUERIES = {
     "profile_orders": q_profile_orders,
     "events_anomalies": q_events_anomalies,
+    "docs_drift_psi": q_docs_drift_psi,
 }
 ORACLES = {
     "profile_orders": Q_PROFILE_ORDERS_SQL,
     "events_anomalies": Q_EVENTS_ANOMALIES_SQL,
+    "docs_drift_psi": Q_DOCS_DRIFT_PSI_SQL,
 }

@@ -310,11 +310,11 @@ assign AS (
 """
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: assign vectors to cells, probe the query's NPROBE
-    nearest cells, exact cosine re-rank within probed cells. Candidate
-    generation is an equi-join on cell id; at 100 TB the inverted file
-    is the partitioning key and each probe touches 1/NLIST of data."""
+def ivf_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ia, ib, cos) for every query × IVF-probed candidate — the
+    shared candidate-generation stage of ``q_ann_ivf`` (nearest-
+    neighbor retrieval) and ``q_ann_hard_negatives`` (contrastive
+    hard-negative mining). See ``q_ann_ivf`` for the scale shape."""
     from pyspark.sql.window import Window
 
     assign = ivf_assignments(spark, sf_dir)
@@ -353,11 +353,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ia") != F.col("vec_id"))
         .select("ia", F.col("vec_id").alias("ib"))
     )
-    scored = (
+    return (
         cand.join(e.alias("a"), F.col("ia") == F.col("a.vec_id"))
         .join(e.alias("b"), F.col("ib") == F.col("b.vec_id"))
         .select("ia", "ib", F.expr(COS_SPARK).alias("cos"))
     )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign vectors to cells, probe the query's NPROBE
+    nearest cells, exact cosine re-rank within probed cells. Candidate
+    generation is an equi-join on cell id; at 100 TB the inverted file
+    is the partitioning key and each probe touches 1/NLIST of data."""
+    from pyspark.sql.window import Window
+
+    scored = ivf_scored_candidates(spark, sf_dir)
     w = Window.partitionBy("ia").orderBy(F.desc("cos"), F.asc("ib"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -366,8 +376,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_ANN_IVF_SQL = f"""
-WITH {_IVF_SCORED_DUCK.strip()},
+_IVF_RESCORED_DUCK = f"""
+{_IVF_SCORED_DUCK.strip()},
 probes AS (
   SELECT vec_id AS ia, seed_id AS cell FROM (
     SELECT vec_id, seed_id,
@@ -382,13 +392,66 @@ rescored AS (
   SELECT ia, ib, {COS_DUCK} AS cos
   FROM cand
   JOIN embeddings a ON cand.ia = a.vec_id
-  JOIN embeddings b ON cand.ib = b.vec_id),
+  JOIN embeddings b ON cand.ib = b.vec_id)
+"""
+
+Q_ANN_IVF_SQL = f"""
+WITH {_IVF_RESCORED_DUCK.strip()},
 ranked AS (
   SELECT ia, ib, cos,
          row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
   FROM rescored)
 SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {IVF_TOPK}
 """
+
+
+# Hard-negative mining: per query, the HN_K highest-cosine candidates
+# that are NOT near-duplicates (cos < the dedup positive threshold) —
+# the standard negatives-from-ANN recipe for contrastive embedding
+# training. The positive cutoff is dedup.EMBED_COS_THRESHOLD so
+# "negative" here means exactly "not a dedup positive".
+HN_K = 5
+
+
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine contrastive hard negatives from the IVF candidate stream:
+    drop near-duplicate candidates (cos ≥ EMBED_COS_THRESHOLD — those
+    are positives, training on them as negatives would be label
+    noise), then keep each query's HN_K hardest remaining candidates.
+
+    Scale shape: identical to ``q_ann_ivf`` — IVF probe equi-join for
+    candidates (never all-pairs), exact re-rank, one window keyed by
+    query id; the dup filter is a map-only predicate on the candidate
+    stream, NOT a join against the dedup pair set."""
+    from pyspark.sql.window import Window
+
+    from spark_ij_spark.operators.dedup import EMBED_COS_THRESHOLD
+
+    scored = ivf_scored_candidates(spark, sf_dir).filter(
+        F.col("cos") < EMBED_COS_THRESHOLD
+    )
+    w = Window.partitionBy("ia").orderBy(F.desc("cos"), F.asc("ib"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_K)
+        .select("ia", "ib", "rank", F.expr("round(cos, 6)").alias("cos_sim"))
+    )
+
+
+def _hard_negatives_sql() -> str:
+    from spark_ij_spark.operators.dedup import EMBED_COS_THRESHOLD
+
+    return f"""
+WITH {_IVF_RESCORED_DUCK.strip()},
+ranked AS (
+  SELECT ia, ib, cos,
+         row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
+  FROM rescored WHERE cos < {EMBED_COS_THRESHOLD})
+SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {HN_K}
+"""
+
+
+Q_ANN_HARD_NEGATIVES_SQL = _hard_negatives_sql()
 
 
 def _recall_vs_brute(
@@ -692,6 +755,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf": q_ann_ivf,
+    "ann_hard_negatives": q_ann_hard_negatives,
     "ann_recall": q_ann_recall,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_lsh_multiprobe_recall": q_ann_lsh_multiprobe_recall,
@@ -704,6 +768,7 @@ ORACLES = {
     "ann_lsh": Q_ANN_LSH_SQL,
     "ann_lsh_multiprobe": Q_ANN_LSH_MULTIPROBE_SQL,
     "ann_ivf": Q_ANN_IVF_SQL,
+    "ann_hard_negatives": Q_ANN_HARD_NEGATIVES_SQL,
     "ann_recall": Q_ANN_RECALL_SQL,
     "ann_lsh_recall": Q_ANN_LSH_RECALL_SQL,
     "ann_lsh_multiprobe_recall": Q_ANN_LSH_MULTIPROBE_RECALL_SQL,

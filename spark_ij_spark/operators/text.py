@@ -550,8 +550,51 @@ WHERE rank <= {TFIDF_TOP_TERMS}
 """
 
 
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training prep: corpus-wide adjacent character-pair
+    counts — the statistic the first BPE merge iteration (Sennrich
+    2016) maximizes. Top-50 pairs, frequency-weighted by word
+    occurrences (not distinct words), deterministic tie-break on the
+    pair itself.
+
+    Scale shape: two map-only explodes (words, then in-word adjacent
+    pairs — both inside whole-stage codegen, zero Python) feeding one
+    partial-aggregating groupBy; the sort ranks only the aggregated
+    pair vocabulary (O(alphabet²)), never the corpus. Iterated BPE
+    would re-run this count per merge round on a re-encoded corpus;
+    the per-round shape is exactly this query."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr(TOKENS_SPARK)).alias("w"))
+        .where(F.expr("char_length(w) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, char_length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+Q_TEXT_BPE_PAIRS_SQL = f"""
+WITH w AS (SELECT unnest({TOKENS_DUCK}) AS w FROM documents),
+p AS (SELECT unnest(list_transform(range(1, length(w)),
+                    i -> substring(w, i, 2))) AS pair
+      FROM w WHERE length(w) >= 2)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM p GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50
+"""
+
+
 QUERIES = {
     "text_bm25": q_text_bm25,
+    "text_bpe_pairs": q_text_bpe_pairs,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_tokens": q_text_tokens,
@@ -565,6 +608,7 @@ QUERIES = {
 
 ORACLES = {
     "text_bm25": Q_TEXT_BM25_SQL,
+    "text_bpe_pairs": Q_TEXT_BPE_PAIRS_SQL,
     "text_quality": Q_TEXT_QUALITY_SQL,
     "text_lang_id": Q_TEXT_LANG_ID_SQL,
     "text_tokens": Q_TEXT_TOKENS_SQL,

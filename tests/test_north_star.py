@@ -197,6 +197,43 @@ def test_ann_ivf_consistent_with_bruteforce(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_hard_negatives_exclude_positives(spark, sf_dir):
+    """Mined hard negatives must all sit strictly below the dedup
+    positive threshold (training on positives as negatives is label
+    noise), carry contiguous descending-similarity ranks, and be drawn
+    from the same IVF candidate stream as q_ann_ivf."""
+    from spark_ij_spark.operators.dedup import EMBED_COS_THRESHOLD
+
+    rows = similarity.q_ann_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.cos_sim < EMBED_COS_THRESHOLD
+        by_q.setdefault(r.ia, []).append(r)
+    for ia, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rs) <= similarity.HN_K
+
+
+def test_bpe_pairs_are_adjacent_char_counts(spark, duck, sf_dir):
+    """Every returned pair is 2 chars, counts are non-increasing, and
+    the top pair's count equals an independent python recount."""
+    rows = text.q_text_bpe_pairs(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    assert all(len(r.pair) == 2 for r in rows)
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    top = rows[0]
+    n = 0
+    for (txt,) in duck.execute("SELECT text FROM documents").fetchall():
+        for w in txt.split(" "):
+            n += sum(1 for i in range(len(w) - 1) if w[i : i + 2] == top.pair)
+    assert n == top.cnt
+
+
 def test_fingerprint_deterministic(spark, sf_dir):
     a = {r.doc_id: r.fingerprint for r in text.q_text_fingerprint(spark, sf_dir).collect()}
     b = {r.doc_id: r.fingerprint for r in text.q_text_fingerprint(spark, sf_dir).collect()}

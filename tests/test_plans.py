@@ -500,3 +500,51 @@ def test_anomalies_broadcast_stats_back(spark):
     plan = _plan(profile.q_events_anomalies(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_drift_psi_single_scan_no_join(spark):
+    """PSI drift: one map-only scan (hash slice + bin are codegen
+    exprs) to an O(bins) aggregate — no join, no Python, no rescans."""
+    from spark_ij_spark.operators import profile
+
+    plan = _plan(profile.q_docs_drift_psi(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_bpe_pairs_map_only_partial_agg(spark):
+    """BPE pair counts: double explode stays codegen (no Python, no
+    join); the groupBy partial-aggregates map-side before exchange."""
+    from spark_ij_spark.operators import text
+
+    plan = _plan(text.q_text_bpe_pairs(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_zorder_map_only_zvalue_no_join(spark):
+    """Z-order stats: the Morton interleave is a pure codegen integer
+    expression over ONE scan; no join anywhere (the ntile window is
+    the range-split stand-in — see the docstring)."""
+    from spark_ij_spark.operators import layout
+
+    plan = _plan(layout.q_zorder_stats(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_bloom_prejoin_map_side_filter_broadcast_truth(spark):
+    """Bloom pre-join: the bitmap probe is a map-side literal-array
+    filter on the fact scan (pushed into/next to the scan, before any
+    join); ground truth joins back as a broadcast hash join — no
+    shuffle of the fact table on the join key, no Python."""
+    from spark_ij_spark.operators import layout
+
+    plan = _plan(layout.q_bloom_prejoin(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

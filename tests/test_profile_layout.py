@@ -16,13 +16,68 @@ def test_profile_query_matches_oracle(spark, duck, name):
     )
 
 
-def test_bucketed_join_matches_oracle(spark, duck):
+@pytest.mark.parametrize("name", sorted(layout.QUERIES))
+def test_layout_query_matches_oracle(spark, duck, name):
     assert_oracle_match(
-        spark,
-        duck,
-        layout.QUERIES["bucketed_join_revenue"],
-        layout.ORACLES["bucketed_join_revenue"],
+        spark, duck, layout.QUERIES[name], layout.ORACLES[name]
     )
+
+
+def test_zorder_buckets_balanced_and_prune_both_dims(spark, duck):
+    """The z-order layout property: buckets are equal-size (ntile),
+    cover the table exactly, and a narrow window on EITHER dimension
+    alone intersects well under all bucket bounds — the two-sided
+    data-skipping a single-column sort cannot give (it is tight on one
+    dimension and spans the other's full range in ~every bucket)."""
+    rows = layout.q_zorder_stats(spark, SF_DIR).collect()
+    assert len(rows) == layout.Z_BUCKETS
+    ns = [r.n for r in rows]
+    assert max(ns) - min(ns) <= 1
+    (total,) = duck.execute("SELECT COUNT(*) FROM orders").fetchone()
+    assert sum(ns) == total
+
+    def frac_hit(bounds, lo, hi):
+        hit = sum(1 for a, b in bounds if not (b < lo or a > hi))
+        return hit / len(bounds)
+
+    for dim in ("cust", "day"):
+        bounds = [(r[f"min_{dim}"], r[f"max_{dim}"]) for r in rows]
+        lo = min(a for a, _ in bounds)
+        hi = max(b for _, b in bounds)
+        mid, w = (lo + hi) // 2, max((hi - lo) // 40, 1)  # ~5% window
+        frac = frac_hit(bounds, mid - w, mid + w)
+        assert 0 < frac <= 0.75, (dim, frac)
+
+
+def test_drift_psi_nonnegative_and_covers_corpus(spark, duck):
+    """Each PSI contribution (p−q)·ln(p/q) is ≥ 0 by construction
+    (both factors share sign); the two slices partition the corpus."""
+    rows = profile.q_docs_drift_psi(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.psi >= 0 for r in rows)
+    (total,) = duck.execute("SELECT COUNT(*) FROM documents").fetchone()
+    assert sum(r.n_a + r.n_b for r in rows) == total
+    # deterministic md5 split → both slices non-empty at this SF
+    assert sum(r.n_a for r in rows) > 0 and sum(r.n_b for r in rows) > 0
+
+
+def test_bloom_prejoin_no_false_negatives(spark, duck):
+    """Bloom soundness: candidates ⊇ true matches (n_false_pos ≥ 0 and
+    n_candidates = n_true + n_false_pos), and n_true per flag equals
+    the exact brand join computed independently."""
+    rows = layout.q_bloom_prejoin(spark, SF_DIR).collect()
+    assert rows
+    exact = dict(
+        duck.execute(
+            "SELECT l_returnflag, COUNT(*) FROM lineitem"
+            " JOIN part ON l_partkey = p_partkey"
+            f" WHERE p_brand = '{layout.BLOOM_BRAND}' GROUP BY 1"
+        ).fetchall()
+    )
+    for r in rows:
+        assert r.n_candidates == r.n_true + r.n_false_pos
+        assert r.n_false_pos >= 0
+        assert r.n_true == exact.get(r.l_returnflag, 0)
 
 
 def test_profile_agrees_with_duckdb_per_column(spark, duck, sf_dir):
