@@ -532,8 +532,66 @@ FROM counts ORDER BY from_type, to_type
 """
 
 
+def q_events_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction (CDC upsert materialization): treat
+    ``events`` as a keyed change stream and materialize the LATEST
+    state per user — last event id/type/timestamp plus first-seen and
+    change count. This is the maintenance query behind every mutable
+    "current state" table fed by an append-only log (Delta/Hudi MERGE
+    does it engine-side; this is the explicit Spark form).
+
+    Scale shape: ONE shuffle keyed on user_id — the row_number window
+    (latest row; (user_id, ts) is unique in this log, event_id makes
+    the tie-break total) and the whole-partition count/min windows
+    share the same partitioning, so Spark plans them over a single
+    Exchange with no join anywhere (plan-guarded). At 100 TB the same
+    query runs incrementally: new-batch compaction then a keyed merge
+    against the (bucketed) state table, exactly the
+    ``layout.bucketed_join`` shape."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wp = Window.partitionBy("user_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.row_number().over(wo).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("n_changes"),
+            F.min("ts").over(wp).alias("first_ts"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("ts").alias("last_ts"),
+            "n_changes",
+            "first_ts",
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_EVENTS_CDC_STATE_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       ts AS last_ts, n_changes, first_ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes,
+             MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_sliding": q_events_sliding,
+    "events_cdc_state": q_events_cdc_state,
     "events_transitions": q_events_transitions,
     "events_retention": q_events_retention,
     "events_quantiles": q_events_quantiles,
@@ -548,6 +606,7 @@ QUERIES = {
 
 ORACLES = {
     "events_sliding": Q_EVENTS_SLIDING_SQL,
+    "events_cdc_state": Q_EVENTS_CDC_STATE_SQL,
     "events_transitions": Q_EVENTS_TRANSITIONS_SQL,
     "events_retention": Q_EVENTS_RETENTION_SQL,
     "events_quantiles": Q_EVENTS_QUANTILES_SQL,

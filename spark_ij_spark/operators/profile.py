@@ -282,13 +282,116 @@ FROM tot ORDER BY bin
 Q_DOCS_DRIFT_PSI_SQL = _drift_psi_sql()
 
 
+# Heavy hitters reported by the join-key skew profile.
+SKEW_TOPN = 10
+
+
+def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of ``lineitem.l_partkey`` — the
+    pre-flight check that decides whether a planned join needs
+    salting/AQE skew handling: the SKEW_TOPN heaviest keys with their
+    row counts and each key's ratio to the mean per-key load.
+
+    Scale shape: one partial-aggregating groupBy to |keys| rows; the
+    global mean comes from re-aggregating that (already tiny) frame to
+    ONE row, broadcast back — the fact table is scanned once and the
+    full key histogram is never globally sorted (top-N via the
+    aggregated frame only). Ratios are doubles from exact integer
+    counts — deterministic in both engines."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    counts = li.groupBy("l_partkey").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt")
+    )
+    totals = counts.agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("total"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("nkeys"),
+    )
+    mean = "CAST(total AS DOUBLE) / CAST(nkeys AS DOUBLE)"
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            "cnt",
+            F.expr(f"round({mean}, 6)").alias("mean_cnt"),
+            F.expr(f"round(CAST(cnt AS DOUBLE) / ({mean}), 6)").alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.desc("cnt"), F.asc("part_key"))
+        .limit(SKEW_TOPN)
+    )
+
+
+Q_JOIN_KEY_SKEW_SQL = f"""
+WITH counts AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nkeys
+  FROM counts)
+SELECT l_partkey AS part_key, cnt,
+       round(CAST(total AS DOUBLE) / CAST(nkeys AS DOUBLE), 6) AS mean_cnt,
+       round(CAST(cnt AS DOUBLE)
+             / (CAST(total AS DOUBLE) / CAST(nkeys AS DOUBLE)), 6) AS skew_ratio
+FROM counts, tot
+ORDER BY cnt DESC, part_key ASC LIMIT {SKEW_TOPN}
+"""
+
+
+def q_integrity_docs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit between ``documents`` and
+    ``embeddings`` (doc_id ↔ vec_id): matched count plus orphans on
+    each side in one row — the join-coverage check a multimodal /
+    multi-artifact corpus runs after every pipeline stage that is
+    supposed to keep tables aligned.
+
+    Scale shape: key-only projections of both tables into one
+    co-partitioned full outer join, aggregated map-side to a single
+    row; no table is scanned twice."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
+    return (
+        docs.join(vecs, docs.doc_id == vecs.vec_id, "full_outer")
+        .agg(
+            F.expr("CAST(COUNT(doc_id) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(COUNT(vec_id) AS BIGINT)").alias("n_vecs"),
+            F.expr(
+                "CAST(SUM(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_matched"),
+            F.expr(
+                "CAST(SUM(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_docs_only"),
+            F.expr(
+                "CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_vecs_only"),
+        )
+    )
+
+
+Q_INTEGRITY_SQL = """
+SELECT CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(vec_id) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_only,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs_only
+FROM (SELECT doc_id FROM documents) d
+FULL OUTER JOIN (SELECT vec_id FROM embeddings) e ON d.doc_id = e.vec_id
+"""
+
+
 QUERIES = {
     "profile_orders": q_profile_orders,
     "events_anomalies": q_events_anomalies,
     "docs_drift_psi": q_docs_drift_psi,
+    "join_key_skew": q_join_key_skew,
+    "integrity_docs_embeddings": q_integrity_docs_embeddings,
 }
 ORACLES = {
     "profile_orders": Q_PROFILE_ORDERS_SQL,
     "events_anomalies": Q_EVENTS_ANOMALIES_SQL,
     "docs_drift_psi": Q_DOCS_DRIFT_PSI_SQL,
+    "join_key_skew": Q_JOIN_KEY_SKEW_SQL,
+    "integrity_docs_embeddings": Q_INTEGRITY_SQL,
 }

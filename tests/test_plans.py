@@ -536,6 +536,31 @@ def test_zorder_map_only_zvalue_no_join(spark):
     assert plan.count("FileScan") == 1
 
 
+def test_cdc_state_single_shuffle_no_join(spark):
+    """CDC compaction: the ranked window and the whole-partition
+    count/min windows share ONE user_id exchange; no join anywhere
+    (the naive latest⋈history form pays a second shuffle + join)."""
+    from spark_ij_spark.operators import event_windows
+
+    plan = _plan(event_windows.q_events_cdc_state(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_skew_profile_single_fact_scan(spark):
+    """Join-key skew profile: the fact table is scanned once into a
+    partial-aggregating groupBy; the 1-row totals frame comes back as
+    a broadcast (BNLJ of one row, by design), never re-shuffling or
+    globally sorting the key histogram."""
+    from spark_ij_spark.operators import profile
+
+    plan = _plan(profile.q_join_key_skew(spark, SF_DIR))
+    assert plan.count("FileScan") <= 2  # counts + totals share the agg
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
 def test_bloom_prejoin_map_side_filter_broadcast_truth(spark):
     """Bloom pre-join: the bitmap probe is a map-side literal-array
     filter on the fact scan (pushed into/next to the scan, before any

@@ -61,6 +61,51 @@ def test_drift_psi_nonnegative_and_covers_corpus(spark, duck):
     assert sum(r.n_a for r in rows) > 0 and sum(r.n_b for r in rows) > 0
 
 
+def test_skew_profile_identifies_heaviest_keys(spark, duck):
+    """Top keys match an independent DuckDB heavy-hitter query and the
+    ratio column is consistent with cnt/mean."""
+    rows = profile.q_join_key_skew(spark, SF_DIR).collect()
+    assert len(rows) == profile.SKEW_TOPN
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    (top_cnt,) = duck.execute(
+        "SELECT MAX(c) FROM (SELECT COUNT(*) c FROM lineitem GROUP BY l_partkey)"
+    ).fetchone()
+    assert rows[0].cnt == top_cnt
+    for r in rows:
+        assert abs(r.skew_ratio - r.cnt / r.mean_cnt) < 1e-4
+
+
+def test_integrity_audit_accounts_for_every_key(spark, duck):
+    """Counts must tile: docs = matched + docs_only, vecs = matched +
+    vecs_only, and totals equal the raw table counts."""
+    (r,) = profile.q_integrity_docs_embeddings(spark, SF_DIR).collect()
+    (nd,) = duck.execute("SELECT COUNT(*) FROM documents").fetchone()
+    (nv,) = duck.execute("SELECT COUNT(*) FROM embeddings").fetchone()
+    assert r.n_docs == nd and r.n_vecs == nv
+    assert r.n_docs == r.n_matched + r.n_docs_only
+    assert r.n_vecs == r.n_matched + r.n_vecs_only
+
+
+def test_cdc_state_is_latest_per_user(spark, duck):
+    """Every emitted row must be that user's true max-ts event, and
+    n_changes the user's event count (independent DuckDB recount)."""
+    from spark_ij_spark.operators import event_windows
+
+    rows = event_windows.q_events_cdc_state(spark, SF_DIR).collect()
+    truth = {
+        u: (eid, n)
+        for u, eid, n in duck.execute(
+            "SELECT user_id, arg_max(event_id, ts), COUNT(*)"
+            " FROM events GROUP BY user_id"
+        ).fetchall()
+    }
+    assert len(rows) == len(truth)
+    for r in rows:
+        eid, n = truth[r.user_id]
+        assert r.last_event_id == eid and r.n_changes == n
+
+
 def test_bloom_prejoin_no_false_negatives(spark, duck):
     """Bloom soundness: candidates ⊇ true matches (n_false_pos ≥ 0 and
     n_candidates = n_true + n_false_pos), and n_true per flag equals
