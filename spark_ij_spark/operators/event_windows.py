@@ -589,9 +589,98 @@ ORDER BY user_id
 """
 
 
+def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type association mining: for every unordered type pair,
+    the number of users exhibiting both, plus lift and PMI against
+    independence — the "users who do X also do Y" co-occurrence signal
+    behind recommendation and behavioral-cohort analyses.
+
+    Scale shape: one distinct (user, type) shuffle; the pair join is a
+    SELF equi-join on user_id (co-partitioned — fan-in bounded by
+    types-per-user, ≤|event types| per row, never all-users); pair and
+    marginal aggregates partial-aggregate to O(types²) rows and the
+    marginals join back broadcast. Determinism: counts are exact
+    BIGINTs; lift/PMI are fixed IEEE double sequences from those ints
+    (ln bit-identity verified across engines — see text_surprisal)."""
+    ev = _events(spark, sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct().count()  # O(1) model scalar
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_ab"))
+    )
+    marg = ut.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")
+    )
+    lift = (
+        f"(CAST(n_ab AS DOUBLE) * CAST({n_users} AS DOUBLE))"
+        " / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                marg.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
+            ),
+            "ta",
+        )
+        .join(
+            F.broadcast(
+                marg.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))
+            ),
+            "tb",
+        )
+        .select(
+            "ta",
+            "tb",
+            "n_ab",
+            F.expr(f"round({lift}, 6)").alias("lift"),
+            F.expr(f"round(ln({lift}), 6)").alias("pmi"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+def _cooccurrence_sql() -> str:
+    lift = (
+        "(CAST(n_ab AS DOUBLE) * CAST(nu.nu AS DOUBLE))"
+        " / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE))"
+    )
+    return f"""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM ut),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+marg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1)
+SELECT ta, tb, n_ab,
+       round({lift}, 6) AS lift, round(ln({lift}), 6) AS pmi
+FROM pairs
+CROSS JOIN nu
+JOIN marg ma ON ma.event_type = ta
+JOIN marg mb ON mb.event_type = tb
+ORDER BY ta, tb
+"""
+
+
+Q_EVENTS_COOCCURRENCE_SQL = _cooccurrence_sql()
+
+
 QUERIES = {
     "events_sliding": q_events_sliding,
     "events_cdc_state": q_events_cdc_state,
+    "events_cooccurrence": q_events_cooccurrence,
     "events_transitions": q_events_transitions,
     "events_retention": q_events_retention,
     "events_quantiles": q_events_quantiles,
@@ -607,6 +696,7 @@ QUERIES = {
 ORACLES = {
     "events_sliding": Q_EVENTS_SLIDING_SQL,
     "events_cdc_state": Q_EVENTS_CDC_STATE_SQL,
+    "events_cooccurrence": Q_EVENTS_COOCCURRENCE_SQL,
     "events_transitions": Q_EVENTS_TRANSITIONS_SQL,
     "events_retention": Q_EVENTS_RETENTION_SQL,
     "events_quantiles": Q_EVENTS_QUANTILES_SQL,

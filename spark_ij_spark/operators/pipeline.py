@@ -1052,8 +1052,81 @@ FROM s
 """
 
 
+# Weighted sample size per language stratum.
+WS_K = 10
+_TWO_60 = 1 << 60
+
+
+def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis via exponential clocks): each doc draws
+    key = −ln(u)/w with u a [0,1) uniform derived from hash60(doc_id)
+    and w its token count; the WS_K smallest keys per language stratum
+    are the sample. Inclusion probability is proportional to weight —
+    the reproducible-without-RNG way to oversample long documents (or
+    any per-doc quality weight) in a training mix.
+
+    Scale shape: the draw key is one map-only codegen expression (md5
+    + ln per doc); selection is a per-stratum top-k window on ONE
+    keyed shuffle — no global sort, no RNG state. Determinism: u is an
+    exact dyadic rational (60-bit hash / 2^60), so −ln(u)/w is the
+    identical fixed IEEE sequence in both engines; ordering uses the
+    raw key (doc_id tiebreak), display rounds."""
+    from pyspark.sql.window import Window
+
+    h = hash60_spark("concat('ws:', CAST(doc_id AS STRING))")
+    key = (
+        f"-ln((CAST(({h}) AS DOUBLE) + 1) / {_TWO_60}.0)"
+        " / CAST(size(split(text, ' ')) AS DOUBLE)"
+    )
+    w = Window.partitionBy("lang").orderBy("draw_key", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "lang",
+            "doc_id",
+            F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+            F.expr(key).alias("draw_key"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WS_K)
+        .select(
+            "lang",
+            "doc_id",
+            "n_tokens",
+            F.expr("round(draw_key, 9)").alias("draw_key"),
+        )
+        .orderBy("lang", "doc_id")
+    )
+
+
+def _weighted_sample_sql() -> str:
+    h = hash60_duck("concat('ws:', CAST(doc_id AS VARCHAR))")
+    key = (
+        f"-ln((CAST(({h}) AS DOUBLE) + 1) / {_TWO_60}.0)"
+        " / CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    )
+    return f"""
+WITH keyed AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {key} AS draw_key
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY draw_key, doc_id) AS rk
+  FROM keyed)
+SELECT lang, doc_id, n_tokens, round(draw_key, 9) AS draw_key
+FROM ranked WHERE rk <= {WS_K} ORDER BY lang, doc_id
+"""
+
+
+Q_PIPELINE_WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
+
+
 QUERIES = {
     "pipeline_hash_split": q_pipeline_hash_split,
+    "pipeline_weighted_sample": q_pipeline_weighted_sample,
     "pipeline_source_mix": q_pipeline_source_mix,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
@@ -1072,6 +1145,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_hash_split": Q_PIPELINE_HASH_SPLIT_SQL,
+    "pipeline_weighted_sample": Q_PIPELINE_WEIGHTED_SAMPLE_SQL,
     "pipeline_source_mix": Q_PIPELINE_SOURCE_MIX_SQL,
     "pipeline_clean_corpus": Q_PIPELINE_CLEAN_SQL,
     "pipeline_pack_sequences": Q_PIPELINE_PACK_SQL,

@@ -536,6 +536,30 @@ def test_zorder_map_only_zvalue_no_join(spark):
     assert plan.count("FileScan") == 1
 
 
+def test_weighted_sample_single_shuffle_no_join(spark):
+    """ES weighted sampling: draw key is map-only codegen; selection
+    is one per-stratum window shuffle — no join, no global sort of the
+    corpus, no Python."""
+    from spark_ij_spark.operators import pipeline
+
+    plan = _plan(pipeline.q_pipeline_weighted_sample(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cooccurrence_equi_self_join_broadcast_marginals(spark):
+    """Association mining: the pair join is a user_id equi-join (never
+    all-pairs) and the O(types) marginals come back broadcast."""
+    from spark_ij_spark.operators import event_windows
+
+    plan = _plan(event_windows.q_events_cooccurrence(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_cdc_state_single_shuffle_no_join(spark):
     """CDC compaction: the ranked window and the whole-partition
     count/min windows share ONE user_id exchange; no join anywhere

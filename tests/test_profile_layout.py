@@ -106,6 +106,45 @@ def test_cdc_state_is_latest_per_user(spark, duck):
         assert r.last_event_id == eid and r.n_changes == n
 
 
+def test_cooccurrence_counts_bounded_by_marginals(spark, duck):
+    """n_ab ≤ min(n_a, n_b) against independently recomputed
+    marginals; pmi = ln(lift) within rounding."""
+    import math
+
+    from spark_ij_spark.operators import event_windows
+
+    rows = event_windows.q_events_cooccurrence(spark, SF_DIR).collect()
+    assert rows
+    marg = dict(
+        duck.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    for r in rows:
+        assert r.ta < r.tb
+        assert 0 < r.n_ab <= min(marg[r.ta], marg[r.tb])
+        assert abs(r.pmi - math.log(r.lift)) < 1e-4
+
+
+def test_weighted_sample_favors_heavy_docs(spark, duck):
+    """Exponential-clock sampling with weight = token count must skew
+    the sample toward long documents: the pooled sample mean token
+    count exceeds the pooled corpus mean (per-stratum means fluctuate
+    at k=10, the pooled mean is the stable statistic)."""
+    from spark_ij_spark.operators import pipeline
+
+    rows = pipeline.q_pipeline_weighted_sample(spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.n_tokens)
+    assert all(len(v) == pipeline.WS_K for v in by_lang.values())
+    (corpus_mean,) = duck.execute(
+        "SELECT AVG(len(string_split(text, ' '))) FROM documents"
+    ).fetchone()
+    sample_mean = sum(r.n_tokens for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+
+
 def test_bloom_prejoin_no_false_negatives(spark, duck):
     """Bloom soundness: candidates ⊇ true matches (n_false_pos ≥ 0 and
     n_candidates = n_true + n_false_pos), and n_true per flag equals
