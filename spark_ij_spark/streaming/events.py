@@ -234,6 +234,78 @@ def user_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+CDC_OUTPUT_SCHEMA = (
+    "user_id long, last_event_id long, last_type string,"
+    " last_ts timestamp, n_changes long, first_ts timestamp"
+)
+_CDC_STATE_SCHEMA = (
+    "ts timestamp, eid long, tp string, n long, fts timestamp"
+)
+
+
+def _latest_state_fn(key, pdf_iter, state):
+    """applyInPandasWithState body: maintain each user's latest event
+    (max (ts, event_id)), change count, and first-seen timestamp;
+    emit the updated state row every micro-batch."""
+    import pandas as pd
+
+    pdfs = [p for p in pdf_iter if len(p)]
+    if not pdfs:
+        return
+    rows = pd.concat(pdfs, ignore_index=True)
+    top = rows.sort_values(["ts", "event_id"], kind="mergesort").iloc[-1]
+    b_first = rows["ts"].min()
+    if state.exists:
+        ts, eid, tp, n, fts = state.get
+        if (top["ts"].to_pydatetime(), int(top["event_id"])) > (ts, eid):
+            ts, eid, tp = (
+                top["ts"].to_pydatetime(),
+                int(top["event_id"]),
+                str(top["event_type"]),
+            )
+        n += len(rows)
+        fts = min(fts, b_first.to_pydatetime())
+    else:
+        ts, eid, tp = (
+            top["ts"].to_pydatetime(),
+            int(top["event_id"]),
+            str(top["event_type"]),
+        )
+        n, fts = len(rows), b_first.to_pydatetime()
+    state.update((ts, eid, tp, n, fts))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_event_id": [eid],
+            "last_type": [tp],
+            "last_ts": [ts],
+            "n_changes": [n],
+            "first_ts": [fts],
+        }
+    )
+
+
+def user_latest_state(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch CDC compaction
+    (``event_windows.q_events_cdc_state``): a continuously-maintained
+    "current state per user" table from the append-only change log.
+    State is ONE fixed-width row per user (O(users), not O(history)).
+
+    Unlike the transitions operator this one is ORDER-INSENSITIVE
+    across batches: the latest event is selected by comparing
+    (ts, event_id) against the carried state, so late or out-of-order
+    delivery converges to the same final state as the batch twin."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _latest_state_fn,
+        CDC_OUTPUT_SCHEMA,
+        _CDC_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_events_stream(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -340,6 +340,69 @@ def test_transitions_stream_equals_batch(spark):
     assert got == want and want
 
 
+def test_latest_state_stream_equals_batch(spark):
+    """The LAST emitted state row per user (update mode appends one
+    row per user per batch) must equal the batch CDC compaction."""
+    from spark_ij_spark.operators import event_windows
+
+    stream = se.read_events_stream(spark, SF_DIR)
+    _drain(spark, se.user_latest_state(stream), "mem_cdc", mode="update")
+    # update-mode memory sink appends; keep each user's last emission
+    got = {}
+    for r in spark.table("mem_cdc").collect():
+        got[r.user_id] = (
+            r.last_event_id,
+            r.last_type,
+            r.last_ts,
+            r.n_changes,
+            r.first_ts,
+        )
+    want = {
+        r.user_id: (r.last_event_id, r.last_type, r.last_ts, r.n_changes, r.first_ts)
+        for r in event_windows.q_events_cdc_state(spark, SF_DIR).collect()
+    }
+    assert got == want and want
+
+
+def test_latest_state_out_of_order_converges(spark, tmp_path):
+    """CDC state is order-insensitive: delivering the NEWEST event in
+    the FIRST micro-batch and an older one later still converges to
+    the true latest state (contrast with the in-order transitions
+    contract)."""
+    import shutil
+    import time
+
+    base_us = 1_700_000_000_000_000
+
+    def mk_file(name, rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+
+    # newest event arrives first; stale event arrives in batch 2
+    mk_file("a", [(9, (base_us + 5_000_000) * 1000, 1, "purchase", 1.0, "{}")])
+    mk_file("b", [(1, base_us * 1000, 1, "click", 1.0, "{}")])
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for sub, out in (("a", "f_a.parquet"), ("b", "f_b.parquet")):
+        src = next((tmp_path / sub).glob("part-*.parquet"))
+        shutil.copy(src, stream_dir / out)
+        time.sleep(1.1)
+
+    stream = se.read_events_stream(
+        spark, str(stream_dir), glob="*.parquet", max_files_per_trigger=1
+    )
+    _drain(spark, se.user_latest_state(stream), "mem_cdc2", mode="update")
+    rows = spark.table("mem_cdc2").collect()
+    final = max(rows, key=lambda r: r.n_changes)
+    assert final.last_event_id == 9 and final.last_type == "purchase"
+    assert final.n_changes == 2
+    assert final.first_ts < final.last_ts
+
+
 def test_transitions_state_spans_batches(spark, tmp_path):
     """A user sequence split across two ordered micro-batches still
     counts the boundary pair exactly once (the carried-state path)."""
