@@ -868,6 +868,116 @@ JOIN sizes sb ON inter.dc = sb.doc_id
 """
 
 
+# PageRank over the near-dup graph: fixed-point integer arithmetic so
+# every iteration is bit-identical in both engines — pr values are
+# BIGINT numerators over PR_SCALE, contributions use floor division,
+# damping 0.875 is applied as integer thousandths.
+PR_ITERS = 3
+PR_DAMP_THOUSANDTHS = 875
+PR_SCALE = 1_000_000_000_000
+
+
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative scoring for near-dup clusters:
+    PR_ITERS PageRank iterations over the (symmetrized) embedding
+    near-dup pair graph. Within a duplicate cluster the highest-rank
+    node is the most-connected — the natural "keep this copy"
+    candidate (centrality-based canonicalization), a finer signal than
+    the min-label rule ``q_dedup_clusters`` uses.
+
+    Scale shape: the edge graph comes from the bucketed pair op (never
+    all-pairs); each iteration is one src-keyed equi-join + one
+    dst-keyed partial aggregate — the canonical distributed PageRank
+    step, O(E) per round with no driver state beyond the node count.
+    Same loop hygiene as the CC op: partition count derived from the
+    measured edge count, degree attached to the edge frame ONCE
+    (GraphX-style, so the static side never re-joins per round), and
+    per-round localCheckpoint to keep loop plans shallow (measured
+    1.5x on the loop at sf0.1).
+    Determinism: pure integer fixed-point (see constants above); no
+    float accumulates anywhere, so summation order is irrelevant."""
+    edges = q_dedup_embedding(spark, sf_dir).select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    )
+    sym0 = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    n_parts = cc_partitions(sym0.count())  # materializes the edge cache
+    sym = sym0.repartition(n_parts, "src")
+    deg = sym.groupBy("src").agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("deg"))
+    symdeg = sym.join(deg, "src").select("src", "dst", "deg").localCheckpoint()
+    n_nodes = symdeg.select("src").distinct().count()  # O(1) model scalar
+    base = PR_SCALE // n_nodes
+    tele = (1000 - PR_DAMP_THOUSANDTHS) * base // 1000
+    pr = deg.select("src", F.lit(base).cast("long").alias("pr")).localCheckpoint()
+    for _ in range(PR_ITERS):
+        contrib = symdeg.join(pr, "src").select(
+            F.col("dst").alias("src"), F.expr("pr div deg").alias("c")
+        )
+        pr = (
+            contrib.groupBy("src")
+            .agg(
+                F.expr(
+                    f"CAST({tele} + ({PR_DAMP_THOUSANDTHS} * SUM(c)) div 1000 AS BIGINT)"
+                ).alias("pr")
+            )
+            .localCheckpoint()
+        )
+    return (
+        pr.join(deg, "src")
+        .select(
+            F.col("src").alias("vec_id"),
+            "deg",
+            F.expr(f"round(CAST(pr AS DOUBLE) / {PR_SCALE}, 9)").alias("pagerank"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _pagerank_sql() -> str:
+    damp = PR_DAMP_THOUSANDTHS
+    step = """
+p{k} AS (
+  SELECT s.dst AS src,
+         CAST((SELECT tele FROM consts)
+              + ({damp} * CAST(SUM(p{j}.pr // deg.deg) AS BIGINT)) // 1000
+              AS BIGINT) AS pr
+  FROM sym s JOIN p{j} ON s.src = p{j}.src JOIN deg ON s.src = deg.src
+  GROUP BY s.dst)"""
+    steps = ",".join(
+        step.format(k=k + 1, j=k, damp=damp) for k in range(PR_ITERS)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {EMBED_QUANT}) AS BIGINT)) AS qv
+  FROM embeddings),
+n AS (
+  SELECT vec_id, qv,
+         sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) AS nrm
+  FROM q),
+e0 AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE {_QCOS_DUCK} >= {EMBED_COS_THRESHOLD}),
+sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+consts AS (
+  SELECT {PR_SCALE} // COUNT(*) AS base,
+         (1000 - {damp}) * ({PR_SCALE} // COUNT(*)) // 1000 AS tele
+  FROM deg),
+p0 AS (SELECT src, CAST((SELECT base FROM consts) AS BIGINT) AS pr FROM deg),
+{steps}
+SELECT p{PR_ITERS}.src AS vec_id, deg.deg AS deg,
+       round(CAST(p{PR_ITERS}.pr AS DOUBLE) / {PR_SCALE}, 9) AS pagerank
+FROM p{PR_ITERS} JOIN deg ON p{PR_ITERS}.src = deg.src
+ORDER BY vec_id
+"""
+
+
+Q_DEDUP_PAGERANK_SQL = _pagerank_sql()
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -877,6 +987,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_aligned_spans": q_dedup_aligned_spans,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_pagerank": q_dedup_pagerank,
 }
 
 ORACLES = {
@@ -888,4 +999,5 @@ ORACLES = {
     "dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
     "dedup_aligned_spans": Q_DEDUP_ALIGNED_SPANS_SQL,
     "dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
+    "dedup_pagerank": Q_DEDUP_PAGERANK_SQL,
 }

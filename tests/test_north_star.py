@@ -197,6 +197,21 @@ def test_ann_ivf_consistent_with_bruteforce(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_pagerank_mass_and_centrality(spark, sf_dir):
+    """PageRank sanity: every node from the symmetric dup graph gets a
+    positive rank; total mass ≤ 1 (integer floor division only leaks
+    mass, never creates it); the max-degree node ranks at or above the
+    median (centrality tracks connectivity)."""
+    rows = dedup.q_dedup_pagerank(spark, sf_dir).collect()
+    assert rows
+    prs = sorted(r.pagerank for r in rows)
+    assert all(p > 0 for p in prs)
+    assert sum(prs) <= 1.0 + 1e-9
+    top_deg = max(rows, key=lambda r: (r.deg, r.pagerank))
+    assert top_deg.pagerank >= prs[len(prs) // 2]
+    assert all(r.deg >= 1 for r in rows)
+
+
 def test_hard_negatives_exclude_positives(spark, sf_dir):
     """Mined hard negatives must all sit strictly below the dedup
     positive threshold (training on positives as negatives is label

@@ -536,6 +536,25 @@ def test_zorder_map_only_zvalue_no_join(spark):
     assert plan.count("FileScan") == 1
 
 
+def test_pagerank_keyed_joins_no_cartesian(spark):
+    """PageRank: every iteration is a src-keyed equi-join + dst-keyed
+    partial agg; the only Python is the inherited block-matmul edge op
+    (cogroup), never a pair join."""
+    from spark_ij_spark.operators import dedup
+
+    plan = _plan(dedup.q_dedup_pagerank(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the only BNLJ allowed is the edge op's O(EMBED_BLOCKS)-row block
+    # replication broadcast (inherited from q_dedup_embedding, by
+    # design — its join condition references the block-id column ob);
+    # the PR iterations themselves must add none.
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "ob#" in line, line
+    assert "FlatMapCoGroupsInPandas" in plan  # the edge op, by design
+    assert "partial" in plan.lower()
+
+
 def test_weighted_sample_single_shuffle_no_join(spark):
     """ES weighted sampling: draw key is map-only codegen; selection
     is one per-stratum window shuffle — no join, no global sort of the
