@@ -589,6 +589,60 @@ ORDER BY user_id
 """
 
 
+# Open-interval sentinel for the current SCD-2 row (far-future
+# timestamp; the driver hash rule forbids NULLs in graded output).
+SCD2_OPEN_END = "9999-12-31 00:00:00"
+
+
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history materialization: turn the per-user change log
+    into validity intervals — each event opens a state row valid from
+    its timestamp until the user's next event ((user_id, ts) is
+    unique), with the latest row left open (far-future sentinel) and
+    flagged current. This is the slowly-changing-dimension type-2
+    table every warehouse derives from CDC feeds; the CDC compaction
+    (``q_events_cdc_state``) is its "current rows only" projection.
+
+    Scale shape: ONE shuffle keyed on user_id; the lead() window and
+    the is-current test (lead IS NULL) come from the same sort — no
+    join, no second pass. Sentinel instead of NULL per the driver
+    hash rule; is_current is cast to INT (cross-engine bool rendering
+    differs)."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("nxt"),
+        )
+        .select(
+            "user_id",
+            "state",
+            "valid_from",
+            F.expr(
+                f"coalesce(nxt, TIMESTAMP'{SCD2_OPEN_END}')"
+            ).alias("valid_to"),
+            F.expr("CAST(nxt IS NULL AS INT)").alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+Q_EVENTS_SCD2_SQL = f"""
+SELECT user_id, event_type AS state, ts AS valid_from,
+       coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                TIMESTAMP '{SCD2_OPEN_END}') AS valid_to,
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            IS NULL AS INT) AS is_current
+FROM events
+ORDER BY user_id, valid_from
+"""
+
+
 def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type association mining: for every unordered type pair,
     the number of users exhibiting both, plus lift and PMI against
@@ -680,6 +734,7 @@ Q_EVENTS_COOCCURRENCE_SQL = _cooccurrence_sql()
 QUERIES = {
     "events_sliding": q_events_sliding,
     "events_cdc_state": q_events_cdc_state,
+    "events_scd2": q_events_scd2,
     "events_cooccurrence": q_events_cooccurrence,
     "events_transitions": q_events_transitions,
     "events_retention": q_events_retention,
@@ -696,6 +751,7 @@ QUERIES = {
 ORACLES = {
     "events_sliding": Q_EVENTS_SLIDING_SQL,
     "events_cdc_state": Q_EVENTS_CDC_STATE_SQL,
+    "events_scd2": Q_EVENTS_SCD2_SQL,
     "events_cooccurrence": Q_EVENTS_COOCCURRENCE_SQL,
     "events_transitions": Q_EVENTS_TRANSITIONS_SQL,
     "events_retention": Q_EVENTS_RETENTION_SQL,

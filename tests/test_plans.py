@@ -579,6 +579,17 @@ def test_cooccurrence_equi_self_join_broadcast_marginals(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_scd2_single_shuffle_no_join(spark):
+    """SCD-2 materialization: one user_id-keyed window shuffle, no
+    join, no Python; the is-current flag reuses the same lead()."""
+    from spark_ij_spark.operators import event_windows
+
+    plan = _plan(event_windows.q_events_scd2(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_cdc_state_single_shuffle_no_join(spark):
     """CDC compaction: the ranked window and the whole-partition
     count/min windows share ONE user_id exchange; no join anywhere

@@ -145,6 +145,27 @@ def test_weighted_sample_favors_heavy_docs(spark, duck):
     assert sample_mean > corpus_mean
 
 
+def test_scd2_intervals_tile_per_user(spark, duck):
+    """SCD-2 rows per user must form a gapless chain: sorted
+    valid_from == previous valid_to, exactly one open (is_current)
+    row per user, and row count equals the event count."""
+    from spark_ij_spark.operators import event_windows
+
+    rows = event_windows.q_events_scd2(spark, SF_DIR).collect()
+    (n_events,) = duck.execute("SELECT COUNT(*) FROM events").fetchone()
+    assert len(rows) == n_events
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in rs) == 1
+        assert rs[-1].is_current == 1
+        for prev, nxt in zip(rs, rs[1:]):
+            assert prev.valid_to == nxt.valid_from
+            assert prev.is_current == 0
+
+
 def test_bloom_prejoin_no_false_negatives(spark, duck):
     """Bloom soundness: candidates ⊇ true matches (n_false_pos ≥ 0 and
     n_candidates = n_true + n_false_pos), and n_true per flag equals
