@@ -1124,9 +1124,122 @@ FROM ranked WHERE rk <= {WS_K} ORDER BY lang, doc_id
 Q_PIPELINE_WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
 
 
+# Calibrated-mix targets: source tiers (source number mod 4) with
+# binary-fraction TOKEN shares. Written as (numerator, denominator)
+# pairs so the budget arithmetic stays pure-integer in both engines.
+MIX_TIER_SHARES = {0: (1, 2), 1: (1, 4), 2: (1, 8), 3: (1, 8)}
+
+
+def q_pipeline_calibrated_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-calibrating source mixing: hit exact target TOKEN
+    proportions across source tiers without upsampling. Phase 1
+    measures each tier's available tokens; the largest feasible corpus
+    is K = min_t(avail_t / share_t) and each tier's budget is
+    share_t·K. Phase 2 walks each tier in hash order and keeps docs
+    while the running token count fits the budget (same cumsum-window
+    shape as ``pipeline_token_budget`` — but with budgets DERIVED from
+    the data, the calibrate-then-apply pattern real mixture tuning
+    uses, instead of fixed constants).
+
+    Scale shape: calibration is one partial-aggregating groupBy to
+    O(tiers) rows; budgets join back broadcast; selection is ONE
+    tier-keyed window shuffle. Determinism: token counts and budgets
+    are exact integers (shares are rational pairs, floor division)."""
+    from pyspark.sql.window import Window
+
+    tier = "CAST(substring(source, 4) AS INT) % 4"
+    toks = "CAST(size(split(text, ' ')) AS BIGINT)"
+    h = hash60_spark("concat('mix:', CAST(doc_id AS STRING))")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(tier).alias("tier"),
+        F.expr(toks).alias("n_tokens"),
+        F.expr(h).alias("h"),
+    )
+    avail = docs.groupBy("tier").agg(
+        F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("avail_tokens")
+    )
+    # K = min_t(avail_t * den_t / num_t); budget_t = avail-independent
+    # share_t * K — all BIGINT floor arithmetic, identical cross-engine.
+    cap = "CASE " + " ".join(
+        f"WHEN tier = {t} THEN avail_tokens * {d} div {n}"
+        for t, (n, d) in MIX_TIER_SHARES.items()
+    ) + " END"
+    budget = "CASE " + " ".join(
+        f"WHEN tier = {t} THEN k * {n} div {d}"
+        for t, (n, d) in MIX_TIER_SHARES.items()
+    ) + " END"
+    budgets = (
+        avail.withColumn("cap", F.expr(cap))
+        .withColumn("k", F.expr("CAST(MIN(cap) OVER () AS BIGINT)"))
+        .select("tier", "avail_tokens", F.expr(f"CAST({budget} AS BIGINT)").alias("budget_tokens"))
+    )
+    w = (
+        Window.partitionBy("tier")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = (
+        docs.join(F.broadcast(budgets), "tier")
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= F.col("budget_tokens"))
+    )
+    return (
+        kept.groupBy("tier", "avail_tokens", "budget_tokens")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("kept_docs"),
+            F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("kept_tokens"),
+        )
+        .orderBy("tier")
+    )
+
+
+def _calibrated_mix_sql() -> str:
+    tier = "CAST(substring(source, 4) AS INT) % 4"
+    toks = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    h = hash60_duck("concat('mix:', CAST(doc_id AS VARCHAR))")
+    cap = "CASE " + " ".join(
+        f"WHEN tier = {t} THEN avail_tokens * {d} // {n}"
+        for t, (n, d) in MIX_TIER_SHARES.items()
+    ) + " END"
+    budget = "CASE " + " ".join(
+        f"WHEN tier = {t} THEN k * {n} // {d}"
+        for t, (n, d) in MIX_TIER_SHARES.items()
+    ) + " END"
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {tier} AS tier, {toks} AS n_tokens, {h} AS h
+  FROM documents),
+avail AS (
+  SELECT tier, CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
+  FROM docs GROUP BY tier),
+budgets AS (
+  SELECT tier, avail_tokens,
+         CAST({budget} AS BIGINT) AS budget_tokens
+  FROM (SELECT tier, avail_tokens,
+               CAST(MIN({cap}) OVER () AS BIGINT) AS k
+        FROM avail)),
+kept AS (
+  SELECT d.tier, b.avail_tokens, b.budget_tokens, d.n_tokens
+  FROM (SELECT *, SUM(n_tokens) OVER (PARTITION BY tier ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+        FROM docs) d
+  JOIN budgets b ON d.tier = b.tier
+  WHERE d.cum <= b.budget_tokens)
+SELECT tier, avail_tokens, budget_tokens,
+       CAST(COUNT(*) AS BIGINT) AS kept_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+FROM kept GROUP BY tier, avail_tokens, budget_tokens ORDER BY tier
+"""
+
+
+Q_PIPELINE_CALIBRATED_MIX_SQL = _calibrated_mix_sql()
+
+
 QUERIES = {
     "pipeline_hash_split": q_pipeline_hash_split,
     "pipeline_weighted_sample": q_pipeline_weighted_sample,
+    "pipeline_calibrated_mix": q_pipeline_calibrated_mix,
     "pipeline_source_mix": q_pipeline_source_mix,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
@@ -1146,6 +1259,7 @@ QUERIES = {
 ORACLES = {
     "pipeline_hash_split": Q_PIPELINE_HASH_SPLIT_SQL,
     "pipeline_weighted_sample": Q_PIPELINE_WEIGHTED_SAMPLE_SQL,
+    "pipeline_calibrated_mix": Q_PIPELINE_CALIBRATED_MIX_SQL,
     "pipeline_source_mix": Q_PIPELINE_SOURCE_MIX_SQL,
     "pipeline_clean_corpus": Q_PIPELINE_CLEAN_SQL,
     "pipeline_pack_sequences": Q_PIPELINE_PACK_SQL,

@@ -555,6 +555,19 @@ def test_pagerank_keyed_joins_no_cartesian(spark):
     assert "partial" in plan.lower()
 
 
+def test_calibrated_mix_broadcast_budgets_one_window(spark):
+    """Calibrated mix: O(tiers) budgets join back broadcast; selection
+    is one tier-keyed window — the corpus is never joined big-to-big
+    and never globally sorted."""
+    from spark_ij_spark.operators import pipeline
+
+    plan = _plan(pipeline.q_pipeline_calibrated_mix(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_weighted_sample_single_shuffle_no_join(spark):
     """ES weighted sampling: draw key is map-only codegen; selection
     is one per-stratum window shuffle — no join, no global sort of the

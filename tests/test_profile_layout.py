@@ -166,6 +166,30 @@ def test_scd2_intervals_tile_per_user(spark, duck):
             assert prev.is_current == 0
 
 
+def test_calibrated_mix_hits_target_proportions(spark):
+    """The binding tier keeps ALL its tokens (budget == avail); kept
+    tokens land within one doc of each budget; realized shares track
+    the target rationals."""
+    from spark_ij_spark.operators import pipeline
+
+    rows = {r.tier: r for r in pipeline.q_pipeline_calibrated_mix(spark, SF_DIR).collect()}
+    assert set(rows) == set(pipeline.MIX_TIER_SHARES)
+    k = min(
+        rows[t].avail_tokens * d // n
+        for t, (n, d) in pipeline.MIX_TIER_SHARES.items()
+    )
+    binding = [t for t, (n, d) in pipeline.MIX_TIER_SHARES.items()
+               if rows[t].avail_tokens * d // n == k]
+    assert binding
+    for t, (n, d) in pipeline.MIX_TIER_SHARES.items():
+        r = rows[t]
+        assert r.budget_tokens == k * n // d
+        assert r.kept_tokens <= r.budget_tokens
+        assert r.kept_tokens <= r.avail_tokens
+        # greedy fill gets within one (max-sized) document of budget
+        assert r.budget_tokens - r.kept_tokens < 100 or r.kept_tokens == r.avail_tokens
+
+
 def test_bloom_prejoin_no_false_negatives(spark, duck):
     """Bloom soundness: candidates ⊇ true matches (n_false_pos ≥ 0 and
     n_candidates = n_true + n_false_pos), and n_true per flag equals
