@@ -592,9 +592,121 @@ FROM p GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50
 """
 
 
+# Hashing-trick vector space: dimension count and probe set for the
+# sparse retrieval op (probes = doc_id < HV_PROBES, like the ANN ops).
+HV_DIM = 64
+HV_PROBES = 20
+HV_TOPK = 5
+
+
+def q_text_hash_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-free document retrieval via the hashing trick
+    (Weinberger 2009 feature hashing): each doc becomes a sparse
+    HV_DIM-dim integer vector (token → md5 dim, ±1 sign; value = signed
+    occurrence count), probes are scored by cosine against the corpus,
+    top-HV_TOPK per probe. The no-model baseline for semantic-ish
+    retrieval when embeddings aren't available — and the sparse-vector
+    complement of the dense ANN family in ``similarity.py``.
+
+    Scale shape: vectorization is map-only explode + one (doc, dim)
+    partial agg; scoring is the SPARSE dot product — probe postings
+    (O(probes×dim), broadcast) equi-join corpus postings on the
+    dimension key, partial-agg to pairs — never a dense all-pairs
+    join. Norms are exact integer sums; cosine is a fixed IEEE
+    sequence from ints, so the DuckDB oracle is exact."""
+    from pyspark.sql.window import Window
+
+    h = hash60_spark("concat('hv:', token)")
+    vec = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+        .select(
+            "doc_id",
+            F.expr(f"CAST(({h}) % {HV_DIM} AS INT)").alias("dim"),
+            F.expr(
+                f"CASE WHEN (({h}) div {HV_DIM}) % 2 = 0 THEN 1 ELSE -1 END"
+            ).alias("s"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.expr("CAST(SUM(s) AS BIGINT)").alias("val"))
+        .filter("val <> 0")
+        .cache()
+    )
+    norm = vec.groupBy("doc_id").agg(
+        F.expr("CAST(SUM(val * val) AS BIGINT)").alias("n2")
+    )
+    probes = vec.filter(F.col("doc_id") < HV_PROBES).select(
+        F.col("doc_id").alias("pid"), "dim", F.col("val").alias("pval")
+    )
+    dots = (
+        F.broadcast(probes)
+        .join(vec, "dim")
+        .filter(F.col("pid") != F.col("doc_id"))
+        .groupBy("pid", "doc_id")
+        .agg(F.expr("CAST(SUM(pval * val) AS BIGINT)").alias("dot"))
+    )
+    scored = (
+        dots.join(norm.withColumnRenamed("doc_id", "pid").withColumnRenamed("n2", "pa"), "pid")
+        .join(norm.withColumnRenamed("n2", "nb"), "doc_id")
+        .select(
+            "pid",
+            "doc_id",
+            F.expr(
+                "CAST(dot AS DOUBLE)"
+                " / (sqrt(CAST(pa AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("cos"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HV_TOPK)
+        .select("pid", "doc_id", "rank", F.expr("round(cos, 6)").alias("cos_sim"))
+        .orderBy("pid", "rank")
+    )
+
+
+def _hash_retrieval_sql() -> str:
+    h = hash60_duck("concat('hv:', token)")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents),
+dims AS (
+  SELECT doc_id, CAST(({h}) % {HV_DIM} AS INT) AS dim,
+         CASE WHEN (({h}) // {HV_DIM}) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM tok),
+vec AS (
+  SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS val
+  FROM dims GROUP BY doc_id, dim HAVING SUM(s) <> 0),
+nrm AS (SELECT doc_id, CAST(SUM(val * val) AS BIGINT) AS n2 FROM vec GROUP BY doc_id),
+dots AS (
+  SELECT p.doc_id AS pid, v.doc_id, CAST(SUM(p.val * v.val) AS BIGINT) AS dot
+  FROM vec p JOIN vec v ON p.dim = v.dim AND p.doc_id <> v.doc_id
+  WHERE p.doc_id < {HV_PROBES}
+  GROUP BY 1, 2),
+scored AS (
+  SELECT pid, dots.doc_id,
+         CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+  FROM dots
+  JOIN nrm na ON na.doc_id = pid
+  JOIN nrm nb ON nb.doc_id = dots.doc_id),
+ranked AS (
+  SELECT pid, doc_id, cos,
+         row_number() OVER (PARTITION BY pid ORDER BY cos DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT pid, doc_id, rank, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {HV_TOPK} ORDER BY pid, rank
+"""
+
+
+Q_TEXT_HASH_RETRIEVAL_SQL = _hash_retrieval_sql()
+
+
 QUERIES = {
     "text_bm25": q_text_bm25,
     "text_bpe_pairs": q_text_bpe_pairs,
+    "text_hash_retrieval": q_text_hash_retrieval,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_tokens": q_text_tokens,
@@ -609,6 +721,7 @@ QUERIES = {
 ORACLES = {
     "text_bm25": Q_TEXT_BM25_SQL,
     "text_bpe_pairs": Q_TEXT_BPE_PAIRS_SQL,
+    "text_hash_retrieval": Q_TEXT_HASH_RETRIEVAL_SQL,
     "text_quality": Q_TEXT_QUALITY_SQL,
     "text_lang_id": Q_TEXT_LANG_ID_SQL,
     "text_tokens": Q_TEXT_TOKENS_SQL,

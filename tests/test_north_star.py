@@ -197,6 +197,24 @@ def test_ann_ivf_consistent_with_bruteforce(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_hash_retrieval_contract(spark, sf_dir):
+    """Cosines in [-1, 1], no self-matches, contiguous descending
+    ranks per probe, ≤ HV_TOPK rows per probe."""
+    rows = text.q_text_hash_retrieval(spark, sf_dir).collect()
+    assert rows
+    by_p = {}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9
+        assert r.pid != r.doc_id
+        by_p.setdefault(r.pid, []).append(r)
+    for pid, rs in by_p.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= text.HV_TOPK
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
 def test_pagerank_mass_and_centrality(spark, sf_dir):
     """PageRank sanity: every node from the symmetric dup graph gets a
     positive rank; total mass ≤ 1 (integer floor division only leaks

@@ -555,6 +555,19 @@ def test_pagerank_keyed_joins_no_cartesian(spark):
     assert "partial" in plan.lower()
 
 
+def test_hash_retrieval_sparse_dot_broadcast_probes(spark):
+    """Hashing-trick retrieval: the dot product is a dimension-key
+    equi-join with the probe postings broadcast — no cartesian, no
+    dense all-pairs, no Python."""
+    from spark_ij_spark.operators import text
+
+    plan = _plan(text.q_text_hash_retrieval(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_calibrated_mix_broadcast_budgets_one_window(spark):
     """Calibrated mix: O(tiers) budgets join back broadcast; selection
     is one tier-keyed window — the corpus is never joined big-to-big
