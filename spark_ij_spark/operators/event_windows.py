@@ -643,6 +643,174 @@ ORDER BY user_id, valid_from
 """
 
 
+# Centered moving-average half-width (hours) for the gap-filled grid.
+GAPFILL_MA_HOURS = 3
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-to-dense time-series materialization: the hourly event
+    counts per type are re-gridded onto EVERY hour between the type's
+    first and last activity (missing hours become explicit zeros), and
+    a trailing 3-hour moving average is computed on the dense grid —
+    the resample + rolling-stat step every monitoring/forecast
+    pipeline needs, which naive GROUP BY can't produce (it never emits
+    empty buckets).
+
+    Scale shape: the dense grid is generated with sequence()+explode
+    from an O(types) min/max agg (never a driver loop); the sparse
+    counts left-join onto it co-partitioned on (type, hour); the
+    rolling window is one keyed shuffle. Determinism: counts are
+    exact ints; the moving average is SUM(int)/3 — fixed double ops."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+    span = hourly.groupBy("event_type").agg(
+        F.expr("MIN(h)").alias("h0"), F.expr("MAX(h)").alias("h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")
+        ).alias("h"),
+    )
+    dense = (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.expr("coalesce(n, CAST(0 AS BIGINT))").alias("n")
+        )
+    )
+    return (
+        dense.withColumn(
+            "ma",
+            F.expr(
+                f"round(CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h"
+                f" ROWS BETWEEN {GAPFILL_MA_HOURS - 1} PRECEDING AND CURRENT ROW)"
+                f" AS DOUBLE) / {GAPFILL_MA_HOURS}, 6)"
+            ),
+        )
+        .select("event_type", F.col("h").alias("hour"), "n", "ma")
+        .orderBy("event_type", "hour")
+    )
+
+
+Q_EVENTS_GAPFILL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+span AS (
+  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM span),
+dense AS (
+  SELECT grid.event_type, grid.h, COALESCE(hourly.n, 0) AS n
+  FROM grid LEFT JOIN hourly
+    ON grid.event_type = hourly.event_type AND grid.h = hourly.h)
+SELECT event_type, h AS hour, CAST(n AS BIGINT) AS n,
+       round(CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN {GAPFILL_MA_HOURS - 1} PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / {GAPFILL_MA_HOURS}, 6) AS ma
+FROM dense ORDER BY event_type, hour
+"""
+
+
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with DATA-DERIVED quartile edges: per user,
+    recency (hours since the corpus's last event), frequency (event
+    count) and monetary (exact decimal value sum), each scored 1-4 by
+    quartile, concatenated into the classic segment code ('444' =
+    best). Quartile edges come from the data itself — the
+    calibrate-then-apply shape again, NOT a global ntile (a global
+    ntile window is a single-reducer straggler at scale; three
+    broadcast quartile edges are O(1) state).
+
+    Scale shape: one user-keyed aggregate, then two 1-row broadcast
+    calibration aggs (global max ts; the 9 quartile edges) and a
+    map-only scoring pass. Determinism: recency/frequency are exact
+    ints, monetary is a decimal sum; quartile edges use the shared
+    linear-interpolation percentile (bit-identical in DuckDB —
+    see events_quantiles); scoring compares against those doubles."""
+    users = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.expr("MAX(ts)").alias("last_ts"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("frequency"),
+            dsum("value", 2, "monetary"),
+        )
+    )
+    gmax = users.agg(F.expr("MAX(last_ts)").alias("gmax"))
+    ru = users.crossJoin(F.broadcast(gmax)).withColumn(
+        "recency_h",
+        F.expr(
+            "CAST((unix_micros(gmax) - unix_micros(last_ts)) div 3600000000 AS BIGINT)"
+        ),
+    )
+    edges = ru.agg(
+        *[
+            F.expr(f"percentile({m}, {q})").alias(f"{m[0]}{i}")
+            for m in ("recency_h", "frequency", "monetary")
+            for i, q in enumerate((0.25, 0.5, 0.75), 1)
+        ]
+    )
+    score = (
+        "CAST(1 + (CAST({m} > {c}1 AS INT) + CAST({m} > {c}2 AS INT)"
+        " + CAST({m} > {c}3 AS INT)) AS INT)"
+    )
+    r_s = f"CAST(5 - {score.format(m='recency_h', c='r')} AS INT)"
+    f_s = score.format(m="frequency", c="f")
+    m_s = score.format(m="monetary", c="m")
+    return (
+        ru.crossJoin(F.broadcast(edges))
+        .select(
+            "user_id",
+            "recency_h",
+            "frequency",
+            "monetary",
+            F.expr(f"concat({r_s}, {f_s}, {m_s})").alias("segment"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _rfm_sql() -> str:
+    edges = ", ".join(
+        f"quantile_cont({m}, {q}) AS {m[0]}{i}"
+        for m in ("recency_h", "frequency", "monetary")
+        for i, q in enumerate((0.25, 0.5, 0.75), 1)
+    )
+    score = (
+        "CAST(1 + (CAST({m} > {c}1 AS INT) + CAST({m} > {c}2 AS INT)"
+        " + CAST({m} > {c}3 AS INT)) AS INT)"
+    )
+    r_s = "CAST(5 - " + score.format(m="recency_h", c="r") + " AS INT)"
+    f_s = score.format(m="frequency", c="f")
+    m_s = score.format(m="monetary", c="m")
+    return f"""
+WITH users AS (
+  SELECT user_id, MAX(ts) AS last_ts,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         {dsum_sql('value', 2)} AS monetary
+  FROM events GROUP BY user_id),
+g AS (SELECT MAX(last_ts) AS gmax FROM users),
+ru AS (
+  SELECT user_id, frequency, monetary,
+         CAST((epoch_us(gmax) - epoch_us(last_ts)) // 3600000000 AS BIGINT) AS recency_h
+  FROM users CROSS JOIN g),
+e AS (SELECT {edges} FROM ru)
+SELECT user_id, recency_h, frequency, monetary,
+       CONCAT({r_s}, {f_s}, {m_s}) AS segment
+FROM ru CROSS JOIN e
+ORDER BY user_id
+"""
+
+
+Q_EVENTS_RFM_SQL = _rfm_sql()
+
+
 def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type association mining: for every unordered type pair,
     the number of users exhibiting both, plus lift and PMI against
@@ -735,6 +903,8 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "events_cdc_state": q_events_cdc_state,
     "events_scd2": q_events_scd2,
+    "events_gapfill": q_events_gapfill,
+    "events_rfm": q_events_rfm,
     "events_cooccurrence": q_events_cooccurrence,
     "events_transitions": q_events_transitions,
     "events_retention": q_events_retention,
@@ -752,6 +922,8 @@ ORACLES = {
     "events_sliding": Q_EVENTS_SLIDING_SQL,
     "events_cdc_state": Q_EVENTS_CDC_STATE_SQL,
     "events_scd2": Q_EVENTS_SCD2_SQL,
+    "events_gapfill": Q_EVENTS_GAPFILL_SQL,
+    "events_rfm": Q_EVENTS_RFM_SQL,
     "events_cooccurrence": Q_EVENTS_COOCCURRENCE_SQL,
     "events_transitions": Q_EVENTS_TRANSITIONS_SQL,
     "events_retention": Q_EVENTS_RETENTION_SQL,

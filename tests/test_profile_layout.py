@@ -190,6 +190,61 @@ def test_calibrated_mix_hits_target_proportions(spark):
         assert r.budget_tokens - r.kept_tokens < 100 or r.kept_tokens == r.avail_tokens
 
 
+def test_gapfill_grid_is_dense_and_ma_consistent(spark, duck):
+    """Per type, hours form a contiguous grid from first to last
+    activity; zero-filled rows are genuinely absent in the sparse
+    counts; the trailing MA at any row equals the mean of its window."""
+    from spark_ij_spark.operators import event_windows as ew
+
+    rows = ew.q_events_gapfill(spark, SF_DIR).collect()
+    sparse = {
+        (t, h): n
+        for t, h, n in duck.execute(
+            "SELECT event_type, date_trunc('hour', ts), COUNT(*)"
+            " FROM events GROUP BY 1, 2"
+        ).fetchall()
+    }
+    by_t = {}
+    for r in rows:
+        by_t.setdefault(r.event_type, []).append(r)
+    import datetime
+
+    for t, rs in by_t.items():
+        rs.sort(key=lambda r: r.hour)
+        for a, b in zip(rs, rs[1:]):
+            assert b.hour - a.hour == datetime.timedelta(hours=1)
+        assert any(r.n == 0 for r in rs)  # gaps existed and were filled
+        for i, r in enumerate(rs):
+            assert r.n == sparse.get((t, r.hour), 0)
+            lo = max(0, i - ew.GAPFILL_MA_HOURS + 1)
+            want = sum(x.n for x in rs[lo : i + 1]) / ew.GAPFILL_MA_HOURS
+            assert abs(r.ma - want) < 1e-6
+
+
+def test_rfm_scores_are_quartile_consistent(spark):
+    """Segment digits are 1-4; each digit's population is roughly a
+    quartile (exact quartering is impossible with ties); better
+    recency means a HIGHER first digit."""
+    from spark_ij_spark.operators import event_windows as ew
+
+    rows = ew.q_events_rfm(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert len(r.segment) == 3
+        assert all(c in "1234" for c in r.segment)
+    # anti-monotone check: the user with max recency_h never outranks
+    # (in first digit) the user with min recency_h
+    worst = max(rows, key=lambda r: r.recency_h)
+    best = min(rows, key=lambda r: r.recency_h)
+    assert int(worst.segment[0]) <= int(best.segment[0])
+    # population split sanity: no digit bucket holds > 60% of users
+    from collections import Counter
+
+    for pos in range(3):
+        c = Counter(r.segment[pos] for r in rows)
+        assert max(c.values()) <= 0.6 * len(rows)
+
+
 def test_bloom_prejoin_no_false_negatives(spark, duck):
     """Bloom soundness: candidates ⊇ true matches (n_false_pos ≥ 0 and
     n_candidates = n_true + n_false_pos), and n_true per flag equals
