@@ -703,10 +703,67 @@ FROM ranked WHERE rank <= {HV_TOPK} ORDER BY pid, rank
 Q_TEXT_HASH_RETRIEVAL_SQL = _hash_retrieval_sql()
 
 
+# Fixed two-term phrase for the positional phrase-search query
+# (chosen to occur at every test SF; any phrase works).
+PHRASE = ("order", "fast")
+
+
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via positional postings — the search-engine
+    primitive bag-of-words retrieval can't express: docs where
+    PHRASE[0] is IMMEDIATELY followed by PHRASE[1], with per-doc
+    occurrence counts and the first match position (1-based).
+
+    Scale shape: the positional index is filtered to the phrase's
+    terms BEFORE any join (map-side pushdown — posting lists for two
+    terms, not the corpus index), then adjacency is a co-partitioned
+    (doc_id, pos+1)=(doc_id, pos) equi-join and one per-doc aggregate.
+    Contrast ``dedup.q_dedup_aligned_spans``, which joins the FULL
+    positional index for corpus-vs-corpus span discovery; phrase
+    search touches O(df(term)) rows."""
+    tok = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(TOKENS_SPARK)).alias("pos", "token"),
+        )
+    )
+    pa = tok.filter(F.col("token") == PHRASE[0]).select("doc_id", "pos")
+    pb = tok.filter(F.col("token") == PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    return (
+        pa.join(pb, (pa.doc_id == pb.doc_id) & (pa.pos + 1 == pb.pos_b))
+        .drop(pb.doc_id)
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_occurrences"),
+            F.expr("CAST(MIN(pos) + 1 AS BIGINT)").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+    )
+
+
+Q_TEXT_PHRASE_SEARCH_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token,
+               generate_subscripts(toks, 1) AS pos
+        FROM t),
+pa AS (SELECT doc_id, pos FROM tok WHERE token = '{PHRASE[0]}'),
+pb AS (SELECT doc_id, pos FROM tok WHERE token = '{PHRASE[1]}')
+SELECT pa.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(pa.pos) AS BIGINT) AS first_pos
+FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND pa.pos + 1 = pb.pos
+GROUP BY pa.doc_id
+ORDER BY n_occurrences DESC, pa.doc_id ASC
+"""
+
+
 QUERIES = {
     "text_bm25": q_text_bm25,
     "text_bpe_pairs": q_text_bpe_pairs,
     "text_hash_retrieval": q_text_hash_retrieval,
+    "text_phrase_search": q_text_phrase_search,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_tokens": q_text_tokens,
@@ -722,6 +779,7 @@ ORACLES = {
     "text_bm25": Q_TEXT_BM25_SQL,
     "text_bpe_pairs": Q_TEXT_BPE_PAIRS_SQL,
     "text_hash_retrieval": Q_TEXT_HASH_RETRIEVAL_SQL,
+    "text_phrase_search": Q_TEXT_PHRASE_SEARCH_SQL,
     "text_quality": Q_TEXT_QUALITY_SQL,
     "text_lang_id": Q_TEXT_LANG_ID_SQL,
     "text_tokens": Q_TEXT_TOKENS_SQL,

@@ -197,6 +197,23 @@ def test_ann_ivf_consistent_with_bruteforce(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_phrase_search_counts_match_python_recount(spark, duck, sf_dir):
+    """Every reported doc truly contains the phrase as adjacent
+    tokens, with the exact occurrence count and first position."""
+    rows = {r.doc_id: r for r in text.q_text_phrase_search(spark, sf_dir).collect()}
+    assert rows
+    a, b = text.PHRASE
+    truth = {}
+    for doc_id, txt in duck.execute("SELECT doc_id, text FROM documents").fetchall():
+        toks = txt.split(" ")
+        hits = [i for i in range(len(toks) - 1) if toks[i] == a and toks[i + 1] == b]
+        if hits:
+            truth[doc_id] = (len(hits), hits[0] + 1)
+    assert set(rows) == set(truth)
+    for d, (n, first) in truth.items():
+        assert rows[d].n_occurrences == n and rows[d].first_pos == first
+
+
 def test_hash_retrieval_contract(spark, sf_dir):
     """Cosines in [-1, 1], no self-matches, contiguous descending
     ranks per probe, ≤ HV_TOPK rows per probe."""

@@ -555,6 +555,21 @@ def test_pagerank_keyed_joins_no_cartesian(spark):
     assert "partial" in plan.lower()
 
 
+def test_phrase_search_filters_postings_before_join(spark):
+    """Phrase search: the token filter reaches below the join (each
+    side scans only its term's postings — plan shows the token
+    equality filters), adjacency is an equi-join, no cartesian, no
+    Python."""
+    from spark_ij_spark.operators import text
+
+    plan = _plan(text.q_text_phrase_search(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    for term in text.PHRASE:
+        assert term in plan  # the per-term posting filters survive
+
+
 def test_hash_retrieval_sparse_dot_broadcast_probes(spark):
     """Hashing-trick retrieval: the dot product is a dimension-key
     equi-join with the probe postings broadcast — no cartesian, no
