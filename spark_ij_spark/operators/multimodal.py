@@ -273,6 +273,85 @@ def media_from_samples(
     return pack(col)
 
 
+AVI_MIME = "video/x-msvideo"
+SCENE_W = SCENE_H = 2  # tiny real frames; 2-px rows exercise DIB padding
+
+SCENE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("n_frames", LongType()),
+        StructField("n_cuts", LongType()),
+        StructField("max_jump", LongType()),
+        StructField("sad_total", LongType()),
+    ]
+)
+
+# Adjacent-frame SAD above this = a scene cut (max possible SAD for
+# 2x2 uint8 frames is 4*255 = 1020).
+SCENE_CUT_SAD = 512
+
+
+def video_from_frames(pixels_col: str | Column) -> Column:
+    """Pack a flattened ``array<int>`` of per-frame 2x2 uint8 pixels
+    (frame-major, 4 values per frame) into REAL uncompressed-DIB AVI
+    bytes — the video sibling of ``media_from_samples``."""
+    from spark_ij_spark.sources.purepy_codecs import encode_avi
+
+    @F.pandas_udf(MEDIA_SCHEMA)
+    def pack(pixels: pd.Series) -> pd.DataFrame:
+        rows = []
+        for s in pixels:
+            x = np.asarray(s, dtype=np.uint8)
+            n = x.size // (SCENE_W * SCENE_H)
+            arr = x.reshape(n, SCENE_H, SCENE_W).transpose(1, 2, 0)
+            rows.append(
+                {
+                    "data": encode_avi(arr),
+                    "mime": AVI_MIME,
+                    "meta": {
+                        "width": SCENE_W,
+                        "height": SCENE_H,
+                        "n_frames": int(n),
+                        "sample_rate": 0,
+                        "duration_ms": 0.0,
+                    },
+                }
+            )
+        return pd.DataFrame(rows, columns=["data", "mime", "meta"])
+
+    col = F.col(pixels_col) if isinstance(pixels_col, str) else pixels_col
+    return pack(col)
+
+
+def scene_cut_features(media_col: str | Column) -> Column:
+    """Scene-cut detection on decoded AVI frames: per adjacent frame
+    pair the sum of absolute pixel differences (SAD); emits frame
+    count, cuts (SAD > SCENE_CUT_SAD), the largest jump, and total
+    SAD. Vectorized per clip, integer arithmetic end-to-end."""
+    from spark_ij_spark.sources.purepy_codecs import decode_avi
+
+    @F.pandas_udf(SCENE_FEATURE_SCHEMA)
+    def feats(media: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in media.itertuples(index=False):
+            arr = decode_avi(bytes(r.data)).astype(np.int64)
+            f = arr.reshape(SCENE_H * SCENE_W, arr.shape[2])
+            d = np.abs(f[:, 1:] - f[:, :-1]).sum(axis=0)
+            rows.append(
+                {
+                    "n_frames": int(arr.shape[2]),
+                    "n_cuts": int((d > SCENE_CUT_SAD).sum()),
+                    "max_jump": int(d.max()) if d.size else 0,
+                    "sad_total": int(d.sum()),
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=["n_frames", "n_cuts", "max_jump", "sad_total"]
+        )
+
+    col = F.col(media_col) if isinstance(media_col, str) else media_col
+    return feats(col)
+
+
 def audio_features(media_col: str | Column) -> Column:
     """Per-clip audio features from the decoded PCM waveform (first
     channel): sample count, integer energy (Σx², exact in int64),
@@ -537,13 +616,82 @@ ORDER BY probe, rn
 """
 
 
+def _scene_pixels_spark() -> str:
+    px = ", ".join(f"(e * 31 + {17 * p}) % 256" for p in range(SCENE_W * SCENE_H))
+    return (
+        "flatten(transform(array_sort(collect_list(event_id)),"
+        f" e -> array({px})))"
+    )
+
+
+def q_media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pipeline over REAL AVI bytes: per event_type, a synthetic
+    2x2-pixel frame sequence (pixel p of frame e = (e·31 + 17p) mod
+    256, event_id order) is packed into a genuine uncompressed-DIB
+    RIFF/AVI container, decoded back, and reduced to scene-cut
+    features (adjacent-frame SAD > threshold). The oracle recomputes
+    the closed form relationally — the hash match proves the video
+    encode→decode round trip (incl. DIB row padding on 2-px rows) is
+    lossless, the AVI sibling of ``q_media_audio_energy``'s WAV proof.
+
+    Scale shape: clip assembly is one per-type shuffle (clips are
+    per-key bounded in production); pack/decode/reduce are map-only
+    Arrow hops; features are integer-exact."""
+    from spark_ij_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    clips = ev.groupBy("event_type").agg(
+        F.expr(_scene_pixels_spark()).alias("pixels")
+    )
+    media = clips.select("event_type", video_from_frames("pixels").alias("media"))
+    return (
+        media.select("event_type", scene_cut_features("media").alias("f"))
+        .select(
+            "event_type",
+            F.col("f.n_frames").alias("n_frames"),
+            F.col("f.n_cuts").alias("n_cuts"),
+            F.col("f.max_jump").alias("max_jump"),
+            F.col("f.sad_total").alias("sad_total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _scene_cuts_sql() -> str:
+    sad = " + ".join(
+        f"ABS((event_id * 31 + {17 * p}) % 256 - (pe * 31 + {17 * p}) % 256)"
+        for p in range(SCENE_W * SCENE_H)
+    )
+    return f"""
+WITH o AS (
+  SELECT event_type, event_id,
+         LAG(event_id) OVER (PARTITION BY event_type ORDER BY event_id) AS pe
+  FROM events),
+d AS (
+  SELECT event_type,
+         CASE WHEN pe IS NULL THEN NULL ELSE {sad} END AS sad
+  FROM o)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN sad > {SCENE_CUT_SAD} THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(MAX(COALESCE(sad, 0)) AS BIGINT) AS max_jump,
+       CAST(SUM(COALESCE(sad, 0)) AS BIGINT) AS sad_total
+FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+
+Q_MEDIA_SCENE_CUTS_SQL = _scene_cuts_sql()
+
+
 QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "media_audio_energy": q_media_audio_energy,
+    "media_scene_cuts": q_media_scene_cuts,
     "media_feature_retrieval": q_media_feature_retrieval,
 }
 ORACLES = {
     "media_frame_sample": Q_MEDIA_FRAME_SAMPLE_SQL,
     "media_audio_energy": Q_MEDIA_AUDIO_ENERGY_SQL,
+    "media_scene_cuts": Q_MEDIA_SCENE_CUTS_SQL,
     "media_feature_retrieval": _retrieval_sql(),
 }

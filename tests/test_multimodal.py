@@ -167,3 +167,43 @@ def test_retrieval_topk_properties(spark, sf_dir):
         assert all(r.cand != probe for r in rs)
         assert all(0 < r.score <= 1.000001 for r in rs)
         assert all(a.score >= b.score for a, b in zip(rs, rs[1:]))
+
+
+def test_scene_cuts_query_matches_oracle(spark, duck):
+    assert_oracle_match(
+        spark,
+        duck,
+        mm.QUERIES["media_scene_cuts"],
+        mm.ORACLES["media_scene_cuts"],
+    )
+
+
+def test_avi_pack_roundtrip_and_scene_features(spark):
+    """video_from_frames emits genuine RIFF/AVI bytes; decode recovers
+    every 2x2 frame exactly (incl. DIB row padding), and the features
+    match a direct numpy recount."""
+    import pandas as pd
+
+    pixels = [int(x) for x in np.arange(40) * 37 % 256]  # 10 frames
+    df = spark.createDataFrame(pd.DataFrame({"pixels": [pixels]}))
+    row = df.select(mm.video_from_frames("pixels").alias("m")).collect()[0].m
+    assert bytes(row.data[:4]) == b"RIFF" and bytes(row.data[8:12]) == b"AVI "
+    assert row.mime == mm.AVI_MIME and row.meta.n_frames == 10
+
+    from spark_ij_spark.sources.purepy_codecs import decode_avi
+
+    arr = decode_avi(bytes(row.data))
+    want = np.asarray(pixels, dtype=np.uint8).reshape(10, 2, 2).transpose(1, 2, 0)
+    assert arr.shape == (2, 2, 10) and (arr == want).all()
+
+    feats = (
+        df.select(mm.scene_cut_features(mm.video_from_frames("pixels")).alias("f"))
+        .collect()[0]
+        .f
+    )
+    f = want.astype(np.int64).reshape(4, 10)
+    d = np.abs(f[:, 1:] - f[:, :-1]).sum(axis=0)
+    assert feats.n_frames == 10
+    assert feats.n_cuts == int((d > mm.SCENE_CUT_SAD).sum())
+    assert feats.max_jump == int(d.max())
+    assert feats.sad_total == int(d.sum())
