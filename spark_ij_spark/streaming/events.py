@@ -463,6 +463,36 @@ def interval_join_purchase_click(
     ).select("p_event_id", "p_user_id", "p_ts", "p_value", "c_ts", "c_value")
 
 
+def write_batch_idempotent(df: DataFrame, batch_id: int, path: str) -> None:
+    """The foreachBatch body: write micro-batch ``batch_id`` into its
+    own ``batch_id=N`` partition directory with OVERWRITE semantics.
+    A replay of the same batch (failure between sink write and offset
+    commit — the classic at-least-once window) rewrites the same
+    directory instead of appending duplicates, upgrading any
+    non-transactional sink to effectively-once."""
+    df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+
+def write_idempotent_parquet(
+    stream: DataFrame, path: str, checkpoint: str
+) -> None:
+    """Exactly-once file egress for sinks without transactions: the
+    checkpointed source offsets give replay, and the batch-id-keyed
+    overwrite in ``write_batch_idempotent`` gives idempotence — the
+    two halves of the standard foreachBatch exactly-once recipe. Runs
+    to completion with availableNow (tests replay the batch body
+    directly to prove duplicate-freedom)."""
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: write_batch_idempotent(df, bid, path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(
     df: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:
