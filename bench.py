@@ -43,6 +43,15 @@ def main() -> None:
     qs["q1_pricing_summary"](spark, sf_dir).count()
     qs["img_order_stats"](spark, sf_dir).count()
 
+    # Soft wall-clock budget: past it, remaining queries degrade from
+    # min-of-3 to a single timed run (still after their warmup pass)
+    # so the harness ALWAYS finishes inside the driver's window even
+    # when the shared box is 2x loaded. Degradations are counted in
+    # the output ("degraded") so the artifact says which regime ran.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
+    t_start = time.monotonic()
+    degraded = 0
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         # one untimed pass absorbs per-query cold costs (codegen, cache
@@ -50,8 +59,12 @@ def main() -> None:
         # runs measures steady-state throughput — the box this runs on
         # is shared, and cold-run noise was ±20% run-to-run.
         fn(spark, sf_dir).count()
+        reps = 3
+        if time.monotonic() - t_start > budget:
+            reps = 1
+            degraded += 1
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
@@ -70,6 +83,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "degraded": degraded,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
