@@ -978,6 +978,232 @@ ORDER BY vec_id
 Q_DEDUP_PAGERANK_SQL = _pagerank_sql()
 
 
+# --- triangle counting / clustering coefficient -----------------------
+
+
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle count + local clustering coefficient over
+    the Jaccard≥t near-dup pair graph — the community-density signal
+    that separates a tight duplicate cluster (cc → 1, safe to collapse
+    to one representative) from a hub document that merely touches
+    many unrelated near-dups (cc → 0, collapse would over-merge).
+
+    Scale shape: the "forward" algorithm (Schank & Wagner 2005) — each
+    edge is oriented from its lower-(degree, id) endpoint to the
+    higher, wedges are generated only from each vertex's OUT-edges,
+    and the closing edge is probed with an equi-join. Orienting by
+    degree bounds out-degree by O(sqrt(E)) regardless of hub skew, so
+    the wedge fan-out a hub vertex generates is capped — the classic
+    fix for the quadratic blowup a naive wedge join hits on skewed
+    graphs. Every join is an equi-join (no cartesian); each triangle
+    is generated exactly once, then credited to its 3 vertices with
+    one explode + count.
+    """
+    edges = (
+        _jaccard_pairs(shingle_postings(spark, sf_dir))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("da", "db")
+        .cache()
+    )
+    deg = (
+        edges.select(F.col("da").alias("v"))
+        .union(edges.select(F.col("db").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        edges.join(
+            deg.select(F.col("v").alias("da"), F.col("deg").alias("dega")), "da"
+        )
+        .join(deg.select(F.col("v").alias("db"), F.col("deg").alias("degb")), "db")
+        .select(
+            "da",
+            "db",
+            (
+                (F.col("dega") < F.col("degb"))
+                | ((F.col("dega") == F.col("degb")) & (F.col("da") < F.col("db")))
+            ).alias("fwd"),
+            "dega",
+            "degb",
+        )
+    )
+    # orient low-(deg,id) -> high; carry the dst ordering key so the
+    # wedge join can impose a strict order on the two out-neighbors
+    oriented = ed.select(
+        F.when(F.col("fwd"), F.col("da")).otherwise(F.col("db")).alias("src"),
+        F.when(F.col("fwd"), F.col("db")).otherwise(F.col("da")).alias("dst"),
+        F.when(F.col("fwd"), F.col("degb")).otherwise(F.col("dega")).alias("ddeg"),
+    ).cache()
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    tri = (
+        o1.join(
+            o2,
+            (F.col("o1.src") == F.col("o2.src"))
+            & (
+                (F.col("o1.ddeg") < F.col("o2.ddeg"))
+                | (
+                    (F.col("o1.ddeg") == F.col("o2.ddeg"))
+                    & (F.col("o1.dst") < F.col("o2.dst"))
+                )
+            ),
+        )
+        .select(
+            F.col("o1.src").alias("u"),
+            F.col("o1.dst").alias("v"),
+            F.col("o2.dst").alias("w"),
+        )
+        .join(
+            o3,
+            (F.col("v") == F.col("o3.src")) & (F.col("w") == F.col("o3.dst")),
+        )
+        .select("u", "v", "w")
+    )
+    tc = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("nt"))
+    )
+    return (
+        deg.join(tc, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("nt"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(F.col("deg") < 2, F.lit(0.0))
+            .otherwise(
+                F.expr(
+                    "round(2 * coalesce(nt, 0) / (deg * (deg - 1)), 6)"
+                )
+            )
+            .alias("local_cc"),
+        )
+    )
+
+
+Q_DEDUP_TRIANGLES_SQL = f"""
+WITH {_JACCARD_PAIRS_DUCK},
+e AS (SELECT da, db FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+deg AS (
+  SELECT v, COUNT(*) AS deg
+  FROM (SELECT da AS v FROM e UNION ALL SELECT db AS v FROM e)
+  GROUP BY v),
+tri AS (
+  SELECT e1.da AS u, e1.db AS v, e2.db AS w
+  FROM e e1
+  JOIN e e2 ON e2.da = e1.da AND e2.db > e1.db
+  JOIN e e3 ON e3.da = e1.db AND e3.db = e2.db),
+tc AS (
+  SELECT x AS v, COUNT(*) AS nt
+  FROM (SELECT unnest([u, v, w]) AS x FROM tri)
+  GROUP BY x)
+SELECT deg.v AS doc_id,
+       deg.deg AS degree,
+       CAST(COALESCE(tc.nt, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.deg < 2 THEN 0.0
+            ELSE round(2 * COALESCE(tc.nt, 0) / (deg.deg * (deg.deg - 1)), 6)
+       END AS local_cc
+FROM deg LEFT JOIN tc ON deg.v = tc.v
+"""
+
+
+# --- chunk-level exact dedup with document reassembly -----------------
+
+# Non-overlapping token chunks ("paragraphs" of the synthetic corpus,
+# which has no newlines); the trailing partial chunk is hashed too —
+# real pipelines dedup tails as well.
+PARA_TOKENS = 32
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup with reassembly accounting: split every
+    document into non-overlapping PARA_TOKENS-token chunks, keep each
+    distinct chunk only at its first occurrence (min (doc_id, start)),
+    and report per document how much survives — the RefinedWeb/Dolma
+    "remove duplicated paragraphs, keep the rest of the page" stage,
+    one granularity below document-level ``q_dedup_exact`` and the
+    exact complement of span DETECTION (``q_dedup_aligned_spans``):
+    this op decides what to KEEP.
+
+    Scale shape: chunks = map-only tokenize→explode→slice→hash60 (the
+    chunk text itself is never shuffled — only its 60-bit hash);
+    winner-per-hash is ONE hash-agg (min struct, partial map-side);
+    the winner table joins back on the same hash key (AQE reuses the
+    partitioning) and the per-doc rollup is a second keyed aggregate.
+    No windows over the corpus, no driver state.
+    """
+    ch = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
+        .select("doc_id", "toks", F.size("toks").alias("n"))
+        .select(
+            "doc_id",
+            "toks",
+            "n",
+            F.explode(F.expr(f"sequence(1, n, {PARA_TOKENS})")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.expr(f"least({PARA_TOKENS}, n - s + 1)").alias("ct"),
+            F.expr(
+                hash60_spark(f"concat_ws(' ', slice(toks, s, {PARA_TOKENS}))")
+            ).alias("h"),
+        )
+        .cache()
+    )
+    # winner key packs (doc_id, start) into one BIGINT (start < 2^20 —
+    # documents are far shorter than 1M tokens) so the min-aggregate
+    # and the equality probe are single-column integer ops on both
+    # engines (struct mins order-compare identically but field access
+    # syntax diverges across engines).
+    kk = F.expr("doc_id * 1048576 + s")
+    keep = ch.groupBy("h").agg(F.min(kk).alias("kmin"))
+    return (
+        ch.join(keep, "h")
+        .select(
+            "doc_id",
+            "ct",
+            (kk == F.col("kmin")).alias("kept"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept_chunks"),
+            F.sum(F.when(F.col("kept"), F.col("ct")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+            F.sum("ct").alias("total_tokens"),
+        )
+    )
+
+
+Q_DEDUP_PARAGRAPHS_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
+st AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(1, len(toks) + 1, {PARA_TOKENS})) AS s
+  FROM t),
+ch AS (
+  SELECT doc_id, s,
+         least({PARA_TOKENS}, n - s + 1) AS ct,
+         {hash60_duck(
+             "array_to_string(list_slice(toks, s, s + " + str(PARA_TOKENS - 1) + "), ' ')"
+         )} AS h
+  FROM st),
+keep AS (
+  SELECT h, min(doc_id * 1048576 + s) AS kmin FROM ch GROUP BY h)
+SELECT ch.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN ch.doc_id * 1048576 + ch.s = keep.kmin
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks,
+       CAST(SUM(CASE WHEN ch.doc_id * 1048576 + ch.s = keep.kmin
+                     THEN ch.ct ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(SUM(ch.ct) AS BIGINT) AS total_tokens
+FROM ch JOIN keep ON ch.h = keep.h
+GROUP BY ch.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -988,6 +1214,8 @@ QUERIES = {
     "dedup_aligned_spans": q_dedup_aligned_spans,
     "dedup_incremental": q_dedup_incremental,
     "dedup_pagerank": q_dedup_pagerank,
+    "dedup_triangles": q_dedup_triangles,
+    "dedup_paragraphs": q_dedup_paragraphs,
 }
 
 ORACLES = {
@@ -1000,4 +1228,6 @@ ORACLES = {
     "dedup_aligned_spans": Q_DEDUP_ALIGNED_SPANS_SQL,
     "dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
     "dedup_pagerank": Q_DEDUP_PAGERANK_SQL,
+    "dedup_triangles": Q_DEDUP_TRIANGLES_SQL,
+    "dedup_paragraphs": Q_DEDUP_PARAGRAPHS_SQL,
 }

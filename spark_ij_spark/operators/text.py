@@ -759,11 +759,116 @@ ORDER BY n_occurrences DESC, pa.doc_id ASC
 """
 
 
+# --- PII scan + typed redaction ---------------------------------------
+
+# Patterns use [.] instead of \. so the same literal string is a valid
+# regex in BOTH engines (Java regex in Spark, RE2 in DuckDB) without
+# escaping games; all constructs below ([], {}, +, |, ()) behave
+# identically in the two dialects.
+PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
+PII_PHONE_RE = "555-[0-9]{4}"
+PII_IP_RE = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+
+
+def _pii_enriched(engine: str) -> str:
+    """The synthetic corpus contains no PII, so the op deterministically
+    plants some (keyed off doc_id) before scanning — the same
+    generate-then-process round-trip pattern the media queries use.
+    Returns the enriched-text SQL expression for 'spark' or 'duck'."""
+    s = "STRING" if engine == "spark" else "VARCHAR"
+    return (
+        "concat(text,"
+        f" CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS {s})"
+        " || '@example.com' ELSE '' END,"
+        " CASE WHEN doc_id % 5 = 0 THEN ' tel 555-'"
+        f" || lpad(CAST(doc_id % 10000 AS {s}), 4, '0') ELSE '' END,"
+        f" CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS {s})"
+        f" || '.' || CAST((doc_id * 7) % 256 AS {s}) ELSE '' END)"
+    )
+
+
+def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + typed redaction audit: count emails / phone numbers /
+    IPv4 addresses per source and replace each with a typed tag,
+    reporting an order-independent fingerprint (bit_xor of hash60) of
+    the redacted corpus — the compliance pass every training-data
+    pipeline runs before release, with the audit trail that proves
+    what was removed.
+
+    Scale shape: map-only regex extract+replace in the scan stage
+    (whole-stage codegen, no Python), then ONE partial-agg group-by on
+    source. bit_xor (not sum) folds the per-doc hashes so the corpus
+    fingerprint is exact, order-independent, and overflow-free.
+    """
+    pii = _pii_enriched("spark")
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace({pii},"
+        f" '{PII_EMAIL_RE}', '<EMAIL>'),"
+        f" '{PII_IP_RE}', '<IP>'),"
+        f" '{PII_PHONE_RE}', '<PHONE>')"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.expr(f"size(regexp_extract_all({pii}, '{PII_EMAIL_RE}', 0))").alias(
+                "n_em"
+            ),
+            F.expr(f"size(regexp_extract_all({pii}, '{PII_PHONE_RE}', 0))").alias(
+                "n_ph"
+            ),
+            F.expr(f"size(regexp_extract_all({pii}, '{PII_IP_RE}', 0))").alias(
+                "n_ip"
+            ),
+            F.expr(hash60_spark(red)).alias("rh"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_em").alias("n_emails"),
+            F.sum("n_ph").alias("n_phones"),
+            F.sum("n_ip").alias("n_ips"),
+            F.expr("bit_xor(rh)").alias("redacted_fingerprint"),
+        )
+    )
+
+
+def _pii_scan_sql() -> str:
+    pii = _pii_enriched("duck")
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace({pii},"
+        f" '{PII_EMAIL_RE}', '<EMAIL>', 'g'),"
+        f" '{PII_IP_RE}', '<IP>', 'g'),"
+        f" '{PII_PHONE_RE}', '<PHONE>', 'g')"
+    )
+    return f"""
+WITH scanned AS (
+  SELECT source,
+         len(regexp_extract_all({pii}, '{PII_EMAIL_RE}')) AS n_em,
+         len(regexp_extract_all({pii}, '{PII_PHONE_RE}')) AS n_ph,
+         len(regexp_extract_all({pii}, '{PII_IP_RE}')) AS n_ip,
+         {hash60_duck(red)} AS rh
+  FROM documents)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_em) AS BIGINT) AS n_emails,
+       CAST(SUM(n_ph) AS BIGINT) AS n_phones,
+       CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+       bit_xor(rh) AS redacted_fingerprint
+FROM scanned
+GROUP BY source
+"""
+
+
+Q_TEXT_PII_SCAN_SQL = _pii_scan_sql()
+
+
 QUERIES = {
     "text_bm25": q_text_bm25,
     "text_bpe_pairs": q_text_bpe_pairs,
     "text_hash_retrieval": q_text_hash_retrieval,
     "text_phrase_search": q_text_phrase_search,
+    "text_pii_scan": q_text_pii_scan,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_tokens": q_text_tokens,
@@ -778,6 +883,7 @@ QUERIES = {
 ORACLES = {
     "text_bm25": Q_TEXT_BM25_SQL,
     "text_bpe_pairs": Q_TEXT_BPE_PAIRS_SQL,
+    "text_pii_scan": Q_TEXT_PII_SCAN_SQL,
     "text_hash_retrieval": Q_TEXT_HASH_RETRIEVAL_SQL,
     "text_phrase_search": Q_TEXT_PHRASE_SEARCH_SQL,
     "text_quality": Q_TEXT_QUALITY_SQL,

@@ -370,3 +370,88 @@ def test_incremental_equals_straddling_full_lsh_pairs(spark, sf_dir):
         if is_delta(a) != is_delta(b)
     }
     assert inc == straddle
+
+
+def test_triangles_match_bruteforce_edge_intersection(spark, sf_dir):
+    """Degree-oriented forward counting must equal the brute-force
+    count from the edge list (id-ordered a<b<c closure), and each
+    local_cc must sit in [0, 1]."""
+    edges = {
+        (r.da, r.db)
+        for r in dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    brute = {v: 0 for v in nbrs}
+    for a, b in edges:
+        for c in nbrs[a] & nbrs[b]:
+            if c > b:  # a < b < c: count each triangle once, credit all 3
+                for v in (a, b, c):
+                    brute[v] += 1
+    got = dedup.q_dedup_triangles(spark, sf_dir).collect()
+    assert {r.doc_id: r.n_triangles for r in got} == brute
+    assert all(0.0 <= r.local_cc <= 1.0 for r in got)
+    assert any(r.n_triangles > 0 for r in got)  # corpus has dup clusters
+
+
+def test_paragraph_dedup_keeps_every_chunk_exactly_once(spark, sf_dir):
+    """Reassembly conservation: kept chunks across the corpus ==
+    distinct chunk hashes; every doc keeps at most what it had."""
+    rows = dedup.q_dedup_paragraphs(spark, sf_dir).collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 <= r.n_kept_chunks <= r.n_chunks
+        assert 0 <= r.kept_tokens <= r.total_tokens
+    # total kept == number of distinct chunk hashes (each kept once)
+    from pyspark.sql import functions as SF
+    from spark_ij_spark.operators.dedup import PARA_TOKENS
+    from spark_ij_spark.operators.text import TOKENS_SPARK, hash60_spark
+
+    distinct_hashes = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", SF.expr(TOKENS_SPARK).alias("toks"))
+        .select("doc_id", "toks", SF.size("toks").alias("n"))
+        .select(SF.expr(f"explode(sequence(1, n, {PARA_TOKENS}))").alias("s"), "toks")
+        .select(
+            SF.expr(
+                hash60_spark(f"concat_ws(' ', slice(toks, s, {PARA_TOKENS}))")
+            ).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_kept_chunks for r in rows) == distinct_hashes
+
+
+def test_pii_scan_finds_all_planted_pii(spark, sf_dir):
+    """Every planted email/phone/IP must be detected (the corpus body
+    is word salad, so counts == plant counts exactly), and the plan
+    stays map-only + one source-keyed aggregate."""
+    from pyspark.sql import functions as SF
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expect = (
+        docs.groupBy("source")
+        .agg(
+            SF.sum((SF.col("doc_id") % 3 == 0).cast("long")).alias("em"),
+            SF.sum((SF.col("doc_id") % 5 == 0).cast("long")).alias("ph"),
+            SF.sum((SF.col("doc_id") % 7 == 0).cast("long")).alias("ip"),
+        )
+        .collect()
+    )
+    got = {r.source: r for r in text.q_text_pii_scan(spark, sf_dir).collect()}
+    for e in expect:
+        g = got[e.source]
+        assert (g.n_emails, g.n_phones, g.n_ips) == (e.em, e.ph, e.ip)
+    plan = (
+        text.q_text_pii_scan(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -668,3 +668,24 @@ def test_bloom_prejoin_map_side_filter_broadcast_truth(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_triangles_equi_joins_only(spark):
+    """Forward triangle counting: every join (wedge + closure) must be
+    an equi-join — a cartesian wedge product is the scale failure the
+    degree orientation exists to prevent."""
+    plan = _plan(dedup.q_dedup_triangles(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_paragraph_dedup_hash_agg_no_window(spark):
+    """Chunk dedup: winner-per-hash is a hash aggregate + equi-join
+    back, NEVER a window over the full chunk table (single-reducer
+    straggler) and never a cartesian; chunk text stays out of the
+    shuffle (only the 60-bit hash column moves)."""
+    plan = _plan(dedup.q_dedup_paragraphs(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
