@@ -456,13 +456,164 @@ FROM p GROUP BY s.i, s.j ORDER BY i, j
 """
 
 
+# --- dominant principal direction via integer power iteration ---------
+
+# Power iteration runs on the N-NORMALIZED second-moment matrix
+# A = (Xᵀ·X) // N of PI_QUANT-quantized embeddings, so |A_ij| ≤
+# PI_QUANT² (2^20) REGARDLESS of corpus size — the op never overflows
+# at any N, unlike iterating on the raw Gram sum. With v bounded by
+# PI_SCALE (2^16), every w_i = Σ A_ij v_j ≤ 64·2^36 ≈ 2^42 and the
+# normalization product w·PI_SCALE ≤ 2^58 stays far inside BIGINT.
+PI_QUANT = 1024       # 2^10 per-component quantization
+PI_SCALE = 65536      # 2^16 fixed-point scale of the iterate
+PI_ITERS = 24
+
+
+def _sdiv(num: int, den: int) -> int:
+    """Sign-explicit floor division of |num| (so Spark-side Python,
+    and the oracle's CASE, agree for negative numerators — Python //
+    floors while a naive SQL translation may truncate)."""
+    return -((-num) // den) if num < 0 else num // den
+
+
+def q_embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding cloud (uncentered
+    PCA) via PI_ITERS integer power-iteration steps — the whitening /
+    drift-direction primitive. Center upstream (calibrate-then-apply
+    mean subtraction) when the corpus is not near zero-mean.
+
+    Scale shape: ONE distributed pass builds the d×d second-moment
+    triangle (per-Arrow-batch numpy Mᵀ·M partials → one O(d²·
+    partitions) shuffle — identical to ``q_embed_covariance``); the
+    iteration then runs on O(d²) driver-side model state, like the
+    k-means centroid update. Floor-dividing the Gram by N bounds every
+    matrix entry by PI_QUANT² independent of corpus size.
+
+    Determinism: all-integer iterates (v0 = PI_SCALE·1; per step
+    v ← sign(w)·(|w|·PI_SCALE // max|w|)), so Spark's driver loop and
+    the oracle's PI_ITERS unrolled SQL steps produce bit-identical
+    vectors; sign ambiguity is fixed by the deterministic start.
+
+    Convergence honesty: on THIS synthetic corpus the spectrum is
+    near-degenerate (λ2/λ1 ≈ 0.98 — the embeddings are near-isotropic,
+    the same property that zeroes LSH recall), so PI_ITERS iterations land
+    IN the top eigenspace (Rayleigh quotient ≳ 0.97·λmax, asserted in
+    pytest) without singling out one eigenvector; on a corpus with a
+    real dominant direction the same iterate aligns with it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qe = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {PI_QUANT}) AS BIGINT))"
+        ).alias("qv")
+    )
+    iu, ju = np.triu_indices(COV_DIM)
+    schema = "i BIGINT, j BIGINT, n_p BIGINT, g_p BIGINT"
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            g = m.T @ m
+            yield pd.DataFrame(
+                {
+                    "i": iu + 1,
+                    "j": ju + 1,
+                    "n_p": np.full(len(iu), len(m), dtype=np.int64),
+                    "g_p": g[iu, ju],
+                }
+            )
+
+    tri = (
+        qe.mapInPandas(gram_partials, schema)
+        .groupBy("i", "j")
+        .agg(
+            F.expr("CAST(SUM(n_p) AS BIGINT)").alias("n"),
+            F.expr("CAST(SUM(g_p) AS BIGINT)").alias("g"),
+        )
+        .collect()
+    )
+    # O(d²) model state: mirror the triangle, N-normalize, iterate.
+    a = [[0] * COV_DIM for _ in range(COV_DIM)]
+    for r in tri:
+        av = _sdiv(r.g, r.n)
+        a[r.i - 1][r.j - 1] = av
+        a[r.j - 1][r.i - 1] = av
+    v = [PI_SCALE] * COV_DIM
+    for _ in range(PI_ITERS):
+        w = [sum(a[i][j] * v[j] for j in range(COV_DIM)) for i in range(COV_DIM)]
+        m = max(abs(x) for x in w)
+        v = [_sdiv(x * PI_SCALE, m) for x in w]
+    # v/PI_SCALE is a binary fraction (<= 16 fractional bits): exactly
+    # representable, so NO rounding — round-at-9 hits exact decimal
+    # ties where Spark (half-even on doubles) and DuckDB (half-up)
+    # disagree.
+    rows = [(i + 1, v[i], v[i] / PI_SCALE) for i in range(COV_DIM)]
+    return spark.createDataFrame(
+        rows, "dim BIGINT, v_fp BIGINT, component DOUBLE"
+    )
+
+
+def _power_iteration_sql() -> str:
+    steps = []
+    prev = "v0"
+    for t in range(1, PI_ITERS + 1):
+        # AS MATERIALIZED is load-bearing: each step references its
+        # predecessor twice, and DuckDB inlines plain CTEs — without
+        # materialization the expression tree doubles per step (2^12
+        # blowup hangs the oracle).
+        steps.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT af.i AS i, SUM(af.a * {prev}.v) AS w
+  FROM af JOIN {prev} ON af.j = {prev}.i GROUP BY af.i),
+v{t} AS MATERIALIZED (
+  SELECT i, CASE WHEN w >= 0 THEN (w * {PI_SCALE}) // m
+                 ELSE -(((-w) * {PI_SCALE}) // m) END AS v
+  FROM w{t}, (SELECT MAX(ABS(w)) AS m FROM w{t}))"""
+        )
+        prev = f"v{t}"
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * {PI_QUANT}) AS BIGINT)) AS qv
+  FROM embeddings),
+p AS (
+  SELECT unnest(flatten(list_transform(range(1, {COV_DIM + 1}),
+           i -> list_transform(range(i, {COV_DIM + 1}),
+             j -> {{'i': i, 'j': j, 'x': qv[i], 'y': qv[j]}})))) AS s
+  FROM q),
+g AS (
+  SELECT s.i AS i, s.j AS j, COUNT(*) AS n, CAST(SUM(s.x * s.y) AS BIGINT) AS g
+  FROM p GROUP BY s.i, s.j),
+af AS MATERIALIZED (
+  SELECT i, j, CASE WHEN g >= 0 THEN g // n ELSE -((-g) // n) END AS a FROM g
+  UNION ALL
+  SELECT j, i, CASE WHEN g >= 0 THEN g // n ELSE -((-g) // n) END AS a
+  FROM g WHERE i <> j),
+v0 AS (SELECT unnest(range(1, {COV_DIM + 1})) AS i,
+              CAST({PI_SCALE} AS BIGINT) AS v),
+{",".join(steps)}
+SELECT i AS dim, CAST(v AS BIGINT) AS v_fp,
+       CAST(v AS DOUBLE) / {PI_SCALE} AS component
+FROM v{PI_ITERS}
+"""
+
+
+Q_EMBED_POWER_ITERATION_SQL = _power_iteration_sql()
+
+
 QUERIES = {
+    "embed_power_iteration": q_embed_power_iteration,
     "embed_kmeans": q_embed_kmeans,
     "embed_semdedup": q_embed_semdedup,
     "embed_covariance": q_embed_covariance,
     "embed_outliers": q_embed_outliers,
 }
 ORACLES = {
+    "embed_power_iteration": Q_EMBED_POWER_ITERATION_SQL,
     "embed_kmeans": Q_EMBED_KMEANS_SQL,
     "embed_semdedup": Q_EMBED_SEMDEDUP_SQL,
     "embed_covariance": Q_EMBED_COVARIANCE_SQL,

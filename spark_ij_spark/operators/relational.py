@@ -1530,7 +1530,111 @@ ORDER BY s_name
 """
 
 
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a big aggregate feeding joins. Orders
+    whose total quantity exceeds Q18_MIN_QTY, with customer detail.
+
+    Shape: the l_orderkey aggregate is the only big shuffle; HAVING
+    collapses it to a handful of hot orders, and AQE converts both
+    downstream joins to broadcasts at runtime (the filtered agg side is
+    tiny) — write the joins declaratively and let the optimizer pick
+    the physical strategy from the REAL post-filter size, which no
+    static plan can know."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    hot = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity", 2, "sum_qty"))
+        .where(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    return (
+        hot.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+Q18_MIN_QTY = 300
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, {dsum_sql('l_quantity', 2)} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {dsum_sql('l_quantity', 2)} > {Q18_MIN_QTY}) hot
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# Q11-style importance threshold: a part is "important" when its shipped
+# value exceeds IMPORTANT_MULT / n_parts of the GLOBAL shipped value —
+# the TPC-H Q11 fraction generalized to scale with corpus size.
+IMPORTANT_MULT = 1.5
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group totals filtered against a threshold
+    derived from the GLOBAL total (scalar subquery). Parts whose
+    shipped value > IMPORTANT_MULT/n_parts of total shipped value.
+
+    Shape: calibrate-then-apply (CLAUDE.md) — per-part aggregate ONCE
+    (cached: it feeds both the global reduce and the filter), the
+    global total reduces that small frame to one row, broadcast back
+    via cross join, then a map-only filter. Never a window over the
+    corpus; the second pass reads the cached per-part frame, not
+    lineitem."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    per_part = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 4, "part_value"))
+        .cache()
+    )
+    tot = per_part.agg(
+        dsum("part_value", 4, "total_value"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("part_value")
+            > F.col("total_value") * F.lit(IMPORTANT_MULT) / F.col("n_parts")
+        )
+        .select(
+            "l_partkey",
+            "part_value",
+            F.round(F.col("part_value") / F.col("total_value"), 9).alias(
+                "value_share"
+            ),
+        )
+    )
+
+
+Q11_SQL = f"""
+WITH pp AS (
+  SELECT l_partkey, {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS part_value
+  FROM lineitem GROUP BY l_partkey),
+tot AS (
+  SELECT {dsum_sql('part_value', 4)} AS total_value, COUNT(*) AS n_parts FROM pp)
+SELECT l_partkey, part_value,
+       round(part_value / total_value, 9) AS value_share
+FROM pp, tot
+WHERE part_value > total_value * {IMPORTANT_MULT} / n_parts
+"""
+
+
 QUERIES = {
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q11_important_parts": q11_important_parts,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1601,6 +1705,8 @@ ORACLES = {
     "q_stats_moments": Q_STATS_MOMENTS_SQL,
     "q_window_funcs": Q_WINDOW_FUNCS_SQL,
     "q21_sole_blame_supplier": Q21_SQL,
+    "q18_large_volume_customers": Q18_SQL,
+    "q11_important_parts": Q11_SQL,
     "q_string_agg": Q_STRING_AGG_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q12_priority_shipping": Q12_SQL,

@@ -165,3 +165,40 @@ def test_outliers_are_farthest_fraction(spark, sf_dir):
             if vid not in kept_ids:
                 assert d2 <= floor_kept
         assert sorted(r.rn for r in kept) == list(range(1, len(kept) + 1))
+
+
+def test_power_iteration_matches_oracle(spark, duck):
+    assert_oracle_match(
+        spark,
+        duck,
+        clustering.QUERIES["embed_power_iteration"],
+        clustering.ORACLES["embed_power_iteration"],
+    )
+
+
+def test_power_iteration_reaches_top_eigenspace(spark, sf_dir):
+    """The synthetic embeddings are near-isotropic (λ2/λ1 ≈ 0.98 —
+    the same property that zeroes LSH recall here), so power iteration
+    cannot quickly separate the near-degenerate top eigenVECTORS; the honest
+    convergence claim is on the Rayleigh quotient: the iterate's
+    energy must sit within 5% of numpy's λmax of the SAME
+    N-normalized quantized matrix. Also checks the deterministic
+    max-normalization invariant (max|v_fp| == PI_SCALE)."""
+    import numpy as np
+
+    rows = clustering.q_embed_power_iteration(spark, sf_dir).collect()
+    v = np.array([r.v_fp for r in sorted(rows, key=lambda r: r.dim)], dtype=float)
+    assert int(np.abs(v).max()) == clustering.PI_SCALE
+
+    emb = np.stack(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    q = np.round(emb * clustering.PI_QUANT)
+    g = (q.T @ q).astype(np.int64)
+    # mirror the op's sign-explicit truncating division (numpy // floors)
+    a = np.where(g >= 0, g // len(q), -((-g) // len(q)))
+    ww = np.linalg.eigvalsh(a.astype(float))
+    rq = float(v @ a @ v) / float(v @ v)
+    assert rq >= 0.95 * ww.max(), (rq, ww.max())

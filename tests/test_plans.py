@@ -689,3 +689,29 @@ def test_paragraph_dedup_hash_agg_no_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_q18_aqe_broadcasts_post_having_agg(spark):
+    """Q18: after the HAVING collapses the orderkey aggregate, AQE
+    must convert the orders/customer joins to broadcasts at runtime —
+    a static sort-merge on the full orders table would shuffle data
+    the filter already discarded."""
+    df = relational.q18_large_volume_customers(spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan on execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q11_single_lineitem_scan_broadcast_threshold(spark):
+    """Q11: calibrate-then-apply — BOTH consumers (global reduce and
+    filter side) must read the cached per-part aggregate
+    (InMemoryTableScan), so lineitem is scanned once at runtime; the
+    1-row threshold reaches the filter via a broadcast, never a
+    window. (The plan TEXT prints the cache's build plan — and its
+    FileScan — under every InMemoryRelation, so count scans, not
+    filename occurrences.)"""
+    plan = _plan(relational.q11_important_parts(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
