@@ -683,13 +683,129 @@ FROM d GROUP BY event_type ORDER BY event_type
 Q_MEDIA_SCENE_CUTS_SQL = _scene_cuts_sql()
 
 
+# --- perceptual-hash image dedup --------------------------------------
+
+PHASH_SIDE = 8          # 8×8 grayscale fingerprint image
+PHASH_BITS = 60         # hash uses pixels 0..59 (BIGINT-sign-safe);
+                        # all 64 pixels feed the mean threshold
+PHASH_PIX_GAIN = 16     # pixel = min(255, 16·bucket_count)
+
+
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) image dedup over REAL PNG bytes — the
+    bridge between the image family and the dedup family: each
+    document renders to an 8×8 grayscale fingerprint image (pixel p =
+    clamped count of tokens hashing to bucket p — a visual bag-of-
+    words), the image round-trips through the pure-stdlib PNG codec,
+    and the DECODED pixels produce the classic average-hash: bit p set
+    iff pixel_p > mean. Documents with near-identical token bags
+    collapse to the same 60-bit aHash — exactly how image dedup
+    pipelines bucket screenshots/memes at scale (aHash/pHash→ exact
+    group-by, no pairwise compare).
+
+    The oracle recomputes the closed form relationally (bucket counts
+    → clamp → mean threshold → bit sum) WITHOUT touching PNG bytes, so
+    the hash match proves the encode→decode round trip is lossless —
+    the PNG sibling of the WAV/AVI proofs.
+
+    Scale shape: histogram = tokenize→explode→two keyed aggregates;
+    the Python hop is an Arrow-batched map carrying only (doc_id, 64
+    ints); dedup grouping is ONE hash-agg on the 60-bit hash. No pair
+    joins anywhere.
+    """
+    import pandas as pd
+
+    from spark_ij_spark.operators.text import (
+        TOKENS_SPARK,
+        _docs,
+        hash60_spark,
+    )
+    from spark_ij_spark.sources.purepy_codecs import decode_png, encode_png
+
+    n_pix = PHASH_SIDE * PHASH_SIDE
+    pixels = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
+        .select("doc_id", F.expr(f"{hash60_spark('tok')} % {n_pix}").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr("map_from_entries(collect_list(struct(b, n)))").alias("m")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {n_pix - 1}), i -> CAST(least(255,"
+                f" {PHASH_PIX_GAIN} * coalesce(m[CAST(i AS BIGINT)], 0)) AS INT))"
+            ).alias("pix"),
+        )
+    )
+
+    def ahash_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hashes = []
+            for arr in pdf["pix"]:
+                img = np.asarray(list(arr), dtype=np.uint8).reshape(
+                    PHASH_SIDE, PHASH_SIDE
+                )
+                dec = decode_png(encode_png(img))  # the round-trip proof
+                flat = dec.astype(np.int64).reshape(-1)
+                total = int(flat.sum())
+                h = 0
+                for p in range(PHASH_BITS):
+                    if int(flat[p]) * n_pix > total:
+                        h |= 1 << p
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
+
+    return (
+        pixels.mapInPandas(ahash_batches, "doc_id BIGINT, ahash BIGINT")
+        .groupBy("ahash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+    )
+
+
+from spark_ij_spark.operators.text import TOKENS_DUCK, hash60_duck  # noqa: E402
+
+Q_MEDIA_PHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_DUCK}) AS tok FROM documents),
+b AS (
+  SELECT doc_id, {hash60_duck('tok')} % {PHASH_SIDE * PHASH_SIDE} AS b FROM tok),
+cnt AS (
+  SELECT doc_id, b, COUNT(*) AS n FROM b GROUP BY doc_id, b),
+pix AS (
+  SELECT doc_id, b, least(255, {PHASH_PIX_GAIN} * n) AS p FROM cnt),
+tot AS (
+  SELECT doc_id, SUM(p) AS total FROM pix GROUP BY doc_id),
+hashes AS (
+  SELECT pix.doc_id,
+         CAST(SUM(CASE WHEN pix.b < {PHASH_BITS}
+                        AND pix.p * {PHASH_SIDE * PHASH_SIDE} > tot.total
+                       THEN (CAST(1 AS BIGINT) << CAST(pix.b AS INT))
+                       ELSE 0 END) AS BIGINT) AS ahash
+  FROM pix JOIN tot ON pix.doc_id = tot.doc_id
+  GROUP BY pix.doc_id)
+SELECT ahash, COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc_id
+FROM hashes GROUP BY ahash
+"""
+
+
 QUERIES = {
+    "media_phash_dedup": q_media_phash_dedup,
     "media_frame_sample": q_media_frame_sample,
     "media_audio_energy": q_media_audio_energy,
     "media_scene_cuts": q_media_scene_cuts,
     "media_feature_retrieval": q_media_feature_retrieval,
 }
 ORACLES = {
+    "media_phash_dedup": Q_MEDIA_PHASH_SQL,
     "media_frame_sample": Q_MEDIA_FRAME_SAMPLE_SQL,
     "media_audio_energy": Q_MEDIA_AUDIO_ENERGY_SQL,
     "media_scene_cuts": Q_MEDIA_SCENE_CUTS_SQL,

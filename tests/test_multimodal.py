@@ -207,3 +207,37 @@ def test_avi_pack_roundtrip_and_scene_features(spark):
     assert feats.n_cuts == int((d > mm.SCENE_CUT_SAD).sum())
     assert feats.max_jump == int(d.max())
     assert feats.sad_total == int(d.sum())
+
+
+def test_phash_groups_cover_corpus_and_exact_dups_collide(spark, sf_dir):
+    """Group sizes sum to the corpus; byte-identical documents MUST
+    share an aHash (identical token bags → identical fingerprint
+    image); hash values fit in PHASH_BITS."""
+    from spark_ij_spark.operators import dedup, multimodal
+
+    rows = multimodal.q_media_phash_dedup(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(0 <= r.ahash < (1 << multimodal.PHASH_BITS) for r in rows)
+    # documents with identical token BAGS must collide under the
+    # perceptual hash (the fingerprint image is a function of the bag)
+    from pyspark.sql import functions as SF
+
+    from spark_ij_spark.operators.text import TOKENS_SPARK
+
+    bags = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            SF.md5(
+                SF.expr(f"concat_ws(' ', array_sort({TOKENS_SPARK}))")
+            ).alias("bag")
+        )
+        .groupBy("bag")
+        .count()
+        .where("count > 1")
+        .collect()
+    )
+    if bags:  # tiny SFs may have no duplicate bags — invariant is vacuous
+        multi = sum(r.n_docs for r in rows if r.n_docs > 1)
+        assert multi >= sum(b["count"] for b in bags)
+    del dedup  # imported for parity with other tests; silence linters

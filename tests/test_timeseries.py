@@ -13,6 +13,8 @@ from .conftest import SF_DIR, assert_oracle_match
 
 @pytest.mark.parametrize("name", sorted(timeseries.QUERIES))
 def test_timeseries_query_matches_oracle(spark, duck, name):
+    if name not in timeseries.ORACLES:
+        pytest.skip(f"{name} is sketch-based (tolerance-tested, no hash oracle)")
     assert_oracle_match(
         spark, duck, timeseries.QUERIES[name], timeseries.ORACLES[name]
     )
@@ -86,3 +88,33 @@ def test_ohlc_partial_agg_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_min_by" in plan or "partial_minby" in plan.lower()
     assert "EvalPython" not in plan
+
+
+def test_hll_rollup_matches_exact_distinct_within_error(spark):
+    """The merged-sketch estimate must sit within 5% (≈3σ at lgK=12)
+    of the exact distinct-user count per event_type, and the daily
+    sketch count must equal the number of distinct days."""
+    from spark_ij_spark.session import load_tables
+
+    got = {
+        r.event_type: r
+        for r in timeseries.q_events_hll_rollup(spark, SF_DIR).collect()
+    }
+    ev = load_tables(spark, SF_DIR, ["events"])["events"]
+    exact = {
+        r.event_type: (r.nd, r.days)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("nd"),
+            F.countDistinct(F.date_trunc("day", "ts")).alias("days"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, (nd, days) in exact.items():
+        assert got[et].n_daily_sketches == days
+        assert abs(got[et].est_distinct_users - nd) <= max(2, 0.05 * nd), (
+            et,
+            got[et].est_distinct_users,
+            nd,
+        )
