@@ -246,7 +246,95 @@ def q_events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KMV (k-minimum-values) sketch: k smallest 60-bit hashes of the key
+# set estimate distinct count as (k-1)·2^60 / h_(k). Unlike HLL, the
+# sketch is DETERMINISTIC (a pure function of the key set), so the
+# whole estimate is exactly oracle-checkable across engines.
+KMV_K = 64
+_TWO60 = "1152921504606846976.0"  # 2^60 as an exact double literal
+
+
+def q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimation per event_type via a KMV sketch,
+    reported side-by-side with the exact count and the realized
+    relative error — the deterministic alternative to HLL when
+    replayable, engine-portable estimates matter (the k hash values
+    are also a uniform sample of the keyset, reusable for set
+    intersection). Types with fewer than K distinct users fall back to
+    the exact rule (the sketch IS the keyset).
+
+    Scale shape: the DISTINCT collapse is the only corpus-sized
+    shuffle (raw events → one row per (type, user)); the rank window
+    then runs on the collapsed frame. A production deployment replaces
+    the window with a bounded top-k aggregator so per-group state
+    never exceeds K — the estimate is identical; this expression keeps
+    the oracle exact.
+
+    The (k−1)·2^60 numerator is computed in doubles ((k−1)·2^60 <
+    2^66 but needs only 6 significand bits — exactly representable),
+    so both engines divide identical IEEE operands.
+    """
+    d = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(conv(substring(md5(concat('u:', CAST(user_id AS STRING))),"
+                " 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    n = d.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    km = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("hk"), F.count("*").alias("m"))
+    )
+    return (
+        n.join(F.broadcast(km), "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            F.expr(
+                f"CASE WHEN m < {KMV_K} THEN n_users"
+                f" ELSE CAST(FLOOR({KMV_K - 1}.0 * {_TWO60} / hk) AS BIGINT) END"
+            ).alias("kmv_est"),
+            F.expr(
+                f"round(abs(CASE WHEN m < {KMV_K} THEN n_users"
+                f" ELSE CAST(FLOOR({KMV_K - 1}.0 * {_TWO60} / hk) AS BIGINT) END"
+                " - n_users) / n_users, 6)"
+            ).alias("rel_err"),
+        )
+    )
+
+
+Q_EVENTS_KMV_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substring(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events),
+n AS (SELECT event_type, COUNT(*) AS n_users FROM d GROUP BY event_type),
+km AS (
+  SELECT event_type,
+         list_sort(list(h))[1:{KMV_K}] AS mins
+  FROM d GROUP BY event_type),
+j AS (
+  SELECT n.event_type, n.n_users,
+         CASE WHEN len(km.mins) < {KMV_K} THEN n.n_users
+              ELSE CAST(FLOOR({KMV_K - 1}.0 * {_TWO60} / mins[{KMV_K}]) AS BIGINT)
+         END AS kmv_est
+  FROM n JOIN km ON n.event_type = km.event_type)
+SELECT event_type, n_users, kmv_est,
+       round(abs(kmv_est - n_users) / n_users, 6) AS rel_err
+FROM j
+"""
+
+
 QUERIES = {
+    "events_kmv_users": q_events_kmv_users,
     "events_hll_rollup": q_events_hll_rollup,
     "events_twa": q_events_twa,
     "events_ohlc": q_events_ohlc,
@@ -254,6 +342,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_kmv_users": Q_EVENTS_KMV_SQL,
     "events_twa": Q_EVENTS_TWA_SQL,
     "events_ohlc": Q_EVENTS_OHLC_SQL,
     "events_ewma": Q_EVENTS_EWMA_SQL,

@@ -118,3 +118,17 @@ def test_hll_rollup_matches_exact_distinct_within_error(spark):
             got[et].est_distinct_users,
             nd,
         )
+
+
+def test_kmv_estimate_within_3sigma_or_exact(spark):
+    """Types with >= K distinct users: |est − exact|/exact within
+    3/sqrt(K−2) (3σ for KMV); fewer than K: est must equal exact
+    (the sketch IS the keyset)."""
+    rows = timeseries.q_events_kmv_users(spark, SF_DIR).collect()
+    assert rows
+    bound = 3.0 / (timeseries.KMV_K - 2) ** 0.5
+    for r in rows:
+        if r.n_users < timeseries.KMV_K:
+            assert r.kmv_est == r.n_users
+        else:
+            assert abs(r.kmv_est - r.n_users) / r.n_users <= bound, tuple(r)
