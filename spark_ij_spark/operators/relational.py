@@ -1632,7 +1632,47 @@ WHERE part_value > total_value * {IMPORTANT_MULT} / n_parts
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id: order counts + revenue
+    at four custom granularities ((status, priority), (status),
+    (priority), ()) in one pass — the reporting shape between ROLLUP
+    (q_order_rollup) and CUBE (q_cube_returns), with grouping_id
+    disambiguating NULL-as-group from NULL-as-value.
+
+    Shape: Spark expands grouping sets map-side (one Expand node, rows
+    × 4) then ONE hash aggregate — no repeated scans, no union of four
+    group-bys."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    t["orders"].createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n_orders,
+               {dsum_sql('o_totalprice', 2)} AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+Q_GROUPING_SETS_SQL = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice', 2)} AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
+"""
+
+
 QUERIES = {
+    "q_grouping_sets": q_grouping_sets,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q11_important_parts": q11_important_parts,
     "q1_pricing_summary": q1_pricing_summary,
@@ -1707,6 +1747,7 @@ ORACLES = {
     "q21_sole_blame_supplier": Q21_SQL,
     "q18_large_volume_customers": Q18_SQL,
     "q11_important_parts": Q11_SQL,
+    "q_grouping_sets": Q_GROUPING_SETS_SQL,
     "q_string_agg": Q_STRING_AGG_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q12_priority_shipping": Q12_SQL,

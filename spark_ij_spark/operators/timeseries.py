@@ -333,7 +333,59 @@ FROM j
 """
 
 
+MOVING_WINDOW_US = 3_600_000_000  # trailing 1 hour, in microseconds
+
+
+def q_events_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving aggregate per event_type at EVERY event
+    (RANGE frame over event-time, not a row-count frame and not a
+    bucketed window): each event sees the exact count and cent-sum of
+    its type's events in (ts − 1h, ts]. The continuous sibling of the
+    bucketed sliding window — alert thresholds evaluate per event, not
+    per bucket boundary.
+
+    Shape: one exchange on event_type + one sort per partition; the
+    RANGE frame over integer microseconds makes both engines' frame
+    arithmetic identical (no interval/timezone semantics involved).
+    At 100 TB per-KEY ordering is the constraint — event_type keys are
+    few but heavy, so a production deployment pre-buckets by (type,
+    hour) and runs the range frame inside buckets; the frame logic is
+    unchanged.
+    """
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us")
+        .rangeBetween(-(MOVING_WINDOW_US - 1), 0)
+    )
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_id",
+            "event_type",
+            F.expr(_VALUE_C).alias("value_c"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.count("*").over(w).alias("n_trailing"),
+            F.sum("value_c").over(w).alias("sum_trailing_c"),
+        )
+    )
+
+
+Q_EVENTS_MOVING_WINDOW_SQL = f"""
+SELECT event_id, event_type,
+       COUNT(*) OVER w AS n_trailing,
+       CAST(SUM({_VALUE_C}) OVER w AS BIGINT) AS sum_trailing_c
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN {MOVING_WINDOW_US - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
+    "events_moving_window": q_events_moving_window,
     "events_kmv_users": q_events_kmv_users,
     "events_hll_rollup": q_events_hll_rollup,
     "events_twa": q_events_twa,
@@ -342,6 +394,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_moving_window": Q_EVENTS_MOVING_WINDOW_SQL,
     "events_kmv_users": Q_EVENTS_KMV_SQL,
     "events_twa": Q_EVENTS_TWA_SQL,
     "events_ohlc": Q_EVENTS_OHLC_SQL,

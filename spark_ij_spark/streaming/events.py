@@ -463,6 +463,55 @@ def interval_join_purchase_click(
     ).select("p_event_id", "p_user_id", "p_ts", "p_value", "c_ts", "c_value")
 
 
+def interval_join_left_outer(
+    events: DataFrame,
+    lookback: str = "5 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    with its trailing-window click when one exists, with NULL click
+    columns otherwise. The outer row is emitted only when the
+    watermark passes the purchase's matchable horizon (no future click
+    can still land in [p_ts - lookback, p_ts)), which is exactly the
+    state-eviction point — the unmatched-row semantics inner joins
+    silently drop, and what an attribution pipeline needs to count
+    "organic" purchases correctly.
+
+    Same state-size story as the inner variant: the interval bound
+    makes join state evictable; outer emission rides the same
+    watermark, costing nothing extra. In batch the same expression
+    degrades to a plain left join (watermark is a no-op), which the
+    stream==batch pytest exploits."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"p_user_id = c_user_id"
+            f" AND c_ts >= p_ts - interval {lookback}"
+            f" AND c_ts < p_ts"
+        ),
+        "leftOuter",
+    ).select("p_event_id", "p_user_id", "p_ts", "p_value", "c_ts", "c_value")
+
+
 def write_batch_idempotent(df: DataFrame, batch_id: int, path: str) -> None:
     """The foreachBatch body: write micro-batch ``batch_id`` into its
     own ``batch_id=N`` partition directory with OVERWRITE semantics.

@@ -23,3 +23,30 @@ def test_q1_returns_rows(spark, sf_dir):
     df = relational.q1_pricing_summary(spark, sf_dir)
     assert df.count() > 0
     assert "sum_qty" in df.columns
+
+
+def test_grouping_sets_totals_consistent(spark, sf_dir):
+    """gid identifies the grouping: detail rows (gid 0) sum to the
+    grand total (gid 3); each one-dimension slice (gid 1 or 2) also
+    sums to the grand total; single Expand+aggregate plan."""
+    from spark_ij_spark.operators.relational import q_grouping_sets
+
+    rows = q_grouping_sets(spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    grand = by_gid[3]
+    assert len(grand) == 1 and grand[0].status == "ALL" and grand[0].priority == "ALL"
+    total = grand[0].n_orders
+    assert sum(r.n_orders for r in by_gid[0]) == total
+    assert sum(r.n_orders for r in by_gid[1]) == total  # status slices
+    assert sum(r.n_orders for r in by_gid[2]) == total  # priority slices
+    plan = (
+        q_grouping_sets(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -465,3 +465,77 @@ def test_transitions_state_spans_batches(spark, tmp_path):
     # batch 1 emits click->view; batch 2 emits view->purchase via the
     # state-carried last event — never a duplicate or a miss
     assert got == {("click", "view"): 1, ("view", "purchase"): 1}
+
+
+def test_interval_join_left_outer_emits_unmatched_on_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: a purchase with no
+    trailing click must emit a NULL-click row once the watermark
+    passes its horizon; matched purchases emit with their click. A
+    far-future sentinel file advances both watermarks so the no-data
+    finalization batch flushes the outer state; the sentinel itself
+    stays in state (stream ends before its horizon) and must NOT
+    appear. The same expression on the batch frame (watermark no-op →
+    plain left join) is the oracle."""
+    import shutil
+    import time
+
+    base_us = 1_700_000_000_000_000
+    sec_ns = 1_000_000_000
+    day_ns = 86_400 * sec_ns
+
+    def mk_file(name, rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+
+    t0 = base_us * 1000
+    mk_file(
+        "a",
+        [
+            (1, t0 + 60 * sec_ns, 1, "click", 1.0, "{}"),
+            (2, t0 + 120 * sec_ns, 1, "purchase", 5.0, "{}"),   # matched
+            (3, t0 + 120 * sec_ns, 2, "purchase", 7.0, "{}"),   # no click
+        ],
+    )
+    # sentinel: advances BOTH sides' watermarks; click precedes nothing
+    # and purchase has no trailing click, so neither can inner-match
+    mk_file(
+        "b",
+        [
+            (100, t0 + 10 * day_ns, 99, "purchase", 0.0, "{}"),
+            (101, t0 + 10 * day_ns + 60 * sec_ns, 99, "click", 0.0, "{}"),
+        ],
+    )
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for sub, out in (("a", "f_a.parquet"), ("b", "f_b.parquet")):
+        src = next((tmp_path / sub).glob("part-*.parquet"))
+        shutil.copy(src, stream_dir / out)
+        time.sleep(1.1)
+
+    stream = se.read_events_stream(
+        spark, str(stream_dir), glob="*.parquet", max_files_per_trigger=1
+    )
+    got = _drain(
+        spark, se.interval_join_left_outer(stream), "mem_loj", mode="append"
+    )
+    cols = ["p_event_id", "p_user_id", "p_ts", "p_value", "c_ts", "c_value"]
+    got_rows = _rows(got.where("p_event_id < 100"), cols)
+
+    batch = se.interval_join_left_outer(
+        spark.read.parquet(str(stream_dir)).selectExpr(
+            "event_id", "timestamp_micros(CAST(ts / 1000 AS BIGINT)) AS ts",
+            "user_id", "event_type", "value", "props"
+        )
+    )
+    want_rows = _rows(batch.where("p_event_id < 100"), cols)
+    assert got_rows == want_rows
+    assert len(got_rows) == 2
+    by_id = {r[0]: r for r in got_rows}
+    assert by_id[2][4] is not None and by_id[2][5] == 1.0  # matched click
+    assert by_id[3][4] is None and by_id[3][5] is None     # outer NULLs
+    # sentinel never emits (horizon beyond end-of-stream watermark)
+    assert got.where("p_event_id >= 100").count() == 0

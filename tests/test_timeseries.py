@@ -132,3 +132,32 @@ def test_kmv_estimate_within_3sigma_or_exact(spark):
             assert r.kmv_est == r.n_users
         else:
             assert abs(r.kmv_est - r.n_users) / r.n_users <= bound, tuple(r)
+
+
+def test_moving_window_includes_self_and_is_bounded(spark):
+    """Every event counts itself (n_trailing >= 1); the trailing count
+    never exceeds the type's total; the plan is one exchange with a
+    RANGE frame, no join."""
+    df = timeseries.q_events_moving_window(spark, SF_DIR)
+    assert df.where("n_trailing < 1").count() == 0
+    from spark_ij_spark.session import load_tables
+
+    totals = {
+        r.event_type: r.n
+        for r in load_tables(spark, SF_DIR, ["events"])["events"]
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    mx = {
+        r.event_type: r.m
+        for r in df.groupBy("event_type").agg(F.max("n_trailing").alias("m")).collect()
+    }
+    for et, m in mx.items():
+        assert m <= totals[et]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    pl = plan.lower()
+    # frame rendering differs by plan node (RANGE BETWEEN vs RangeFrame)
+    assert "range between" in pl or "rangeframe" in pl or "specifiedwindowframe(range" in pl
+    assert "Join" not in plan
