@@ -381,7 +381,66 @@ FULL OUTER JOIN (SELECT vec_id FROM embeddings) e ON d.doc_id = e.vec_id
 """
 
 
+# k-anonymity: quasi-identifier = (lang, source, character-length
+# bucket). K and the bucket width are powers of two so every derived
+# integer is exact in both engines.
+KANON_K = 8
+KANON_LEN_BUCKET = 256
+
+
+def q_docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit of the documents table: group by the
+    quasi-identifier tuple (lang, source, n_chars div 256) and flag
+    every equivalence class smaller than KANON_K — the release-gate
+    check for "could a document be re-identified from its visible
+    attributes alone". ``risk_pm`` is the worst-case re-identification
+    probability 1/|class| in integer per-mille (1000 div n — no float
+    division in the graded output).
+
+    Privacy-audit sibling of ``q_text_pii_scan`` (content-level PII):
+    this one measures STRUCTURAL disclosure risk; together they are
+    the minimal governance pass before sharing a corpus slice.
+
+    Scale shape: a single partial-agg group-by on a low-cardinality
+    composite key — one shuffle of one row per (class, map partition),
+    no joins, no windows. At 100 TB this is the cheapest query in the
+    governance family.
+    """
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.expr(f"n_chars div {KANON_LEN_BUCKET}").alias("len_bucket"),
+        )
+        .agg(F.count("*").alias("group_n"))
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "group_n",
+            # integer 0/1 flag, not BOOLEAN: no graded query emits
+            # booleans (untested typing through the driver's pandas
+            # fetch), so keep the proven BIGINT path
+            F.expr(f"CAST(group_n >= {KANON_K} AS BIGINT)").alias("k_anon"),
+            F.expr("1000 div group_n").alias("risk_pm"),
+        )
+    )
+
+
+Q_DOCS_K_ANONYMITY_SQL = f"""
+SELECT lang, source,
+       n_chars // {KANON_LEN_BUCKET} AS len_bucket,
+       COUNT(*) AS group_n,
+       CAST(COUNT(*) >= {KANON_K} AS BIGINT) AS k_anon,
+       CAST(1000 // COUNT(*) AS BIGINT) AS risk_pm
+FROM documents
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "docs_k_anonymity": q_docs_k_anonymity,
     "profile_orders": q_profile_orders,
     "events_anomalies": q_events_anomalies,
     "docs_drift_psi": q_docs_drift_psi,
@@ -389,6 +448,7 @@ QUERIES = {
     "integrity_docs_embeddings": q_integrity_docs_embeddings,
 }
 ORACLES = {
+    "docs_k_anonymity": Q_DOCS_K_ANONYMITY_SQL,
     "profile_orders": Q_PROFILE_ORDERS_SQL,
     "events_anomalies": Q_EVENTS_ANOMALIES_SQL,
     "docs_drift_psi": Q_DOCS_DRIFT_PSI_SQL,

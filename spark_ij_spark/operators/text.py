@@ -863,7 +863,72 @@ GROUP BY source
 Q_TEXT_PII_SCAN_SQL = _pii_scan_sql()
 
 
+# --- compression-ratio quality signal ---------------------------------
+
+ZLIB_LEVEL = 6          # fixed level → bit-deterministic output size
+LOW_INFO_RATIO = 0.25   # compressed/raw below this ⇒ near-pure repetition
+
+
+def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the classic
+    low-information filter (highly repetitive/boilerplate text
+    compresses far better than natural prose; CCNet and RefinedWeb
+    both gate on it). Emits raw/compressed byte counts, the ratio in
+    integer per-mille (no float division), and the low-information
+    flag.
+
+    No DuckDB oracle (no SQL zlib), so this is a rows-only driver row;
+    the pytest twin recomputes zlib(level 6) driver-side for the whole
+    test corpus and asserts EXACT equality — zlib at a fixed level is
+    bit-deterministic, making this as strongly checked as the hashed
+    queries, just not cross-engine.
+
+    Shape: map-only Arrow-batched hop (zlib is C-speed); only
+    (doc_id, source, 2 ints) come back — the text never leaves the
+    scan stage. At 100 TB this is embarrassingly parallel.
+    """
+    import pandas as pd
+
+    def ratios(batches):
+        import zlib
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, ZLIB_LEVEL)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_bytes": [len(b) for b in raw],
+                    "n_compressed": comp,
+                }
+            )
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "text")
+        .mapInPandas(
+            ratios,
+            "doc_id BIGINT, source STRING, n_bytes BIGINT, n_compressed BIGINT",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_bytes",
+            "n_compressed",
+            F.expr("(n_compressed * 1000) div n_bytes").alias("ratio_pm"),
+            (
+                F.expr("(n_compressed * 1000) div n_bytes")
+                < int(LOW_INFO_RATIO * 1000)
+            ).alias("low_info"),
+        )
+    )
+
+
 QUERIES = {
+    "text_compression_ratio": q_text_compression_ratio,
     "text_bm25": q_text_bm25,
     "text_bpe_pairs": q_text_bpe_pairs,
     "text_hash_retrieval": q_text_hash_retrieval,

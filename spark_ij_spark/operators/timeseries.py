@@ -384,7 +384,240 @@ WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
 """
 
 
+# Count-Min sketch: CMS_DEPTH hash rows x CMS_WIDTH counters. Like KMV
+# (and unlike HLL) the sketch is a pure function of the data under the
+# shared 60-bit md5 hash, so estimates are exactly oracle-checkable.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+# Heavy-hitter cutoff: estimate >= (5/4) x the mean per-user count,
+# tested as the integer cross-multiplication 4*est*n_users >= 5*total
+# (exact in both engines; no division). A total-fraction phi cutoff
+# would degenerate here because the user population grows with SF
+# while per-user counts stay flat.
+CMS_HH_NUM, CMS_HH_DEN = 5, 4
+
+
+def _cms_bucket(prefix: str, key_expr: str, d: int) -> str:
+    """Row-d counter index: 60-bit md5 hash of the salted key, mod W.
+
+    The hash is nonnegative, so ``%`` agrees between Spark and DuckDB
+    (no pmod needed)."""
+    return (
+        f"CAST(conv(substring(md5(concat('{prefix}{d}:', {key_expr})),"
+        f" 1, 15), 16, 10) AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter users via a Count-Min sketch (Cormode & Muthu 2005):
+    CMS_DEPTH x CMS_WIDTH integer counters, point estimate = min over
+    rows of the counter each hash lands in, selected by the ESTIMATE
+    crossing 5/4 of the mean per-user count (the real CMS use case
+    never sees exact counts; they are emitted here as audit columns —
+    CMS guarantees est >= exact, so ``overcount`` is >= 0 by
+    construction). Deterministic md5 hashing makes the whole sketch a
+    pure function of the data — exact DuckDB oracle, unlike HLL.
+
+    Scale shape: the counter table is the corpus collapsed to at most
+    DEPTH*WIDTH = 1024 rows — the explode-by-DEPTH happens before a
+    partial agg, so the shuffle moves <= 1024 rows per map partition,
+    and the probe side joins the per-user frame to a BROADCAST of the
+    counters. The threshold is data-derived (total event count) via
+    the calibrate-then-apply pattern: 1-row agg cross-joined, never a
+    global window. At 100 TB the sketch build is a map-side-combine
+    scan; only the (already user-collapsed) probe frame shuffles.
+    """
+    ev = _events(spark, sf_dir).select(
+        F.expr("CAST(user_id AS STRING)").alias("u")
+    )
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.expr(_cms_bucket("cms", "u", d)).alias("b"),
+            )
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    counters = (
+        ev.select(F.explode(buckets).alias("db"))
+        .groupBy(F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    users = ev.groupBy("u").agg(F.count("*").alias("exact_n"))
+    total = users.agg(
+        F.sum("exact_n").alias("total_n"), F.count("*").alias("n_users")
+    )
+    est = (
+        users.select("u", "exact_n", F.explode(buckets).alias("db"))
+        .join(
+            F.broadcast(counters),
+            (F.col("db.d") == F.col("d")) & (F.col("db.b") == F.col("b")),
+        )
+        .groupBy("u", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .where(
+            F.expr(
+                f"{CMS_HH_DEN} * cms_est * n_users >= {CMS_HH_NUM} * total_n"
+            )
+        )
+        .select(
+            F.expr("CAST(u AS BIGINT)").alias("user_id"),
+            "cms_est",
+            "exact_n",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+def _cms_bucket_duck(prefix: str, key_expr: str, d: int) -> str:
+    return (
+        f"('0x' || substring(md5('{prefix}{d}:' || {key_expr}), 1, 15))::BIGINT"
+        f" % {CMS_WIDTH}"
+    )
+
+
+def _cms_sql() -> str:
+    probe_rows = "\n    UNION ALL\n".join(
+        f"    SELECT u, exact_n, {d} AS d,"
+        f" {_cms_bucket_duck('cms', 'u', d)} AS b FROM users"
+        for d in range(CMS_DEPTH)
+    )
+    counter_rows = "\n    UNION ALL\n".join(
+        f"    SELECT {d} AS d, {_cms_bucket_duck('cms', 'u', d)} AS b FROM ev"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events),
+counters AS (
+  SELECT d, b, COUNT(*) AS cnt FROM (
+{counter_rows}
+  ) GROUP BY d, b),
+users AS (SELECT u, COUNT(*) AS exact_n FROM ev GROUP BY u),
+total AS (SELECT CAST(SUM(exact_n) AS BIGINT) AS total_n,
+                 COUNT(*) AS n_users FROM users),
+est AS (
+  SELECT p.u, p.exact_n, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+  FROM (
+{probe_rows}
+  ) p JOIN counters c ON p.d = c.d AND p.b = c.b
+  GROUP BY p.u, p.exact_n)
+SELECT CAST(u AS BIGINT) AS user_id, cms_est,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(cms_est - exact_n AS BIGINT) AS overcount
+FROM est, total
+WHERE {CMS_HH_DEN} * cms_est * n_users >= {CMS_HH_NUM} * total_n
+"""
+
+
+Q_EVENTS_CMS_SQL = _cms_sql()
+
+
+# Lagged cross-correlation: hourly cent-sum series per event_type,
+# uncentered normalized cross-correlation at integer hour lags. All
+# accumulation is BIGINT (cents x cents); the only float ops are the
+# final sqrt/divide on identical integer-valued operands (IEEE sqrt is
+# correctly rounded, so both engines produce the same double).
+XCORR_MAX_LAG = 3
+_HOUR_US = 3_600_000_000
+
+
+def q_events_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise lagged cross-correlation between event types: for every
+    ordered type pair (ta < tb) and lag L in 0..XCORR_MAX_LAG hours,
+    the uncentered normalized correlation of ta's hourly value series
+    against tb's series shifted L hours later — the "does activity in
+    A lead activity in B?" telemetry primitive.
+
+    Shape: the corpus collapses to one tiny hourly frame (types x
+    hours) in a single partial-agg shuffle; the lag fan-out explodes
+    that SMALL frame by (MAX_LAG+1) and self-joins on the shifted hour
+    — an equi-join on (a.hour_us + lag) = b.hour_us with the pair
+    inequality as a post-filter. Norms are computed over the matched
+    overlap only (windowed cross-correlation). At 100 TB the hourly
+    frame is still only |types| x |hours| rows — the heavy scan
+    happens exactly once.
+    """
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+        )
+        .agg(F.sum(F.expr(_VALUE_C)).alias("s_c"))
+    )
+    lagged = hourly.select(
+        "event_type",
+        "hour_us",
+        "s_c",
+        F.explode(
+            F.array(*[F.lit(lag) for lag in range(XCORR_MAX_LAG + 1)])
+        ).alias("lag_h"),
+    )
+    a, b = lagged.alias("a"), hourly.alias("b")
+    return (
+        a.join(
+            b,
+            (
+                F.col("a.hour_us") + F.col("a.lag_h") * F.lit(_HOUR_US)
+                == F.col("b.hour_us")
+            )
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+            F.col("a.lag_h").alias("lag_h"),
+        )
+        .agg(
+            F.count("*").alias("n_overlap"),
+            F.sum(F.col("a.s_c") * F.col("b.s_c")).alias("dot_c2"),
+            F.sum(F.col("a.s_c") * F.col("a.s_c")).alias("na_c2"),
+            F.sum(F.col("b.s_c") * F.col("b.s_c")).alias("nb_c2"),
+        )
+        .select(
+            "ta",
+            "tb",
+            "lag_h",
+            "n_overlap",
+            "dot_c2",
+            F.expr(
+                "round(dot_c2 / (sqrt(CAST(na_c2 AS DOUBLE))"
+                " * sqrt(CAST(nb_c2 AS DOUBLE))), 6)"
+            ).alias("xcorr"),
+        )
+    )
+
+
+Q_EVENTS_CROSSCORR_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) AS hour_us,
+         CAST(SUM({_VALUE_C}) AS BIGINT) AS s_c
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, hour_us, s_c, unnest(range(0, {XCORR_MAX_LAG + 1})) AS lag_h
+  FROM hourly)
+SELECT a.event_type AS ta, b.event_type AS tb, CAST(a.lag_h AS INT) AS lag_h,
+       COUNT(*) AS n_overlap,
+       CAST(SUM(a.s_c * b.s_c) AS BIGINT) AS dot_c2,
+       round(CAST(SUM(a.s_c * b.s_c) AS BIGINT)
+             / (sqrt(CAST(CAST(SUM(a.s_c * a.s_c) AS BIGINT) AS DOUBLE))
+                * sqrt(CAST(CAST(SUM(b.s_c * b.s_c) AS BIGINT) AS DOUBLE))), 6)
+         AS xcorr
+FROM lagged a JOIN hourly b
+  ON a.hour_us + a.lag_h * {_HOUR_US} = b.hour_us
+ AND a.event_type < b.event_type
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "events_cms_heavy_hitters": q_events_cms_heavy_hitters,
+    "events_crosscorr": q_events_crosscorr,
     "events_moving_window": q_events_moving_window,
     "events_kmv_users": q_events_kmv_users,
     "events_hll_rollup": q_events_hll_rollup,
@@ -394,6 +627,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cms_heavy_hitters": Q_EVENTS_CMS_SQL,
+    "events_crosscorr": Q_EVENTS_CROSSCORR_SQL,
     "events_moving_window": Q_EVENTS_MOVING_WINDOW_SQL,
     "events_kmv_users": Q_EVENTS_KMV_SQL,
     "events_twa": Q_EVENTS_TWA_SQL,

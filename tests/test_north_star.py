@@ -455,3 +455,133 @@ def test_pii_scan_finds_all_planted_pii(spark, sf_dir):
     )
     assert "EvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_prefix_filter_prunes_and_is_lossless(spark, sf_dir):
+    """The prefix index must be a strict subset of the full postings
+    AND generate strictly fewer candidate pairs than the full
+    inverted-index join (the whole point of PPJoin); losslessness is
+    the oracle match (parametrized test — the oracle is the full
+    join), re-asserted here against a direct Spark-side brute-force
+    computation with exact integer thresholding."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window as W
+
+    sh = dedup.shingle_postings(spark, sf_dir).cache()
+    full_pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (SF.col("a.s") == SF.col("b.s"))
+            & (SF.col("a.doc_id") < SF.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    dfreq = sh.groupBy("s").agg(SF.count("*").alias("df"))
+    ranked = (
+        sh.join(SF.broadcast(dfreq), "s")
+        .withColumn(
+            "rn",
+            SF.row_number().over(W.partitionBy("doc_id").orderBy("df", "s")),
+        )
+        .withColumn("sz", SF.count("*").over(W.partitionBy("doc_id")))
+    )
+    prefix = ranked.where(SF.expr("rn <= sz - ((sz + 1) div 2) + 1")).select(
+        "doc_id", "s"
+    )
+    assert prefix.count() < sh.count()
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (SF.col("a.s") == SF.col("b.s"))
+            & (SF.col("a.doc_id") < SF.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert cand < full_pairs, (cand, full_pairs)
+    # losslessness: the op's output equals the brute-force full join
+    got = {
+        (r.da, r.db, r.n_common)
+        for r in dedup.q_dedup_prefix_filter(spark, sf_dir).collect()
+    }
+    sizes = sh.groupBy("doc_id").agg(SF.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (SF.col("a.s") == SF.col("b.s"))
+            & (SF.col("a.doc_id") < SF.col("b.doc_id")),
+        )
+        .groupBy(
+            SF.col("a.doc_id").alias("da"), SF.col("b.doc_id").alias("db")
+        )
+        .agg(SF.count("*").alias("i"))
+    )
+    brute = (
+        inter.join(sizes.select(SF.col("doc_id").alias("da"), SF.col("n").alias("na")), "da")
+        .join(sizes.select(SF.col("doc_id").alias("db"), SF.col("n").alias("nb")), "db")
+        .where(SF.expr("3 * i >= na + nb"))
+        .select("da", "db", "i")
+        .collect()
+    )
+    assert got == {(r.da, r.db, r.i) for r in brute}
+    plan = (
+        dedup.q_dedup_prefix_filter(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_compression_ratio_exact_vs_local_zlib(spark, sf_dir):
+    """zlib at a fixed level is bit-deterministic: the distributed
+    result must EXACTLY equal a driver-side recomputation for every
+    document (the no-oracle twin check), and the integer per-mille
+    ratio must follow."""
+    import zlib
+
+    got = {r.doc_id: r for r in text.q_text_compression_ratio(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        raw = d.text.encode("utf-8")
+        r = got[d.doc_id]
+        assert r.n_bytes == len(raw)
+        assert r.n_compressed == len(zlib.compress(raw, text.ZLIB_LEVEL))
+        assert r.ratio_pm == (r.n_compressed * 1000) // r.n_bytes
+        assert r.low_info == (r.ratio_pm < int(text.LOW_INFO_RATIO * 1000))
+
+
+def test_kcore_is_true_fixpoint_via_brute_peeling(spark, sf_dir):
+    """The fixed-round result must equal brute-force peel-to-fixpoint
+    (so KCORE_ROUNDS is enough at test SF), every surviving vertex
+    must have core degree >= K, and the survivors must be a subset of
+    the near-dup graph's vertices."""
+    edges = {
+        (r.da, r.db)
+        for r in dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    alive = set(nbrs)
+    rounds = 0
+    while True:
+        drop = {v for v in alive if sum(u in alive for u in nbrs[v]) < dedup.KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+        rounds += 1
+    assert rounds < dedup.KCORE_ROUNDS, "fixed rounds must reach fixpoint"
+    got = {r.doc_id: r.core_degree for r in dedup.q_dedup_kcore(spark, sf_dir).collect()}
+    brute = {v: sum(u in alive for u in nbrs[v]) for v in alive}
+    assert got == brute
+    assert all(d >= dedup.KCORE_K for d in got.values())

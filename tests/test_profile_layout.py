@@ -313,3 +313,31 @@ def test_bucketed_join_no_exchange_before_join(spark):
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1  # groupBy only
     assert "EvalPython" not in plan
+
+
+def test_k_anonymity_partitions_corpus_and_flags_consistently(spark):
+    """The equivalence classes must partition the corpus (sizes sum to
+    the doc count), every flag/risk column must be derivable from
+    group_n alone, and the plan is a single partial-agg shuffle with
+    no join."""
+    from spark_ij_spark.session import load_tables
+
+    from .conftest import SF_DIR
+
+    df = profile.q_docs_k_anonymity(spark, SF_DIR)
+    rows = df.collect()
+    n_docs = load_tables(spark, SF_DIR, ["documents"])["documents"].count()
+    assert sum(r.group_n for r in rows) == n_docs
+    for r in rows:
+        assert r.k_anon == int(r.group_n >= profile.KANON_K)
+        assert r.risk_pm == 1000 // r.group_n
+    # fresh frame: after collect() the finalized AdaptiveSparkPlan
+    # prints Final AND Initial sections, double-counting exchanges
+    plan = (
+        profile.q_docs_k_anonymity(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -161,3 +161,63 @@ def test_moving_window_includes_self_and_is_bounded(spark):
     # frame rendering differs by plan node (RANGE BETWEEN vs RangeFrame)
     assert "range between" in pl or "rangeframe" in pl or "specifiedwindowframe(range" in pl
     assert "Join" not in plan
+
+
+def test_cms_never_undercounts_and_finds_all_true_heavy_hitters(spark):
+    """CMS point estimates are one-sided (est >= exact, so overcount
+    >= 0 on every emitted row) and selection-by-estimate can never
+    MISS a true heavy hitter (no false negatives — the CMS guarantee);
+    the probe join must broadcast the <=1024-row counter table."""
+    df = timeseries.q_events_cms_heavy_hitters(spark, SF_DIR)
+    rows = df.collect()
+    assert rows, "threshold should admit at least one user at test SF"
+    assert all(r.overcount >= 0 for r in rows)
+    from spark_ij_spark.session import load_tables
+
+    ev = load_tables(spark, SF_DIR, ["events"])["events"]
+    counts = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    total, n_users = sum(counts.values()), len(counts)
+    truth = {
+        u
+        for u, n in counts.items()
+        if timeseries.CMS_HH_DEN * n * n_users >= timeseries.CMS_HH_NUM * total
+    }
+    got = {r.user_id for r in rows}
+    assert truth <= got, truth - got
+    for r in rows:
+        assert r.exact_n == counts[r.user_id]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_crosscorr_is_bounded_and_lag_shrinks_overlap_sum(spark):
+    """Cauchy-Schwarz: |xcorr| <= 1 on every (pair, lag); lag-0 rows
+    exist for every co-active ordered type pair; the hourly collapse
+    means the join input is tiny (no CartesianProduct in the plan)."""
+    df = timeseries.q_events_crosscorr(spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    assert all(abs(r.xcorr) <= 1.0 + 1e-9 for r in rows)
+    assert all(r.ta < r.tb for r in rows)
+    lag0 = {(r.ta, r.tb) for r in rows if r.lag_h == 0}
+    assert lag0, "lag-0 overlap must exist for co-active types"
+    # overlap at any lag can never exceed the shorter series' length
+    from spark_ij_spark.session import load_tables
+
+    hours = {
+        r.event_type: r.n
+        for r in load_tables(spark, SF_DIR, ["events"])["events"]
+        .select("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_overlap <= min(hours[r.ta], hours[r.tb])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
