@@ -615,7 +615,101 @@ GROUP BY 1, 2, 3
 """
 
 
+# CUSUM change-point detection: one-sided upward CUSUM with zero
+# slack over each type's hourly series, via the prefix-sum identity
+# C_i = S_i − min(0, min_{j≤i} S_j) — two running windows, no
+# recursion. Deviations are mean-centered and ×n-scaled so everything
+# stays BIGINT: d_i = n·x_i − total (no division). Alarm when the
+# cumulative excess exceeds CUSUM_H_HOURS mean-hours of volume, which
+# in the ×n-scaled units is exactly CUSUM_H_HOURS × total.
+CUSUM_H_HOURS = 2
+
+
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type change-point detection (Page 1954 CUSUM): flag the
+    hours where a type's volume has sustained an upward shift whose
+    cumulative excess over the historical mean reaches CUSUM_H_HOURS
+    average hours of volume — the drift detector that catches slow
+    ramps a fixed per-hour threshold (``q_events_anomalies``) misses.
+
+    The recursive definition C_i = max(0, C_{i-1} + d_i) is
+    deliberately NOT computed with an iterative loop or a stateful
+    UDF: with zero slack it collapses to prefix sums,
+    C_i = S_i − min(0, min_{j≤i} S_j), so the whole detector is two
+    ROWS-frame running windows (sum + min) over the hourly frame.
+    Everything is integer: deviations are mean-centered ×n
+    (d_i = n·x_i − total avoids the mean division) and the alarm
+    threshold in those units is exactly CUSUM_H_HOURS × total.
+
+    Scale shape: the corpus collapses to |types| × |hours| rows in one
+    partial-agg shuffle; the windows repartition only that tiny frame
+    by type. At 100 TB the heavy scan happens once; per-type window
+    state is one running sum + one running min.
+    """
+    from pyspark.sql.window import Window
+
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+        )
+        .agg(F.sum(F.expr(_VALUE_C)).alias("s_c"))
+    )
+    wtype = Window.partitionBy("event_type")
+    wrun = wtype.orderBy("hour_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hourly.withColumn("n_hours", F.count("*").over(wtype))
+        .withColumn("total_c", F.sum("s_c").over(wtype))
+        .withColumn("d", F.col("n_hours") * F.col("s_c") - F.col("total_c"))
+        .withColumn("ps", F.sum("d").over(wrun))
+        .withColumn(
+            "cusum_nc",
+            F.col("ps") - F.least(F.min("ps").over(wrun), F.lit(0).cast("long")),
+        )
+        .select(
+            "event_type",
+            "hour_us",
+            "s_c",
+            "cusum_nc",
+            F.expr(
+                f"CAST(cusum_nc > {CUSUM_H_HOURS} * total_c AS BIGINT)"
+            ).alias("alarm"),
+        )
+    )
+
+
+Q_EVENTS_CUSUM_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) AS hour_us,
+         CAST(SUM({_VALUE_C}) AS BIGINT) AS s_c
+  FROM events GROUP BY 1, 2),
+d AS (
+  SELECT event_type, hour_us, s_c,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_hours,
+         CAST(SUM(s_c) OVER (PARTITION BY event_type) AS BIGINT) AS total_c
+  FROM hourly),
+ps AS (
+  SELECT event_type, hour_us, s_c, total_c,
+         CAST(SUM(n_hours * s_c - total_c) OVER w AS BIGINT) AS ps
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, hour_us, s_c,
+       CAST(ps - LEAST(MIN(ps) OVER w, 0) AS BIGINT) AS cusum_nc,
+       CAST(ps - LEAST(MIN(ps) OVER w, 0) > {CUSUM_H_HOURS} * total_c
+            AS BIGINT) AS alarm
+FROM ps
+WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
+    "events_cusum": q_events_cusum,
     "events_cms_heavy_hitters": q_events_cms_heavy_hitters,
     "events_crosscorr": q_events_crosscorr,
     "events_moving_window": q_events_moving_window,
@@ -627,6 +721,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cusum": Q_EVENTS_CUSUM_SQL,
     "events_cms_heavy_hitters": Q_EVENTS_CMS_SQL,
     "events_crosscorr": Q_EVENTS_CROSSCORR_SQL,
     "events_moving_window": Q_EVENTS_MOVING_WINDOW_SQL,

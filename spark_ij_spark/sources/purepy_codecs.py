@@ -15,7 +15,8 @@ Scope (documented, checked, and raising clear errors outside it):
   8/16-bit gray and 8-bit RGB. CRCs written and verified with
   ``zlib.crc32``.
 - TIFF — decode both byte orders: uncompressed, LZW (early-change,
-  with horizontal-differencing predictor) and PackBits strips, gray
+  with horizontal-differencing predictor), Deflate (8 and old-style
+  32946; per-strip zlib streams) and PackBits strips, gray
   uint8/uint16/uint32/int16/float32 and 8-bit RGB; multi-page IFD
   chains map to the image model's slice axis both directions.
   Encode: uncompressed little-endian baseline.
@@ -361,9 +362,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
         w = tags[_T_WIDTH][0]
         h = tags[_T_HEIGHT][0]
         comp = tags.get(_T_COMP, [1])[0]
-        if comp not in (1, 5, 32773):
+        if comp not in (1, 5, 8, 32773, 32946):
             raise ValueError(
-                f"TIFF: compression {comp} not supported (none/LZW/PackBits)"
+                f"TIFF: compression {comp} not supported"
+                " (none/LZW/Deflate/PackBits)"
             )
         spp = tags.get(_T_SPP, [1])[0]
         bits = tags.get(_T_BITS, [8])[0]
@@ -382,6 +384,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
             if comp == 5:
                 nrows = min(rows_per, h - i * rows_per)
                 chunk = _lzw_decode(chunk, nrows * row_bytes)
+            elif comp in (8, 32946):
+                # Deflate (8 = TIFF 6.0 "Adobe", 32946 = old-style):
+                # each strip is an independent zlib stream
+                chunk = zlib.decompress(chunk)
             elif comp == 32773:
                 chunk = _packbits_decode(chunk)
             strips.append(chunk)

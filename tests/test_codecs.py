@@ -429,6 +429,23 @@ def test_tiff_lzw_with_horizontal_predictor():
     np.testing.assert_array_equal(pp.decode_tiff(tif), arr)
 
 
+@pytest.mark.parametrize("comp", [8, 32946], ids=["deflate", "old-deflate"])
+def test_tiff_deflate_strip_decodes(comp):
+    """Deflate strips (both the TIFF 6.0 code 8 and the old-style
+    32946) are independent zlib streams."""
+    arr = (np.arange(9 * 14) * 31 % 256).astype(np.uint8).reshape(9, 14)
+    tif = _tiff_one_strip(arr, comp, zlib.compress(arr.tobytes(), 6))
+    np.testing.assert_array_equal(pp.decode_tiff(tif), arr)
+
+
+def test_tiff_deflate_with_horizontal_predictor():
+    """Deflate composes with predictor 2 the same way LZW does."""
+    arr = (np.arange(6 * 10) * 17 % 256).astype(np.uint8).reshape(6, 10)
+    deltas = np.diff(arr.astype(np.int16), axis=1, prepend=0).astype(np.uint8)
+    tif = _tiff_one_strip(arr, 8, zlib.compress(deltas.tobytes(), 6), predictor=2)
+    np.testing.assert_array_equal(pp.decode_tiff(tif), arr)
+
+
 def test_tiff_packbits_strip_decodes():
     arr = np.concatenate([np.full(130, 7, np.uint8), np.arange(6, dtype=np.uint8)]).reshape(8, 17)
     raw = arr.tobytes()
