@@ -24,9 +24,16 @@ def _grading_order(names: list[str]) -> list[str]:
     the graded window each round. Rather than hand-curating the order,
     we read the repo's own ``CORRECTNESS_r*.json`` artifacts and sort
     by the round each query was last driver-graded (never-graded
-    first, ties broken by canonical position). The ~15 queries graded
-    this round become the freshest and rotate out next round, so every
-    query re-earns driver evidence at most every other round — the
+    first). Among NEVER-graded queries, ties are broken by the round
+    the query was first declared (``QUERY_AGE.json``, oldest first) —
+    without this, each round's brand-new queries displaced the same
+    long-never-graded block (the r1-r4 TPC-H/relational tail sat
+    ungraded for 6 rounds because ``relational.QUERIES`` merges last;
+    VERDICT r6 "What's wrong" #2). New queries added in round N must
+    get a ``QUERY_AGE.json`` entry of N; a missing entry sorts as
+    newest, so forgetting one never starves older evidence. The ~15
+    queries graded this round become the freshest and rotate out next
+    round, so every query re-earns driver evidence regularly — the
     Spark 4.0→4.1 runtime swap showed "stable" queries break first
     when the environment shifts. Any failure to read the artifacts
     falls back to canonical order.
@@ -37,10 +44,29 @@ def _grading_order(names: list[str]) -> list[str]:
         for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
             rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
             with open(path) as fh:
-                for q in json.load(fh):
+                for q, rec in json.load(fh).items():
+                    # A crashed/errored grade is NOT evidence: the row
+                    # must re-enter the window next round (events_scd2
+                    # erred in r6 and needs a green row, not a 3-round
+                    # wait). 'no_oracle' rows-only checks DO count.
+                    err = rec.get("err") if isinstance(rec, dict) else None
+                    if err not in (None, "no_oracle"):
+                        continue
                     last[q] = max(last.get(q, 0), rnd)
+        try:
+            with open(os.path.join(root, "QUERY_AGE.json")) as fh:
+                first_seen: dict[str, int] = json.load(fh)
+        except Exception:
+            first_seen = {}
         pos = {n: i for i, n in enumerate(names)}
-        return sorted(names, key=lambda n: (last.get(n, -1), pos[n]))
+        return sorted(
+            names,
+            key=lambda n: (
+                last.get(n, -1),
+                first_seen.get(n, 10**6),
+                pos[n],
+            ),
+        )
     except Exception:
         return list(names)
 

@@ -182,6 +182,73 @@ def q_events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via the median absolute
+    deviation (MAD): an event is an outlier when
+    |value − median| > 3.5 · MAD (the modified-z-score rule,
+    Iglewicz & Hoaglin 1993) — the robust alternative to mean/stddev
+    flagging, which heavy tails corrupt (the outliers inflate the very
+    stddev that should flag them).
+
+    Shape: calibrate-then-apply twice (CLAUDE.md rule) — the per-type
+    median is a tiny O(types) aggregate broadcast back onto the
+    events; the MAD is a second tiny aggregate over |value − med|,
+    broadcast again; the final count is map-only + one O(types)
+    combine. Never a global ntile/window over the corpus. Exact
+    percentile is the test-SF oracle anchor; at 100 TB both
+    calibration aggs swap to approx_percentile unchanged.
+
+    Determinism: Spark ``percentile`` and DuckDB ``quantile_cont``
+    share linear interpolation bit-for-bit; |value − med| and
+    3.5·MAD are single IEEE ops on identical operands."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .select("event_type", "med", "value")
+    )
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("any_value(med)").alias("med"),
+            F.expr("any_value(mad)").alias("mad"),
+            F.expr(
+                "CAST(SUM(CASE WHEN abs(value - med) > 3.5 * mad"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_outliers"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+Q_EVENTS_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, m.med, e.value
+  FROM events e JOIN med m ON e.event_type = m.event_type),
+mad AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+  FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       any_value(d.med) AS med,
+       any_value(a.mad) AS mad,
+       CAST(SUM(CASE WHEN abs(d.value - d.med) > 3.5 * a.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n_events
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+GROUP BY d.event_type
+"""
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase gets the most recent prior click of
     the same user (attribution). Implemented as the union-scan shape —
@@ -589,9 +656,13 @@ ORDER BY user_id
 """
 
 
-# Open-interval sentinel for the current SCD-2 row (far-future
-# timestamp; the driver hash rule forbids NULLs in graded output).
-SCD2_OPEN_END = "9999-12-31 00:00:00"
+# Open-interval sentinel for the current SCD-2 row, as BIGINT epoch
+# micros (== epoch_us(TIMESTAMP '9999-12-31')). A far-future TIMESTAMP
+# sentinel overflowed pandas datetime64[ns] (max 2262-04-11) in the
+# driver's DuckDB fetch (CORRECTNESS_r06 OutOfBoundsDatetime), so the
+# validity bounds are emitted as integer micros on both engines —
+# graded output must stay pandas-representable.
+SCD2_OPEN_END_US = 253402214400000000
 
 
 def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,41 +676,49 @@ def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE shuffle keyed on user_id; the lead() window and
     the is-current test (lead IS NULL) come from the same sort — no
-    join, no second pass. Sentinel instead of NULL per the driver
-    hash rule; is_current is cast to INT (cross-engine bool rendering
-    differs)."""
+    join, no second pass. Validity bounds are BIGINT ``unix_micros``
+    (== DuckDB ``epoch_us``) so the open-row sentinel never exceeds
+    pandas' datetime64[ns] range in the driver's grading fetch;
+    is_current is cast to INT (cross-engine bool rendering differs)."""
     from pyspark.sql.window import Window
 
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
     return (
         ev.select(
             "user_id",
             F.col("event_type").alias("state"),
-            F.col("ts").alias("valid_from"),
-            F.lead("ts").over(w).alias("nxt"),
+            F.expr("unix_micros(ts)").alias("valid_from_us"),
+            "event_id",
         )
         .select(
             "user_id",
             "state",
-            "valid_from",
+            "valid_from_us",
+            F.lead("valid_from_us").over(w).alias("nxt"),
+        )
+        .select(
+            "user_id",
+            "state",
+            "valid_from_us",
             F.expr(
-                f"coalesce(nxt, TIMESTAMP'{SCD2_OPEN_END}')"
-            ).alias("valid_to"),
+                f"coalesce(nxt, CAST({SCD2_OPEN_END_US} AS BIGINT))"
+            ).alias("valid_to_us"),
             F.expr("CAST(nxt IS NULL AS INT)").alias("is_current"),
         )
-        .orderBy("user_id", "valid_from")
+        .orderBy("user_id", "valid_from_us")
     )
 
 
 Q_EVENTS_SCD2_SQL = f"""
-SELECT user_id, event_type AS state, ts AS valid_from,
-       coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                TIMESTAMP '{SCD2_OPEN_END}') AS valid_to,
+SELECT user_id, event_type AS state, epoch_us(ts) AS valid_from_us,
+       CAST(coalesce(lead(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     {SCD2_OPEN_END_US}) AS BIGINT) AS valid_to_us,
        CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
             IS NULL AS INT) AS is_current
 FROM events
-ORDER BY user_id, valid_from
+ORDER BY user_id, valid_from_us
 """
 
 
@@ -909,6 +988,7 @@ QUERIES = {
     "events_transitions": q_events_transitions,
     "events_retention": q_events_retention,
     "events_quantiles": q_events_quantiles,
+    "events_mad_outliers": q_events_mad_outliers,
     "events_quantiles_approx": q_events_quantiles_approx,
     "events_session": q_events_session,
     "events_running_totals": q_events_running_totals,
@@ -928,6 +1008,7 @@ ORACLES = {
     "events_transitions": Q_EVENTS_TRANSITIONS_SQL,
     "events_retention": Q_EVENTS_RETENTION_SQL,
     "events_quantiles": Q_EVENTS_QUANTILES_SQL,
+    "events_mad_outliers": Q_EVENTS_MAD_SQL,
     "events_session": Q_EVENTS_SESSION_SQL,
     "events_running_totals": Q_EVENTS_RUNNING_TOTALS_SQL,
     "events_asof_join": Q_EVENTS_ASOF_SQL,

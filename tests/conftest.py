@@ -46,19 +46,26 @@ def duck():
 
 def assert_oracle_match(spark, duck, query_fn, sql, sf_dir=SF_DIR, float_tol=0.0):
     """Local replica of the driver's correctness gate: row count, column
-    names, and (order-insensitive) values must match DuckDB."""
+    names, and (order-insensitive) values must match DuckDB.
+
+    The DuckDB side is fetched via pandas ``.df()`` — the driver's
+    fetch path — NOT ``fetchall()``: pandas coerces NULL doubles to
+    NaN, NULL timestamps to NaT, DATE to midnight datetime, and
+    raises OutOfBoundsDatetime past 2262 (the events_scd2 r6 red row
+    slipped through a fetchall()-based gate), so those divergences
+    must surface locally too."""
     import math
 
     sdf = query_fn(spark, sf_dir)
     spark_cols = sorted(sdf.columns)
     spark_rows = [tuple(row[c] for c in spark_cols) for row in sdf.collect()]
 
-    cur = duck.execute(sql)
-    raw = cur.fetchall()
-    duck_cols = sorted(d[0] for d in cur.description)
-    colidx = {d[0]: i for i, d in enumerate(cur.description)}
+    dpdf = duck.execute(sql).df()
+    duck_cols = sorted(dpdf.columns)
     assert spark_cols == duck_cols, f"columns differ: {spark_cols} vs {duck_cols}"
-    duck_rows = [tuple(r[colidx[c]] for c in duck_cols) for r in raw]
+    duck_rows = [
+        tuple(r) for r in dpdf[duck_cols].itertuples(index=False, name=None)
+    ]
 
     assert len(spark_rows) == len(duck_rows), (
         f"row counts differ: {len(spark_rows)} vs {len(duck_rows)}"

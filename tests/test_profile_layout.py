@@ -158,11 +158,11 @@ def test_scd2_intervals_tile_per_user(spark, duck):
     for r in rows:
         by_user.setdefault(r.user_id, []).append(r)
     for u, rs in by_user.items():
-        rs.sort(key=lambda r: r.valid_from)
+        rs.sort(key=lambda r: r.valid_from_us)
         assert sum(r.is_current for r in rs) == 1
         assert rs[-1].is_current == 1
         for prev, nxt in zip(rs, rs[1:]):
-            assert prev.valid_to == nxt.valid_from
+            assert prev.valid_to_us == nxt.valid_from_us
             assert prev.is_current == 0
 
 
