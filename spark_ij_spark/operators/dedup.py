@@ -1301,6 +1301,100 @@ GROUP BY ch.doc_id
 """
 
 
+# --- asymmetric containment (doc-in-doc) ------------------------------
+
+# Containment threshold C(A→B) = |A∩B| / |A| >= 3/4, as integers
+# (4i >= 3·na), and a minimum set size so trivially tiny docs aren't
+# "contained" everywhere.
+CONTAIN_T_NUM, CONTAIN_T_DEN = 3, 4
+CONTAIN_MIN_SHINGLES = 8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-dup: doc A is CONTAINED in doc B when ≥ 3/4 of
+    A's shingles appear in B — the asymmetric complement of Jaccard
+    (Broder 1997 defines both resemblance and containment). Jaccard
+    misses exactly this case: a paragraph quoted inside a much longer
+    document scores near-zero Jaccard (union is huge) but containment
+    ≈ 1. Training-data pipelines dedup on containment to drop
+    quoted/boilerplate-wrapped copies that symmetric similarity keeps.
+
+    Shape: same capped inverted-index equi-join as the Jaccard family
+    (one shuffle on the shingle key, one on the pair key); each
+    UNORDERED co-occurrence pair then emits up to two DIRECTED rows
+    map-side (the intersection count is symmetric — no second join).
+    Thresholds are integer inequalities (4i ≥ 3·n), never float
+    compares."""
+    sh = shingle_postings(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    pairs = inter.join(
+        sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"),
+        "da",
+    ).join(
+        sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"),
+        "db",
+    )
+    fwd = pairs.where(
+        F.expr(
+            f"{CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * na"
+            f" AND na >= {CONTAIN_MIN_SHINGLES}"
+        )
+    ).select(
+        F.col("da").alias("contained_doc"),
+        F.col("db").alias("container_doc"),
+        F.col("i").alias("n_common"),
+        F.expr("round(CAST(i AS DOUBLE) / na, 6)").alias("containment"),
+    )
+    rev = pairs.where(
+        F.expr(
+            f"{CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * nb"
+            f" AND nb >= {CONTAIN_MIN_SHINGLES}"
+        )
+    ).select(
+        F.col("db").alias("contained_doc"),
+        F.col("da").alias("container_doc"),
+        F.col("i").alias("n_common"),
+        F.expr("round(CAST(i AS DOUBLE) / nb, 6)").alias("containment"),
+    )
+    return fwd.union(rev)
+
+
+Q_DEDUP_CONTAINMENT_SQL = f"""
+WITH sh AS ({_POSTINGS_DUCK}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT da, db, i, sa.n AS na, sb.n AS nb
+  FROM inter
+  JOIN sizes sa ON inter.da = sa.doc_id
+  JOIN sizes sb ON inter.db = sb.doc_id)
+SELECT da AS contained_doc, db AS container_doc, i AS n_common,
+       round(CAST(i AS DOUBLE) / na, 6) AS containment
+FROM pairs
+WHERE {CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * na
+  AND na >= {CONTAIN_MIN_SHINGLES}
+UNION ALL
+SELECT db AS contained_doc, da AS container_doc, i AS n_common,
+       round(CAST(i AS DOUBLE) / nb, 6) AS containment
+FROM pairs
+WHERE {CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * nb
+  AND nb >= {CONTAIN_MIN_SHINGLES}
+"""
+
+
 # --- prefix-filtered set-similarity join (PPJoin-style) ----------------
 
 # Jaccard threshold t = T_NUM/T_DEN = 1/2, kept as integers so every
@@ -1344,9 +1438,13 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     a window over the full postings — CLAUDE.md posting-cap rule);
     ranks and set sizes are one doc-keyed window pass; candidates =
     prefix ⋈ prefix equi-join on the shingle with the two integer
-    prunes as join residuals; verification attaches the per-doc sorted
-    shingle arrays by broadcast and computes exact ``array_intersect``
-    sizes map-only — candidate pairs never touch a postings re-join.
+    prunes as join residuals; verification SEMI-FILTERS the postings
+    to candidate doc_ids first (a broadcast semi-join — the candidate
+    set, not the corpus, bounds it), builds sorted shingle arrays for
+    those docs only, and attaches them by broadcast for a map-only
+    exact ``array_intersect`` — so the broadcast is O(candidates),
+    never O(corpus), and the prefix filter's selectivity is what makes
+    the final stage cheap (9× candidate cut measured above).
     Every join is an equi-join (no-cartesian plan-guarded in pytest).
     """
     sh = shingle_postings(spark, sf_dir).cache()
@@ -1388,10 +1486,27 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("pa.doc_id").alias("da"), F.col("pb.doc_id").alias("db"))
         .distinct()
+        # reused 3x below (two doc-id sides + the verify join input);
+        # the pair list is tiny (256 survivors from 125 k candidates
+        # at sf0.1) so persisting beats re-running the prefix join
+        .persist()
     )
-    arrs = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("s")).alias("gs"),
-        F.count("*").alias("n"),
+    cand_docs = (
+        cand.select(F.col("da").alias("doc_id"))
+        .union(cand.select(F.col("db").alias("doc_id")))
+        .distinct()
+    )
+    # Candidate-only verification arrays: semi-filter the postings to
+    # candidate docs BEFORE collecting arrays, so the broadcast below
+    # is bounded by the candidate set (ADVICE r6: broadcasting the
+    # whole corpus's arrays contradicted the exactness-at-scale story).
+    arrs = (
+        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("s")).alias("gs"),
+            F.count("*").alias("n"),
+        )
     )
     return (
         cand.join(
@@ -1446,6 +1561,7 @@ WHERE 3 * i >= sa.n + sb.n
 QUERIES = {
     "dedup_kcore": q_dedup_kcore,
     "dedup_prefix_filter": q_dedup_prefix_filter,
+    "dedup_containment": q_dedup_containment,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1462,6 +1578,7 @@ QUERIES = {
 ORACLES = {
     "dedup_kcore": Q_DEDUP_KCORE_SQL,
     "dedup_prefix_filter": Q_DEDUP_PREFIX_FILTER_SQL,
+    "dedup_containment": Q_DEDUP_CONTAINMENT_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "dedup_ngram_jaccard": Q_DEDUP_NGRAM_JACCARD_SQL,

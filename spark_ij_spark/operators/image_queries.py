@@ -432,7 +432,63 @@ FROM ordered GROUP BY n, rn
 """
 
 
+def q_img_lineage_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage contract under op-fusion (SURVEY §1.1; reference
+    ImagePlusIO.scala:16-18 attaches an append-only log per image):
+    a 3-op fused registry chain (Multiply → Add → Square in ONE Arrow
+    hop, operators/images.py run_image_ops) must append one RUN entry
+    PER op, identical to running them separately — fusion is a physical
+    optimization, not a semantic one.
+
+    The audit itself is pure Catalyst: the log is a real
+    ``array<struct>`` column, so entry count, op names, and op args
+    are JVM-side expressions over ``image.log`` — lineage at 100 TB is
+    queryable without decoding a single pixel. ``chain_mean`` (one
+    small pandas UDF) proves the ops actually ran: mean((2q+5)²) per
+    order, integer-exact in float32 (values ≤ 11025 < 2²⁴) so the SQL
+    oracle matches bit-for-bit."""
+    from spark_ij_spark.operators.images import run_all
+
+    imgs = order_quantity_images(spark, sf_dir)
+    chained = run_all(
+        imgs,
+        [("Multiply...", "value=2"), ("Add...", "value=5"), ("Square", "")],
+    )
+
+    @F.pandas_udf(DoubleType())
+    def img_mean(img: pd.DataFrame) -> pd.Series:
+        out = []
+        for r in img.itertuples(index=False):
+            a = image_to_np(r).astype("float64")
+            out.append(float(a.sum() / a.size))
+        return pd.Series(out)
+
+    return chained.select(
+        "l_orderkey",
+        F.expr("CAST(size(image.log) AS INT)").alias("n_ops"),
+        F.expr(
+            "concat_ws(';', transform(image.log, e -> e.opval))"
+        ).alias("op_chain"),
+        F.expr(
+            "concat_ws(';', transform(image.log, e -> e.optype))"
+        ).alias("op_types"),
+        img_mean("image").alias("chain_mean"),
+    )
+
+
+Q_IMG_LINEAGE_SQL = """
+SELECT l_orderkey,
+       CAST(3 AS INTEGER) AS n_ops,
+       'Multiply...;Add...;Square' AS op_chain,
+       'RUN;RUN;RUN' AS op_types,
+       SUM((l_quantity * 2 + 5) * (l_quantity * 2 + 5)) / COUNT(*) AS chain_mean
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
 QUERIES = {
+    "img_lineage_chain": q_img_lineage_chain,
     "img_order_stats": q_img_order_stats,
     "img_group_average": q_img_group_average,
     "img_roi_stats": q_img_roi_stats,
@@ -443,6 +499,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "img_lineage_chain": Q_IMG_LINEAGE_SQL,
     "img_order_stats": Q_IMG_ORDER_STATS_SQL,
     "img_group_average": Q_IMG_GROUP_AVG_SQL,
     "img_roi_stats": Q_IMG_ROI_SQL,

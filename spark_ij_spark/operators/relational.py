@@ -1671,7 +1671,74 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
 """
 
 
+def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: per order priority, the orders
+    not strictly dominated on (o_totalprice, o_orderdate) — no other
+    order has BOTH a higher price AND a later date (Börzsönyi 2001
+    "The Skyline Operator"). The naive formulation is a NOT EXISTS
+    theta-self-join (quadratic, a planner nested-loop); this is the
+    sort-based linear form:
+
+    1. collapse to price level (groupBy price → max date) — partial
+       map-side agg, output ~|distinct prices|;
+    2. ONE window pass ordered price-descending computes the max date
+       among STRICTLY higher prices (rows are distinct prices, so
+       ROWS UNBOUNDED PRECEDING..1 PRECEDING is exactly "higher");
+    3. equi-join orders back on (priority, price) — doubles compared
+       bit-for-bit, no arithmetic — and keep rows whose date is not
+       beaten. Two keyed shuffles + one window, no theta-join, holds
+       at any SF."""
+    from pyspark.sql.window import Window
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    plevel = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    ).agg(F.max("o_orderdate").alias("md"))
+    w = (
+        Window.partitionBy("prio")
+        .orderBy(F.col("price").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hmax = plevel.select(
+        "prio", "price", F.max("md").over(w).alias("hmax")
+    )
+    return (
+        orders.join(
+            hmax,
+            (F.col("o_orderpriority") == F.col("prio"))
+            & (F.col("o_totalprice") == F.col("price")),
+        )
+        .where(F.expr("hmax IS NULL OR o_orderdate >= hmax"))
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderdate",
+        )
+    )
+
+
+Q_PARETO_SQL = """
+WITH plevel AS (
+  SELECT o_orderpriority AS prio, o_totalprice AS price,
+         MAX(o_orderdate) AS md
+  FROM orders GROUP BY 1, 2),
+hmax AS (
+  SELECT prio, price,
+         MAX(md) OVER (PARTITION BY prio ORDER BY price DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS hmax
+  FROM plevel)
+SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate
+FROM orders o JOIN hmax h
+  ON o.o_orderpriority = h.prio AND o.o_totalprice = h.price
+WHERE h.hmax IS NULL OR o.o_orderdate >= h.hmax
+"""
+
+
 QUERIES = {
+    "q_pareto_orders": q_pareto_orders,
     "q_grouping_sets": q_grouping_sets,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q11_important_parts": q11_important_parts,
@@ -1715,6 +1782,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_pareto_orders": Q_PARETO_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,

@@ -246,6 +246,40 @@ def q_events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hll_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count twin of ``events_hll_rollup``: per-type distinct
+    users and active days by full COUNT(DISTINCT ...) — the ground
+    truth the HLL estimate is tolerance-tested against
+    (tests/test_timeseries.py), now hash-graded in its own right so
+    the sketch/exact pair both carry driver evidence (the
+    ``events_kmv_users`` pattern, VERDICT r6 ask 5).
+
+    Scale shape: COUNT(DISTINCT) is the full distinct shuffle the HLL
+    rollup exists to avoid — this query is the exactness baseline, not
+    the 100 TB path. Spark partial-aggregates the distinct expansion
+    map-side; both counts share one expand + shuffle on event_type."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").alias(
+                "exact_distinct_users"
+            ),
+            F.expr(
+                "CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)"
+            ).alias("n_days"),
+        )
+    )
+
+
+Q_EVENTS_HLL_EXACT_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+       CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+FROM events GROUP BY event_type
+"""
+
+
 # KMV (k-minimum-values) sketch: k smallest 60-bit hashes of the key
 # set estimate distinct count as (k-1)·2^60 / h_(k). Unlike HLL, the
 # sketch is DETERMINISTIC (a pure function of the key set), so the
@@ -330,6 +364,153 @@ j AS (
 SELECT event_type, n_users, kmv_est,
        round(abs(kmv_est - n_users) / n_users, 6) AS rel_err
 FROM j
+"""
+
+
+def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-INTERSECTION estimation from reusable KMV sketches: for
+    every ordered pair of event types, the Jaccard of their user sets
+    is estimated as |K(A∪B) ∩ A_k ∩ B_k| / k, where A_k/B_k are the
+    per-type k-minimum-value samples and K(A∪B) is the union sketch
+    (the k smallest of the merged samples) — the documented reuse of
+    ``events_kmv_users``'s sketches as uniform keyset samples
+    (Beyer 2007 "On synopses for distinct-value estimation"). Exact
+    Jaccard rides along for the realized error.
+
+    Determinism: the sketch is a pure function of the keyset (shared
+    60-bit md5 rule), and k = 64 is a power of two, so the estimate
+    m/k is an exact binary fraction — the whole output hash-matches
+    DuckDB, unlike HLL.
+
+    Scale shape: the DISTINCT (type, user) collapse is the only
+    corpus-sized shuffle (shared with the exact side); everything
+    after runs on O(types·k) sample rows (320 here) and O(types²)
+    pairs via broadcast equi-joins. The exact intersection self-join
+    on user hash is the exactness baseline the sketch replaces at
+    100 TB."""
+    d = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(conv(substring(md5(concat('u:', CAST(user_id AS STRING))),"
+                " 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .distinct()
+        .cache()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    samp = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    sa = samp.select(F.col("event_type").alias("ta"), "h")
+    sb = samp.select(F.col("event_type").alias("tb"), "h")
+    # union sketch per ordered type pair: k smallest of merged samples
+    merged = (
+        sa.crossJoin(sb.select("tb").distinct())
+        .where(F.col("ta") < F.col("tb"))
+        .select("ta", "tb", "h")
+        .union(
+            sb.crossJoin(sa.select("ta").distinct())
+            .where(F.col("ta") < F.col("tb"))
+            .select("ta", "tb", "h")
+        )
+        .distinct()
+    )
+    wp = Window.partitionBy("ta", "tb").orderBy("h")
+    usk = merged.withColumn("rn", F.row_number().over(wp)).where(
+        F.col("rn") <= KMV_K
+    )
+    m = (
+        usk.join(F.broadcast(sa), ["ta", "h"], "left_semi")
+        .join(F.broadcast(sb), ["tb", "h"], "left_semi")
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("m_overlap"))
+    )
+    # exact side: per-type sizes + pairwise intersection on the hash
+    n = d.groupBy("event_type").agg(F.count("*").alias("n"))
+    ea = d.select(F.col("event_type").alias("ta"), "h")
+    eb = d.select(F.col("event_type").alias("tb"), "h")
+    inter = (
+        ea.join(eb, "h")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(n.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))),
+            "ta",
+        )
+        .join(
+            F.broadcast(n.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))),
+            "tb",
+        )
+        .join(m, ["ta", "tb"], "left")
+        .select(
+            "ta",
+            "tb",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr(
+                "round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)"
+            ).alias("exact_jaccard"),
+            F.expr("coalesce(m_overlap, CAST(0 AS BIGINT))").alias("m_overlap"),
+            F.expr(
+                f"CAST(coalesce(m_overlap, 0) AS DOUBLE) / {KMV_K}"
+            ).alias("kmv_jaccard"),
+        )
+    )
+
+
+Q_EVENTS_KMV_OVERLAP_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substring(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events),
+samp AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM d) WHERE rn <= {KMV_K}),
+types AS (SELECT DISTINCT event_type AS t FROM d),
+merged AS (
+  SELECT DISTINCT x.ta, x.tb, x.h FROM (
+    SELECT s.event_type AS ta, t.t AS tb, s.h
+    FROM samp s JOIN types t ON s.event_type < t.t
+    UNION
+    SELECT t.t AS ta, s.event_type AS tb, s.h
+    FROM samp s JOIN types t ON t.t < s.event_type) x),
+usk AS (
+  SELECT ta, tb, h FROM (
+    SELECT ta, tb, h,
+           row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+    FROM merged) WHERE rn <= {KMV_K}),
+m AS (
+  SELECT u.ta, u.tb, COUNT(*) AS m_overlap
+  FROM usk u
+  WHERE EXISTS (SELECT 1 FROM samp a WHERE a.event_type = u.ta AND a.h = u.h)
+    AND EXISTS (SELECT 1 FROM samp b WHERE b.event_type = u.tb AND b.h = u.h)
+  GROUP BY u.ta, u.tb),
+n AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_common
+  FROM d a JOIN d b ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT i.ta, i.tb,
+       na.n AS n_a, nb.n AS n_b, i.n_common,
+       round(CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common), 6)
+         AS exact_jaccard,
+       CAST(coalesce(m.m_overlap, 0) AS BIGINT) AS m_overlap,
+       CAST(coalesce(m.m_overlap, 0) AS DOUBLE) / {KMV_K} AS kmv_jaccard
+FROM inter i
+JOIN n na ON i.ta = na.event_type
+JOIN n nb ON i.tb = nb.event_type
+LEFT JOIN m ON i.ta = m.ta AND i.tb = m.tb
 """
 
 
@@ -715,6 +896,8 @@ QUERIES = {
     "events_moving_window": q_events_moving_window,
     "events_kmv_users": q_events_kmv_users,
     "events_hll_rollup": q_events_hll_rollup,
+    "events_hll_exact": q_events_hll_exact,
+    "events_kmv_overlap": q_events_kmv_overlap,
     "events_twa": q_events_twa,
     "events_ohlc": q_events_ohlc,
     "events_ewma": q_events_ewma,
@@ -726,6 +909,8 @@ ORACLES = {
     "events_crosscorr": Q_EVENTS_CROSSCORR_SQL,
     "events_moving_window": Q_EVENTS_MOVING_WINDOW_SQL,
     "events_kmv_users": Q_EVENTS_KMV_SQL,
+    "events_hll_exact": Q_EVENTS_HLL_EXACT_SQL,
+    "events_kmv_overlap": Q_EVENTS_KMV_OVERLAP_SQL,
     "events_twa": Q_EVENTS_TWA_SQL,
     "events_ohlc": Q_EVENTS_OHLC_SQL,
     "events_ewma": Q_EVENTS_EWMA_SQL,

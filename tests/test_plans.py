@@ -715,3 +715,55 @@ def test_q11_single_lineitem_scan_broadcast_threshold(spark):
     assert plan.count("InMemoryTableScan") >= 2
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_pareto_no_theta_join(spark):
+    """Skyline query: the sort-based form must plan as hash equi-joins
+    + ONE window over the price-level frame — never the quadratic
+    NOT-EXISTS nested-loop the naive formulation produces."""
+    plan = _plan(relational.q_pareto_orders(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_containment_equi_join_no_window(spark):
+    """Containment dedup: same capped inverted-index shape as the
+    Jaccard family — equi-joins only, directional rows emitted
+    map-side (no second join for the reverse direction), no window
+    over the postings."""
+    plan = _plan(dedup.q_dedup_containment(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_mad_outliers_broadcast_calibration(spark):
+    """MAD outliers: both calibration aggregates (median, MAD) come
+    back as broadcasts onto the events scan — never a global
+    percentile window over the corpus."""
+    plan = _plan(event_windows.q_events_mad_outliers(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_kmv_overlap_sample_joins_broadcast(spark):
+    """KMV overlap: the union-sketch membership joins run on O(types·k)
+    sample rows via broadcasts; no Python, no nested-loop beyond the
+    bounded type-pair fan-out."""
+    from spark_ij_spark.operators import timeseries
+
+    plan = _plan(timeseries.q_events_kmv_overlap(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_filter_candidate_bounded_broadcast(spark):
+    """PPJoin verification: the per-doc array frame must be built from
+    candidate-semi-filtered postings (ADVICE r6) — the plan shows a
+    LeftSemi join feeding the collect_list aggregate."""
+    plan = _plan(dedup.q_dedup_prefix_filter(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
