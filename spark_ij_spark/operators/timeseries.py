@@ -370,17 +370,22 @@ FROM j
 def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-INTERSECTION estimation from reusable KMV sketches: for
     every ordered pair of event types, the Jaccard of their user sets
-    is estimated as |K(A∪B) ∩ A_k ∩ B_k| / k, where A_k/B_k are the
-    per-type k-minimum-value samples and K(A∪B) is the union sketch
-    (the k smallest of the merged samples) — the documented reuse of
-    ``events_kmv_users``'s sketches as uniform keyset samples
-    (Beyer 2007 "On synopses for distinct-value estimation"). Exact
-    Jaccard rides along for the realized error.
+    is estimated as |K(A∪B) ∩ A_k ∩ B_k| / |K(A∪B)|, where A_k/B_k
+    are the per-type k-minimum-value samples and K(A∪B) is the union
+    sketch (the k smallest of the merged samples, so |K| =
+    min(k, |A∪B|)) — the documented reuse of ``events_kmv_users``'s
+    sketches as uniform keyset samples (Beyer 2007 "On synopses for
+    distinct-value estimation"). The denominator is the REALIZED
+    sketch size, not k: when the union is smaller than k the sketch
+    IS the union and m/|K| is exact (the m/k form underestimates by
+    |A∪B|/k — caught by the 4σ property test at sf0.001, where all
+    types share the same 15 users; the mirrored oracle hash-matched
+    the bug, which is precisely what the independent property test
+    exists for). Exact Jaccard rides along for the realized error.
 
     Determinism: the sketch is a pure function of the keyset (shared
-    60-bit md5 rule), and k = 64 is a power of two, so the estimate
-    m/k is an exact binary fraction — the whole output hash-matches
-    DuckDB, unlike HLL.
+    60-bit md5 rule) and the estimate is ONE integer-operand IEEE
+    division — the whole output hash-matches DuckDB, unlike HLL.
 
     Scale shape: the DISTINCT (type, user) collapse is the only
     corpus-sized shuffle (shared with the exact side); everything
@@ -425,10 +430,20 @@ def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") <= KMV_K
     )
     m = (
-        usk.join(F.broadcast(sa), ["ta", "h"], "left_semi")
-        .join(F.broadcast(sb), ["tb", "h"], "left_semi")
+        usk.join(
+            F.broadcast(sa.withColumn("in_a", F.lit(1))), ["ta", "h"], "left"
+        )
+        .join(
+            F.broadcast(sb.withColumn("in_b", F.lit(1))), ["tb", "h"], "left"
+        )
         .groupBy("ta", "tb")
-        .agg(F.count("*").alias("m_overlap"))
+        .agg(
+            F.count("*").alias("k_used"),
+            F.expr(
+                "CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("m_overlap"),
+        )
     )
     # exact side: per-type sizes + pairwise intersection on the hash
     n = d.groupBy("event_type").agg(F.count("*").alias("n"))
@@ -449,7 +464,7 @@ def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(n.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))),
             "tb",
         )
-        .join(m, ["ta", "tb"], "left")
+        .join(m, ["ta", "tb"])
         .select(
             "ta",
             "tb",
@@ -459,10 +474,9 @@ def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)"
             ).alias("exact_jaccard"),
-            F.expr("coalesce(m_overlap, CAST(0 AS BIGINT))").alias("m_overlap"),
-            F.expr(
-                f"CAST(coalesce(m_overlap, 0) AS DOUBLE) / {KMV_K}"
-            ).alias("kmv_jaccard"),
+            "m_overlap",
+            "k_used",
+            F.expr("CAST(m_overlap AS DOUBLE) / k_used").alias("kmv_jaccard"),
         )
     )
 
@@ -491,10 +505,14 @@ usk AS (
            row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
     FROM merged) WHERE rn <= {KMV_K}),
 m AS (
-  SELECT u.ta, u.tb, COUNT(*) AS m_overlap
+  SELECT u.ta, u.tb, COUNT(*) AS k_used,
+         CAST(SUM(CASE WHEN
+           EXISTS (SELECT 1 FROM samp a
+                   WHERE a.event_type = u.ta AND a.h = u.h)
+           AND EXISTS (SELECT 1 FROM samp b
+                       WHERE b.event_type = u.tb AND b.h = u.h)
+           THEN 1 ELSE 0 END) AS BIGINT) AS m_overlap
   FROM usk u
-  WHERE EXISTS (SELECT 1 FROM samp a WHERE a.event_type = u.ta AND a.h = u.h)
-    AND EXISTS (SELECT 1 FROM samp b WHERE b.event_type = u.tb AND b.h = u.h)
   GROUP BY u.ta, u.tb),
 n AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY event_type),
 inter AS (
@@ -505,12 +523,12 @@ SELECT i.ta, i.tb,
        na.n AS n_a, nb.n AS n_b, i.n_common,
        round(CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common), 6)
          AS exact_jaccard,
-       CAST(coalesce(m.m_overlap, 0) AS BIGINT) AS m_overlap,
-       CAST(coalesce(m.m_overlap, 0) AS DOUBLE) / {KMV_K} AS kmv_jaccard
+       m.m_overlap, m.k_used,
+       CAST(m.m_overlap AS DOUBLE) / m.k_used AS kmv_jaccard
 FROM inter i
 JOIN n na ON i.ta = na.event_type
 JOIN n nb ON i.tb = nb.event_type
-LEFT JOIN m ON i.ta = m.ta AND i.tb = m.tb
+JOIN m ON i.ta = m.ta AND i.tb = m.tb
 """
 
 

@@ -585,3 +585,30 @@ def test_kcore_is_true_fixpoint_via_brute_peeling(spark, sf_dir):
     brute = {v: sum(u in alive for u in nbrs[v]) for v in alive}
     assert got == brute
     assert all(d >= dedup.KCORE_K for d in got.values())
+
+
+def test_containment_subsumes_jaccard(spark, duck):
+    """Directional invariants: every emitted containment ≥ 3/4, the
+    contained doc has ≥ 8 shingles, and containment ≥ the symmetric
+    Jaccard of the same pair (|A∩B|/|A| ≥ |A∩B|/|A∪B| always)."""
+    from spark_ij_spark.operators.dedup import (
+        q_dedup_containment,
+        q_dedup_ngram_jaccard,
+    )
+
+    from .conftest import SF_DIR
+
+    rows = q_dedup_containment(spark, SF_DIR).collect()
+    assert rows, "containment pairs must exist at test SF"
+    jac = {
+        (r.da, r.db): r.jaccard
+        for r in q_dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    for r in rows:
+        assert r.containment >= 0.75 - 1e-9
+        pair = (
+            min(r.contained_doc, r.container_doc),
+            max(r.contained_doc, r.container_doc),
+        )
+        if pair in jac:
+            assert r.containment >= jac[pair] - 1e-9

@@ -50,3 +50,33 @@ def test_grouping_sets_totals_consistent(spark, sf_dir):
     )
     assert "Expand" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pareto_frontier_matches_bruteforce(spark, duck):
+    """Skyline correctness against the O(n²) definition: a frontier
+    row is never strictly dominated, and every dominated order is
+    excluded (checked per priority with numpy broadcasting)."""
+    import numpy as np
+
+    got = {
+        (r.o_orderpriority, r.o_orderkey)
+        for r in relational.q_pareto_orders(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    raw = duck.execute(
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate"
+        " FROM orders"
+    ).fetchall()
+    by_prio = {}
+    for prio, key, price, date in raw:
+        by_prio.setdefault(prio, []).append((key, price, date))
+    want = set()
+    for prio, rows in by_prio.items():
+        price = np.array([r[1] for r in rows])
+        date = np.array([r[2] for r in rows])
+        for i, (key, p, d) in enumerate(rows):
+            dominated = ((price > p) & (date > d)).any()
+            if not dominated:
+                want.add((prio, key))
+    assert got == want

@@ -221,3 +221,34 @@ def test_crosscorr_is_bounded_and_lag_shrinks_overlap_sum(spark):
         assert r.n_overlap <= min(hours[r.ta], hours[r.tb])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_overlap_estimate_within_sampling_error(spark):
+    """The KMV Jaccard estimate m/k is a hypergeometric-ish sample
+    proportion with σ ≈ sqrt(J(1−J)/k) ≤ 0.063 at k=64; assert every
+    pair lands within 4σ of the exact Jaccard, and the structural
+    invariants (m ≤ k, estimate in [0,1])."""
+    rows = timeseries.q_events_kmv_overlap(spark, SF_DIR).collect()
+    assert rows, "pairs must exist"
+    from spark_ij_spark.operators.timeseries import KMV_K
+
+    for r in rows:
+        assert 0 <= r.m_overlap <= KMV_K
+        assert 0.0 <= r.kmv_jaccard <= 1.0
+        assert abs(r.kmv_jaccard - r.exact_jaccard) <= 0.25, (
+            r.ta, r.tb, r.kmv_jaccard, r.exact_jaccard,
+        )
+
+
+def test_hll_exact_twin_bounds_hll_estimate(spark):
+    """The graded exact twin must agree with the HLL rollup estimate
+    within the lgK=12 accuracy band (~1.6% σ, 5σ bound) — ties the two
+    graded rows together the way the KMV pair is tied."""
+    est = {
+        r.event_type: r.est_distinct_users
+        for r in timeseries.q_events_hll_rollup(spark, SF_DIR).collect()
+    }
+    for r in timeseries.q_events_hll_exact(spark, SF_DIR).collect():
+        assert abs(est[r.event_type] - r.exact_distinct_users) <= max(
+            0.08 * r.exact_distinct_users, 2
+        )
