@@ -978,6 +978,266 @@ ORDER BY ta, tb
 Q_EVENTS_COOCCURRENCE_SQL = _cooccurrence_sql()
 
 
+# Multi-touch attribution: which event types count as marketing
+# touches, and the fixed-point scale for linear credit shares.
+ATTR_TOUCH_TYPES = ("click", "view")
+ATTR_CREDIT_SCALE = 1_000_000
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution: every purchase closes a
+    per-user *journey* (the touches since the previous purchase), and
+    each touch type earns credit under three standard models at once —
+    first-touch (the journey's opening touch converts), last-touch
+    (the final touch before the purchase converts), and linear (each
+    of the journey's n touches earns 1/n). The reset-at-conversion
+    journey model needs NO time-range join: journey_id is simply the
+    count of purchases strictly before the row in the per-user
+    (ts, event_id) order.
+
+    Scale shape: journey segmentation is ONE window on the single
+    user_id shuffle (the as-of-join union-scan shape — no join against
+    a purchases table), then ONE partial-aggregating collapse to
+    (user, journey, type) grain. Journey totals and first/last touch
+    attach via a second window over THAT aggregated frame (≤ types+1
+    rows per journey) — a single lineage, so the corpus is scanned and
+    windowed exactly once and the plan contains NO join at all. The
+    final aggregate is O(types).
+
+    Determinism: first/last touches are MIN/MAX over zero-padded
+    ``lpad(micros)||lpad(event_id)||':'||type`` strings (NULL-skipping
+    MIN, identical both engines — no min_by NULL-key semantics to
+    trust); linear credit is integer fixed-point,
+    ``SCALE * n_type DIV n_touches`` summed as BIGINT — exact and
+    order-independent, no float accumulation."""
+    types = ", ".join(f"'{t}'" for t in ATTR_TOUCH_TYPES)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END").alias(
+            "is_purchase"
+        ),
+        F.expr(
+            f"CASE WHEN event_type IN ({types}) THEN event_type END"
+        ).alias("touch_type"),
+    )
+    seg = ev.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum("is_purchase").over(w), F.lit(0).cast("bigint")
+        ).cast("bigint"),
+    ).withColumn(
+        "touch_key",
+        F.expr(
+            "CASE WHEN touch_type IS NOT NULL THEN"
+            " concat(lpad(CAST(unix_micros(ts) AS STRING), 20, '0'),"
+            " lpad(CAST(event_id AS STRING), 12, '0'), ':', touch_type)"
+            " END"
+        ),
+    )
+    lvl1 = seg.groupBy("user_id", "journey", "touch_type").agg(
+        F.expr("CAST(SUM(is_purchase) AS BIGINT)").alias("n_purch_g"),
+        F.expr("CAST(COUNT(touch_type) AS BIGINT)").alias("c_jt"),
+        F.expr("MIN(touch_key)").alias("min_key"),
+        F.expr("MAX(touch_key)").alias("max_key"),
+    )
+    wj = Window.partitionBy("user_id", "journey")
+    lvl2 = lvl1.select(
+        "touch_type",
+        "c_jt",
+        F.sum("n_purch_g").over(wj).alias("n_purch"),
+        F.sum("c_jt").over(wj).alias("n_touches"),
+        F.expr("substring(MIN(min_key) OVER"
+               " (PARTITION BY user_id, journey), 34)").alias("first_type"),
+        F.expr("substring(MAX(max_key) OVER"
+               " (PARTITION BY user_id, journey), 34)").alias("last_type"),
+    )
+    return (
+        lvl2.filter(
+            "touch_type IS NOT NULL AND n_purch = 1 AND n_touches >= 1"
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN first_type = touch_type THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("first_touch"),
+            F.expr(
+                "CAST(SUM(CASE WHEN last_type = touch_type THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("last_touch"),
+            F.expr("CAST(SUM(c_jt) AS BIGINT)").alias("touches"),
+            F.expr(
+                f"CAST(SUM(({ATTR_CREDIT_SCALE} * c_jt) DIV n_touches)"
+                " AS BIGINT)"
+            ).alias("linear_credit_ppm"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+def _attribution_sql() -> str:
+    types = ", ".join(f"'{t}'" for t in ATTR_TOUCH_TYPES)
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+         CASE WHEN event_type IN ({types}) THEN event_type END AS touch_type
+  FROM events),
+seg AS (
+  SELECT *,
+         COALESCE(SUM(is_purchase) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS journey,
+         CASE WHEN touch_type IS NOT NULL THEN
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+           lpad(CAST(event_id AS VARCHAR), 12, '0') || ':' || touch_type
+         END AS touch_key
+  FROM ev),
+lvl1 AS (
+  SELECT user_id, journey, touch_type,
+         CAST(SUM(is_purchase) AS BIGINT) AS n_purch_g,
+         CAST(COUNT(touch_type) AS BIGINT) AS c_jt,
+         MIN(touch_key) AS min_key,
+         MAX(touch_key) AS max_key
+  FROM seg GROUP BY user_id, journey, touch_type),
+lvl2 AS (
+  SELECT touch_type, c_jt,
+         SUM(n_purch_g) OVER w AS n_purch,
+         SUM(c_jt) OVER w AS n_touches,
+         substring(MIN(min_key) OVER w, 34) AS first_type,
+         substring(MAX(max_key) OVER w, 34) AS last_type
+  FROM lvl1
+  WINDOW w AS (PARTITION BY user_id, journey))
+SELECT touch_type,
+       CAST(SUM(CASE WHEN first_type = touch_type THEN 1 ELSE 0 END)
+            AS BIGINT) AS first_touch,
+       CAST(SUM(CASE WHEN last_type = touch_type THEN 1 ELSE 0 END)
+            AS BIGINT) AS last_touch,
+       CAST(SUM(c_jt) AS BIGINT) AS touches,
+       CAST(SUM(({ATTR_CREDIT_SCALE} * c_jt) // n_touches)
+            AS BIGINT) AS linear_credit_ppm
+FROM lvl2
+WHERE touch_type IS NOT NULL AND n_purch = 1 AND n_touches >= 1
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
+Q_EVENTS_ATTRIBUTION_SQL = _attribution_sql()
+
+
+# Path analysis: max steps kept per session path (the scale guard that
+# keeps path cardinality bounded), the number of top paths reported,
+# and the visit gap that closes a path (wider than the 30-min session
+# gap: on this corpus the median same-user inter-event gap is ~7 h, so
+# a 12 h visit boundary yields genuinely multi-step paths).
+PATH_MAX_STEPS = 8
+PATH_TOP_K = 20
+PATH_GAP_MIN = 720
+
+
+def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: each 30-min-gap session becomes the
+    ordered sequence of its event types (truncated to the first
+    PATH_MAX_STEPS — the guard that keeps distinct-path cardinality
+    bounded no matter how long a bot session runs), and the PATH_TOP_K
+    most frequent paths are reported with their session count and how
+    many of those sessions converted (contain a purchase anywhere in
+    the FULL session, not just the kept prefix).
+
+    Scale shape: visit segmentation is the gaps-and-islands pair of
+    windows on ONE user_id shuffle (the ``events_session`` shape with
+    a wider PATH_GAP_MIN boundary);
+    path assembly is a partial-aggregating collect per (user, session)
+    — state per group is ≤ session length, the same bound streaming
+    session windows rely on; the path count is an O(paths) aggregate.
+    Top-k is a global sort over O(distinct paths) rows, not events.
+
+    Determinism: the collected step list sorts on (ts, event_id)
+    structs — total order, engine-independent; top-k breaks count ties
+    on the path string."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev", F.lag("ts").over(wo))
+        .withColumn(
+            "new_s",
+            F.expr(
+                "CASE WHEN prev IS NULL OR ts - prev >="
+                f" INTERVAL {PATH_GAP_MIN} MINUTES THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.expr(
+                "concat_ws('>', slice(transform("
+                "array_sort(collect_list(struct(ts, event_id, event_type))),"
+                f" s -> s.event_type), 1, {PATH_MAX_STEPS}))"
+            ).alias("path"),
+            F.expr(
+                "CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("converted"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_sessions"),
+            F.expr("CAST(SUM(converted) AS BIGINT)").alias("n_converted"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOP_K)
+    )
+
+
+Q_EVENTS_SESSION_PATHS_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR ts - prev >= INTERVAL '{PATH_GAP_MIN} minutes'
+                 THEN 1 ELSE 0 END AS new_s
+  FROM o),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f),
+paths AS (
+  SELECT user_id, sid,
+         array_to_string(list_slice(
+           list(event_type ORDER BY ts, event_id), 1, {PATH_MAX_STEPS}),
+           '>') AS path,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted
+  FROM s GROUP BY user_id, sid)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOP_K}
+"""
+
+
 QUERIES = {
     "events_sliding": q_events_sliding,
     "events_cdc_state": q_events_cdc_state,
@@ -996,6 +1256,8 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "events_salted_agg": q_events_salted_agg,
     "events_rollup": q_events_rollup,
+    "events_attribution": q_events_attribution,
+    "events_session_paths": q_events_session_paths,
 }
 
 ORACLES = {
@@ -1015,4 +1277,6 @@ ORACLES = {
     "events_range_join": Q_EVENTS_RANGE_SQL,
     "events_salted_agg": Q_EVENTS_SALTED_AGG_SQL,
     "events_rollup": Q_EVENTS_ROLLUP_SQL,
+    "events_attribution": Q_EVENTS_ATTRIBUTION_SQL,
+    "events_session_paths": Q_EVENTS_SESSION_PATHS_SQL,
 }

@@ -324,13 +324,123 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 Q_BLOOM_PREJOIN_SQL = _bloom_prejoin_sql()
 
 
+# Compaction planner: files-per-source in the synthetic manifest and
+# the output-group count the plan packs them into.
+COMPACT_FILE_BUCKETS = 8
+COMPACT_GROUPS = 4
+
+
+def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan — the lakehouse maintenance op that
+    keeps a 100 TB table readable. A long-running ingest leaves each
+    partition littered with files far below the scan-efficient size;
+    the fix is a metadata-only planning pass that bins adjacent small
+    files into ~target-sized rewrite groups (what Delta OPTIMIZE /
+    Iceberg rewrite_data_files plan before touching any data).
+
+    The file manifest is derived from ``documents`` (file = (source,
+    doc_id % COMPACT_FILE_BUCKETS), bytes = SUM(n_chars)); the per-
+    source target size is calibrated as total_bytes DIV COMPACT_GROUPS
+    (calibrate-then-apply: a COUNT(sources)-row aggregate joined back,
+    never a global window). Files are laid out in deterministic bucket
+    order and assigned out_group = bytes-before-this-file DIV target —
+    the sequential first-fit that guarantees every group except the
+    last crosses the target only by its final file.
+
+    Scale shape: the ONLY corpus-sized work is the manifest aggregate
+    (one keyed shuffle, partial-aggregating). Everything after runs on
+    O(files) metadata rows — the per-source window costs nothing
+    because a manifest is ~10^5 rows when the table is 10^11. All
+    arithmetic is BIGINT (DIV both engines), so the plan hash-matches
+    DuckDB exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    manifest = (
+        docs.groupBy(
+            "source",
+            F.expr(f"doc_id % {COMPACT_FILE_BUCKETS}").alias("file_bucket"),
+        )
+        .agg(
+            F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("file_bytes"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        )
+    )
+    targets = manifest.groupBy("source").agg(
+        F.expr(
+            f"GREATEST(CAST(SUM(file_bytes) DIV {COMPACT_GROUPS} AS BIGINT),"
+            " CAST(1 AS BIGINT))"
+        ).alias("target_bytes")
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("file_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = (
+        manifest.join(F.broadcast(targets), "source")
+        .withColumn(
+            "bytes_before",
+            F.coalesce(F.sum("file_bytes").over(w), F.lit(0).cast("bigint")),
+        )
+        .withColumn(
+            "out_group", F.expr("CAST(bytes_before DIV target_bytes AS BIGINT)")
+        )
+    )
+    return (
+        planned.groupBy("source", "out_group")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_files"),
+            F.expr("CAST(SUM(n_docs) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(SUM(file_bytes) AS BIGINT)").alias("group_bytes"),
+            F.expr("CAST(MIN(file_bucket) AS BIGINT)").alias("first_file"),
+            F.expr("CAST(MAX(file_bucket) AS BIGINT)").alias("last_file"),
+            F.expr("CAST(MAX(target_bytes) AS BIGINT)").alias("target_bytes"),
+        )
+        .orderBy("source", "out_group")
+    )
+
+
+Q_LAYOUT_COMPACTION_SQL = f"""
+WITH manifest AS (
+  SELECT source, doc_id % {COMPACT_FILE_BUCKETS} AS file_bucket,
+         CAST(SUM(n_chars) AS BIGINT) AS file_bytes,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source, doc_id % {COMPACT_FILE_BUCKETS}),
+targets AS (
+  SELECT source,
+         GREATEST(CAST(SUM(file_bytes) // {COMPACT_GROUPS} AS BIGINT),
+                  CAST(1 AS BIGINT)) AS target_bytes
+  FROM manifest GROUP BY source),
+planned AS (
+  SELECT m.source, m.file_bucket, m.file_bytes, m.n_docs, t.target_bytes,
+         COALESCE(SUM(m.file_bytes) OVER (
+           PARTITION BY m.source ORDER BY m.file_bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS bytes_before
+  FROM manifest m JOIN targets t ON m.source = t.source)
+SELECT source, CAST(bytes_before // target_bytes AS BIGINT) AS out_group,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(file_bytes) AS BIGINT) AS group_bytes,
+       CAST(MIN(file_bucket) AS BIGINT) AS first_file,
+       CAST(MAX(file_bucket) AS BIGINT) AS last_file,
+       CAST(MAX(target_bytes) AS BIGINT) AS target_bytes
+FROM planned
+GROUP BY source, CAST(bytes_before // target_bytes AS BIGINT)
+ORDER BY source, out_group
+"""
+
+
 QUERIES = {
     "bucketed_join_revenue": q_bucketed_join_revenue,
     "layout_zorder_stats": q_zorder_stats,
     "layout_bloom_prejoin": q_bloom_prejoin,
+    "layout_compaction": q_layout_compaction,
 }
 ORACLES = {
     "bucketed_join_revenue": Q_BUCKETED_JOIN_REVENUE_SQL,
     "layout_zorder_stats": Q_ZORDER_STATS_SQL,
     "layout_bloom_prejoin": Q_BLOOM_PREJOIN_SQL,
+    "layout_compaction": Q_LAYOUT_COMPACTION_SQL,
 }

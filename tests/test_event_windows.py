@@ -91,3 +91,47 @@ def test_transitions_matrix_properties(spark, sf_dir, duck):
         cells[r.from_type] = cells.get(r.from_type, 0) + 1
     for ft, total in by_from.items():
         assert abs(total - 1.0) <= 5e-7 * cells[ft] + 1e-12, (ft, total)
+
+
+def test_attribution_credit_conservation(spark):
+    """Every valid journey hands out exactly one first-touch and one
+    last-touch credit, and its linear credit sums to 1e6 ppm minus at
+    most (n_types - 1) of integer-floor loss."""
+    from spark_ij_spark.operators.event_windows import (
+        ATTR_TOUCH_TYPES,
+        q_events_attribution,
+    )
+
+    from .conftest import SF_DIR
+
+    rows = q_events_attribution(spark, SF_DIR).collect()
+    assert rows, "journeys must exist at test SF"
+    n_journeys = sum(r.first_touch for r in rows)
+    assert n_journeys == sum(r.last_touch for r in rows)
+    total_linear = sum(r.linear_credit_ppm for r in rows)
+    loss = n_journeys * 1_000_000 - total_linear
+    assert 0 <= loss < n_journeys * len(ATTR_TOUCH_TYPES)
+    for r in rows:
+        assert 0 <= r.first_touch <= n_journeys
+        assert r.touches >= max(r.first_touch, r.last_touch)
+
+
+def test_session_paths_prefix_and_conversion_semantics(spark):
+    """Paths are capped at PATH_MAX_STEPS; a purchase in the kept
+    prefix forces n_converted == n_sessions (conversion is computed
+    over the FULL visit, so the reverse implication need not hold)."""
+    from spark_ij_spark.operators.event_windows import (
+        PATH_MAX_STEPS,
+        q_events_session_paths,
+    )
+
+    from .conftest import SF_DIR
+
+    rows = q_events_session_paths(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        steps = r.path.split(">")
+        assert 1 <= len(steps) <= PATH_MAX_STEPS
+        assert 0 <= r.n_converted <= r.n_sessions
+        if "purchase" in steps:
+            assert r.n_converted == r.n_sessions

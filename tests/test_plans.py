@@ -767,3 +767,39 @@ def test_prefix_filter_candidate_bounded_broadcast(spark):
     plan = _plan(dedup.q_dedup_prefix_filter(spark, SF_DIR))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_compaction_broadcast_calibration_metadata_window(spark):
+    """Compaction plan: the per-source target attaches as a broadcast
+    (calibrate-then-apply), the window runs on the aggregated manifest
+    (below both Window inputs sits a HashAggregate, never the raw
+    scan), and everything stays JVM-side."""
+    from spark_ij_spark.operators import layout
+
+    plan = _plan(layout.q_layout_compaction(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the Window's input subtree must contain the manifest aggregate
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:]
+
+
+def test_attribution_single_lineage_no_join(spark):
+    """Attribution: one corpus scan, one corpus-grain window (journey
+    cumsum on user_id), one journey-stats window over the aggregated
+    frame — and NO join of any kind in the plan."""
+    plan = _plan(event_windows.q_events_attribution(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Window") == 2
+    assert plan.count("Scan parquet") == 1
+
+
+def test_session_paths_user_keyed_windows_only(spark):
+    """Session paths: the gaps-and-islands windows and the visit
+    collect all key on user_id — no global window, no Python hop."""
+    plan = _plan(event_windows.q_events_session_paths(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(user_id" in plan

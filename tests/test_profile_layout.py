@@ -341,3 +341,37 @@ def test_k_anonymity_partitions_corpus_and_flags_consistently(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_compaction_first_fit_invariants(spark):
+    """The sequential first-fit guarantee: a file lands in group g only
+    when the bytes before it reach g*target, so within every source the
+    prefix sums dominate g*target, file intervals are disjoint and
+    ordered, and doc/byte totals are conserved."""
+    import duckdb
+
+    from spark_ij_spark.operators.layout import q_layout_compaction
+
+    from .conftest import SF_DIR
+
+    rows = q_layout_compaction(spark, SF_DIR).collect()
+    assert rows
+    con = duckdb.connect()
+    total_docs = con.execute(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) == total_docs
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, groups in by_src.items():
+        groups.sort(key=lambda r: r.out_group)
+        target = groups[0].target_bytes
+        prefix = 0
+        prev_last = -1
+        for g in groups:
+            assert g.target_bytes == target
+            assert g.first_file > prev_last, "file intervals must be disjoint"
+            prev_last = g.last_file
+            assert prefix >= g.out_group * target
+            prefix += g.group_bytes
