@@ -1558,7 +1558,189 @@ WHERE 3 * i >= sa.n + sb.n
 """
 
 
+def q_dedup_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall audit of the MinHash-LSH candidate generator
+    against exact Jaccard truth — the measurement that decides the
+    (K, bands) operating point before a 100 TB dedup run trusts the
+    approximation. Truth = all pairs with exact Jaccard ≥ t from the
+    inverted-index join (the labeled exactness baseline this audit
+    exists to eventually replace); candidates = the distinct band-
+    bucket pairs. One full-outer join of the two pair sets → a single
+    audit row with integer-ppm precision (candidates that are real
+    dups) and recall (real dups the bands surfaced).
+
+    Scale shape: both pair sets come off the SAME cached postings
+    frame (one tokenize+cap scan); the audit join and count run on
+    O(pairs) rows, never the corpus. On a real corpus the audit runs
+    on a sampled partition and the measured ppm extrapolates — the
+    shape is identical.
+
+    Determinism: pure integer counts and integer-division ppm."""
+    post = shingle_postings(spark, sf_dir).cache()
+    sig = minhash_signatures(spark, sf_dir, postings=post)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[F.expr(e) for e in _band_exprs()])).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+        .withColumn("in_c", F.lit(1))
+    )
+    truth = (
+        _jaccard_pairs(post)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("da", "db")
+        .withColumn("in_t", F.lit(1))
+    )
+    return (
+        cand.join(truth, ["da", "db"], "full_outer")
+        .agg(
+            F.expr("CAST(SUM(coalesce(in_c, 0)) AS BIGINT)").alias(
+                "n_candidates"
+            ),
+            F.expr("CAST(SUM(coalesce(in_t, 0)) AS BIGINT)").alias("n_truth"),
+            F.expr(
+                "CAST(SUM(coalesce(in_c, 0) * coalesce(in_t, 0)) AS BIGINT)"
+            ).alias("n_hits"),
+        )
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_hits",
+            F.expr(
+                "CAST((1000000 * n_hits) DIV n_candidates AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr("CAST((1000000 * n_hits) DIV n_truth AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
+Q_DEDUP_LSH_AUDIT_SQL = f"""
+WITH {_MINHASH_SIG_DUCK},
+bands AS (
+  SELECT doc_id, unnest([{", ".join(_band_exprs_duck())}]) AS band FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, 1 AS in_c
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+{_JACCARD_PAIRS_DUCK.strip().rstrip(',').lstrip()},
+truth AS (
+  SELECT da, db, 1 AS in_t FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+u AS (
+  SELECT CAST(SUM(COALESCE(in_c, 0)) AS BIGINT) AS n_candidates,
+         CAST(SUM(COALESCE(in_t, 0)) AS BIGINT) AS n_truth,
+         CAST(SUM(COALESCE(in_c, 0) * COALESCE(in_t, 0)) AS BIGINT) AS n_hits
+  FROM cand FULL OUTER JOIN truth USING (da, db))
+SELECT n_candidates, n_truth, n_hits,
+       CAST((1000000 * n_hits) // n_candidates AS BIGINT) AS precision_ppm,
+       CAST((1000000 * n_hits) // n_truth AS BIGINT) AS recall_ppm
+FROM u
+"""
+
+
+# Packed-key width for the quality-keeper selection (covers doc_id and
+# n_chars up to 10^12 - 1).
+_KEEP_PAD = 12
+_KEEP_MAX = 10**_KEEP_PAD - 1
+
+
+def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection: real dedup pipelines keep the
+    BEST copy of each near-dup cluster, not the arbitrary min-id one —
+    here quality = n_chars (keep the longest copy; ties break to the
+    smaller doc_id), the common rule when near-dups are truncations of
+    one another. Output compares the quality keeper against the naive
+    min-id keeper per cluster, with the char counts that quantify what
+    the naive rule would have thrown away.
+
+    Scale shape: cluster labels come from the shared CC loop
+    (``q_dedup_clusters``); the label frame holds only docs that
+    appear in a dup pair, so the doc-metadata join and the per-cluster
+    MIN/MAX aggregation run on O(dup docs), not the corpus.
+
+    Determinism: keeper argmax is a plain MAX over zero-padded packed
+    strings ``lpad(n_chars)||lpad(MAX-doc_id)`` (descending quality,
+    then ascending id via complement) — no min_by/max_by tie or NULL
+    semantics to trust cross-engine; all arithmetic BIGINT."""
+    labels = q_dedup_clusters(spark, sf_dir)
+    meta = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    keep_key = (
+        f"concat(lpad(CAST(n_chars AS STRING), {_KEEP_PAD}, '0'),"
+        f" lpad(CAST({_KEEP_MAX} - doc_id AS STRING), {_KEEP_PAD}, '0'))"
+    )
+    naive_key = (
+        f"concat(lpad(CAST(doc_id AS STRING), {_KEEP_PAD}, '0'),"
+        f" lpad(CAST(n_chars AS STRING), {_KEEP_PAD}, '0'))"
+    )
+    return (
+        labels.join(meta, "doc_id")
+        .groupBy("cluster_rep")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_members"),
+            F.expr(f"MAX({keep_key})").alias("kk"),
+            F.expr(f"MIN({naive_key})").alias("nk"),
+        )
+        .select(
+            "cluster_rep",
+            "n_members",
+            F.expr(
+                f"CAST({_KEEP_MAX} - CAST(substring(kk, {_KEEP_PAD + 1})"
+                " AS BIGINT) AS BIGINT)"
+            ).alias("keeper_doc"),
+            F.expr(
+                f"CAST(substring(kk, 1, {_KEEP_PAD}) AS BIGINT)"
+            ).alias("keeper_chars"),
+            F.expr(
+                f"CAST(substring(nk, 1, {_KEEP_PAD}) AS BIGINT)"
+            ).alias("naive_keeper"),
+            F.expr(
+                f"CAST(substring(nk, {_KEEP_PAD + 1}) AS BIGINT)"
+            ).alias("naive_chars"),
+        )
+        .orderBy("cluster_rep")
+    )
+
+
+Q_DEDUP_KEEPER_QUALITY_SQL = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_DUCK.strip()},
+edges AS (SELECT da, db FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+sym AS (SELECT da AS a, db AS b FROM edges UNION ALL SELECT db, da FROM edges),
+reach(id, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id),
+labels AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id),
+keyed AS (
+  SELECT l.cluster_rep,
+         lpad(CAST(d.n_chars AS VARCHAR), {_KEEP_PAD}, '0') ||
+         lpad(CAST({_KEEP_MAX} - d.doc_id AS VARCHAR), {_KEEP_PAD}, '0')
+           AS kk,
+         lpad(CAST(d.doc_id AS VARCHAR), {_KEEP_PAD}, '0') ||
+         lpad(CAST(d.n_chars AS VARCHAR), {_KEEP_PAD}, '0') AS nk
+  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST({_KEEP_MAX} - CAST(substring(MAX(kk), {_KEEP_PAD + 1})
+            AS BIGINT) AS BIGINT) AS keeper_doc,
+       CAST(substring(MAX(kk), 1, {_KEEP_PAD}) AS BIGINT) AS keeper_chars,
+       CAST(substring(MIN(nk), 1, {_KEEP_PAD}) AS BIGINT) AS naive_keeper,
+       CAST(substring(MIN(nk), {_KEEP_PAD + 1}) AS BIGINT) AS naive_chars
+FROM keyed
+GROUP BY cluster_rep
+ORDER BY cluster_rep
+"""
+
+
 QUERIES = {
+    "dedup_lsh_audit": q_dedup_lsh_audit,
+    "dedup_keeper_quality": q_dedup_keeper_quality,
     "dedup_kcore": q_dedup_kcore,
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "dedup_containment": q_dedup_containment,
@@ -1576,6 +1758,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_lsh_audit": Q_DEDUP_LSH_AUDIT_SQL,
+    "dedup_keeper_quality": Q_DEDUP_KEEPER_QUALITY_SQL,
     "dedup_kcore": Q_DEDUP_KCORE_SQL,
     "dedup_prefix_filter": Q_DEDUP_PREFIX_FILTER_SQL,
     "dedup_containment": Q_DEDUP_CONTAINMENT_SQL,

@@ -1236,8 +1236,72 @@ FROM kept GROUP BY tier, avail_tokens, budget_tokens ORDER BY tier
 Q_PIPELINE_CALIBRATED_MIX_SQL = _calibrated_mix_sql()
 
 
+# Candidate padding granularities audited by pipeline_padding_waste.
+PAD_GRANULARITIES = (32, 64, 128, 256)
+
+
+def q_pipeline_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: for each candidate padding
+    granularity g, every doc pads to ceil(n_tokens/g)·g (the
+    bucketed-batching rule that keeps GPU batch shapes uniform), and
+    the audit reports how many padded tokens each granularity wastes —
+    the number that decides g before a 100 TB tokenization run burns
+    the waste for real. Coarser buckets waste more padding but yield
+    fewer distinct shapes (`n_shapes` — fewer recompiled kernels);
+    this is the whole tradeoff in one table.
+
+    Scale shape: token counting and the ×|granularities| explode are
+    map-only codegen; the audit is one partial-aggregating shuffle to
+    O(granularities) rows. Integer arithmetic end to end (ppm by
+    integer division), so the output hash-matches DuckDB exactly."""
+    g_list = ", ".join(str(g) for g in PAD_GRANULARITIES)
+    return (
+        _docs(spark, sf_dir)
+        .select(F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)").alias("n_tok"))
+        .select("n_tok", F.explode(F.expr(f"array({g_list})")).alias("g"))
+        .withColumn(
+            "padded", F.expr("((n_tok + g - 1) DIV g) * CAST(g AS BIGINT)")
+        )
+        .groupBy(F.col("g").cast("bigint").alias("granularity"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(SUM(n_tok) AS BIGINT)").alias("sum_tokens"),
+            F.expr("CAST(SUM(padded) AS BIGINT)").alias("padded_tokens"),
+            F.expr("CAST(COUNT(DISTINCT padded) AS BIGINT)").alias("n_shapes"),
+            F.expr(
+                "CAST((1000000 * (SUM(padded) - SUM(n_tok)))"
+                " DIV SUM(padded) AS BIGINT)"
+            ).alias("waste_ppm"),
+        )
+        .orderBy("granularity")
+    )
+
+
+Q_PIPELINE_PADDING_WASTE_SQL = f"""
+WITH toks AS (
+  SELECT CAST(len({TOKENS_DUCK}) AS BIGINT) AS n_tok FROM documents),
+ex AS (
+  SELECT n_tok, unnest([{", ".join(str(g) for g in PAD_GRANULARITIES)}]) AS g
+  FROM toks),
+pad AS (
+  SELECT n_tok, g, ((n_tok + g - 1) // g) * CAST(g AS BIGINT) AS padded
+  FROM ex)
+SELECT CAST(g AS BIGINT) AS granularity,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(padded) AS BIGINT) AS padded_tokens,
+       CAST(COUNT(DISTINCT padded) AS BIGINT) AS n_shapes,
+       CAST((1000000 * (SUM(padded) - SUM(n_tok))) // SUM(padded) AS BIGINT)
+         AS waste_ppm
+FROM pad
+GROUP BY g
+ORDER BY granularity
+"""
+
+
 QUERIES = {
     "pipeline_hash_split": q_pipeline_hash_split,
+    "pipeline_padding_waste": q_pipeline_padding_waste,
     "pipeline_weighted_sample": q_pipeline_weighted_sample,
     "pipeline_calibrated_mix": q_pipeline_calibrated_mix,
     "pipeline_source_mix": q_pipeline_source_mix,
@@ -1258,6 +1322,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_hash_split": Q_PIPELINE_HASH_SPLIT_SQL,
+    "pipeline_padding_waste": Q_PIPELINE_PADDING_WASTE_SQL,
     "pipeline_weighted_sample": Q_PIPELINE_WEIGHTED_SAMPLE_SQL,
     "pipeline_calibrated_mix": Q_PIPELINE_CALIBRATED_MIX_SQL,
     "pipeline_source_mix": Q_PIPELINE_SOURCE_MIX_SQL,

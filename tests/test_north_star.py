@@ -612,3 +612,48 @@ def test_containment_subsumes_jaccard(spark, duck):
         )
         if pair in jac:
             assert r.containment >= jac[pair] - 1e-9
+
+
+def test_lsh_audit_counts_tie_to_exact_pairs(spark):
+    """The audit's truth count must equal the exact-Jaccard pair count
+    at the threshold, and hits can exceed neither side."""
+    from spark_ij_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        q_dedup_lsh_audit,
+        q_dedup_ngram_jaccard,
+    )
+
+    from .conftest import SF_DIR
+
+    row = q_dedup_lsh_audit(spark, SF_DIR).collect()[0]
+    exact = sum(
+        1
+        for r in q_dedup_ngram_jaccard(spark, SF_DIR).collect()
+        if r.jaccard >= JACCARD_THRESHOLD
+    )
+    assert row.n_truth == exact
+    assert 0 <= row.n_hits <= min(row.n_candidates, row.n_truth)
+    assert 0 <= row.precision_ppm <= 1_000_000
+    assert 0 <= row.recall_ppm <= 1_000_000
+
+
+def test_keeper_quality_dominates_naive(spark):
+    """The quality keeper never has fewer chars than the naive min-id
+    keeper, belongs to its own cluster, and clusters have >= 2 docs."""
+    from spark_ij_spark.operators.dedup import (
+        q_dedup_clusters,
+        q_dedup_keeper_quality,
+    )
+
+    from .conftest import SF_DIR
+
+    rows = q_dedup_keeper_quality(spark, SF_DIR).collect()
+    assert rows
+    members = {}
+    for r in q_dedup_clusters(spark, SF_DIR).collect():
+        members.setdefault(r.cluster_rep, set()).add(r.doc_id)
+    for r in rows:
+        assert r.n_members >= 2
+        assert r.keeper_chars >= r.naive_chars
+        assert r.keeper_doc in members[r.cluster_rep]
+        assert r.naive_keeper == min(members[r.cluster_rep])

@@ -232,3 +232,32 @@ def test_shard_order_is_a_permutation(spark, sf_dir):
         for r in pipeline.q_pipeline_shard_order(spark, sf_dir).collect()
     }
     assert again == {r.doc_id: (r.shard, r.pos) for r in rows}
+
+
+def test_padding_waste_monotone_tradeoff(spark):
+    """Dyadic granularities nest, so padded totals are nondecreasing
+    and shape counts nonincreasing as granularity coarsens; waste_ppm
+    must be the integer-division of its own fields."""
+    from spark_ij_spark.operators.pipeline import (
+        PAD_GRANULARITIES,
+        q_pipeline_padding_waste,
+    )
+
+    from .conftest import SF_DIR
+
+    rows = {
+        r.granularity: r
+        for r in q_pipeline_padding_waste(spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == sorted(PAD_GRANULARITIES)
+    prev = None
+    for g in sorted(rows):
+        r = rows[g]
+        assert r.padded_tokens >= r.sum_tokens
+        assert r.waste_ppm == (
+            1_000_000 * (r.padded_tokens - r.sum_tokens) // r.padded_tokens
+        )
+        if prev is not None:
+            assert r.padded_tokens >= prev.padded_tokens
+            assert r.n_shapes <= prev.n_shapes
+        prev = r

@@ -803,3 +803,21 @@ def test_session_paths_user_keyed_windows_only(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition(user_id" in plan
+
+
+def test_padding_waste_map_only_no_join(spark):
+    """Padding audit: token count + granularity explode are map-only;
+    the only shuffle is the O(granularities) aggregate."""
+    plan = _plan(pipeline.q_pipeline_padding_waste(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "Generate explode" in plan
+
+
+def test_lsh_audit_no_cartesian_no_python(spark):
+    """LSH audit: candidate and truth pair sets meet in an equi full
+    outer join — never a cartesian pair enumeration."""
+    plan = _plan(dedup.q_dedup_lsh_audit(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "FullOuter" in plan
