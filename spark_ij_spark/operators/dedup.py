@@ -169,7 +169,8 @@ inter AS (
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 jac AS (
-  SELECT da, db, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+  SELECT da, db, i, sa.n AS na, sb.n AS nb,
+         round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
   FROM inter
   JOIN sizes sa ON inter.da = sa.doc_id
   JOIN sizes sb ON inter.db = sb.doc_id)
@@ -260,23 +261,35 @@ def _band_exprs() -> list[str]:
     return out
 
 
+def lsh_candidate_pairs(
+    spark: SparkSession, sf_dir: str, postings: DataFrame | None = None
+) -> DataFrame:
+    """THE band-bucket candidate generator: signatures → band explode →
+    band equi-join → distinct (da < db) pairs. Single-sourced so the
+    production path (``q_dedup_minhash_lsh``) and its measurement
+    (``q_dedup_lsh_audit``) can never drift apart — a retune of K or
+    the band layout changes both, or the audit is measuring a
+    different generator than production runs."""
+    sig = minhash_signatures(spark, sf_dir, postings=postings)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[F.expr(e) for e in _band_exprs()])).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: K-permutation signatures → band buckets →
     equi-join candidates → verify with true Jaccard. The candidate join
     shuffles on the band key only (never all-pairs); this is the
     shingle→minhash→band→bucket-join scale path for 100 TB dedup."""
     post = shingle_postings(spark, sf_dir).cache()
-    sig = minhash_signatures(spark, sf_dir, postings=post)
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[F.expr(e) for e in _band_exprs()])).alias("band"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(spark, sf_dir, postings=post)
     # Verify ONLY the candidate pairs: semi-join-reduce the postings to
     # candidate docs before the inverted-index intersection, instead of
     # computing Jaccard for every co-shingled pair in the corpus. The
@@ -325,13 +338,21 @@ sig AS (
   FROM hsh GROUP BY doc_id)
 """
 
-Q_DEDUP_MINHASH_SQL = f"""
-WITH {_MINHASH_SIG_DUCK},
+# Shared band+candidate CTEs — the DuckDB mirror of
+# lsh_candidate_pairs; Q_DEDUP_MINHASH_SQL and Q_DEDUP_LSH_AUDIT_SQL
+# splice in this one fragment so the audited generator IS the
+# production generator on the oracle side too.
+_LSH_CAND_DUCK = f"""
 bands AS (
   SELECT doc_id, unnest([{", ".join(_band_exprs_duck())}]) AS band FROM sig),
 cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+"""
+
+Q_DEDUP_MINHASH_SQL = f"""
+WITH {_MINHASH_SIG_DUCK},
+{_LSH_CAND_DUCK.strip()},
 {_JACCARD_PAIRS_DUCK.strip().rstrip(',').lstrip()}
 SELECT cand.da, cand.db, jac.jaccard
 FROM cand JOIN jac ON cand.da = jac.da AND cand.db = jac.db
@@ -1325,25 +1346,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side (the intersection count is symmetric — no second join).
     Thresholds are integer inequalities (4i ≥ 3·n), never float
     compares."""
-    sh = shingle_postings(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("i"))
-    )
-    pairs = inter.join(
-        sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"),
-        "da",
-    ).join(
-        sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"),
-        "db",
-    )
+    # Same capped inverted-index pipeline as the whole Jaccard family —
+    # single-sourced so a cap/join-shape fix there applies here too
+    # (the unused jaccard column is pruned by Catalyst).
+    pairs = _jaccard_pairs(shingle_postings(spark, sf_dir))
     fwd = pairs.where(
         F.expr(
             f"{CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * na"
@@ -1370,26 +1376,16 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_DEDUP_CONTAINMENT_SQL = f"""
-WITH sh AS ({_POSTINGS_DUCK}),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT da, db, i, sa.n AS na, sb.n AS nb
-  FROM inter
-  JOIN sizes sa ON inter.da = sa.doc_id
-  JOIN sizes sb ON inter.db = sb.doc_id)
+WITH {_JACCARD_PAIRS_DUCK}
 SELECT da AS contained_doc, db AS container_doc, i AS n_common,
        round(CAST(i AS DOUBLE) / na, 6) AS containment
-FROM pairs
+FROM jac
 WHERE {CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * na
   AND na >= {CONTAIN_MIN_SHINGLES}
 UNION ALL
 SELECT db AS contained_doc, da AS container_doc, i AS n_common,
        round(CAST(i AS DOUBLE) / nb, 6) AS containment
-FROM pairs
+FROM jac
 WHERE {CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * nb
   AND nb >= {CONTAIN_MIN_SHINGLES}
 """
@@ -1548,13 +1544,9 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ignorant of prefixes, so a hash match proves the pruning lossless.
 Q_DEDUP_PREFIX_FILTER_SQL = f"""
 WITH {_JACCARD_PAIRS_DUCK}
-SELECT inter.da AS da, inter.db AS db,
-       CAST(i AS BIGINT) AS n_common,
-       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON inter.da = sa.doc_id
-JOIN sizes sb ON inter.db = sb.doc_id
-WHERE 3 * i >= sa.n + sb.n
+SELECT da, db, CAST(i AS BIGINT) AS n_common, jaccard
+FROM jac
+WHERE 3 * i >= na + nb
 """
 
 
@@ -1577,21 +1569,8 @@ def q_dedup_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: pure integer counts and integer-division ppm."""
     post = shingle_postings(spark, sf_dir).cache()
-    sig = minhash_signatures(spark, sf_dir, postings=post)
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[F.expr(e) for e in _band_exprs()])).alias("band"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
-        .withColumn("in_c", F.lit(1))
+    cand = lsh_candidate_pairs(spark, sf_dir, postings=post).withColumn(
+        "in_c", F.lit(1)
     )
     truth = (
         _jaccard_pairs(post)
@@ -1626,11 +1605,8 @@ def q_dedup_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_DEDUP_LSH_AUDIT_SQL = f"""
 WITH {_MINHASH_SIG_DUCK},
-bands AS (
-  SELECT doc_id, unnest([{", ".join(_band_exprs_duck())}]) AS band FROM sig),
-cand AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, 1 AS in_c
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+{_LSH_CAND_DUCK.strip()},
+candf AS (SELECT da, db, 1 AS in_c FROM cand),
 {_JACCARD_PAIRS_DUCK.strip().rstrip(',').lstrip()},
 truth AS (
   SELECT da, db, 1 AS in_t FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
@@ -1638,7 +1614,7 @@ u AS (
   SELECT CAST(SUM(COALESCE(in_c, 0)) AS BIGINT) AS n_candidates,
          CAST(SUM(COALESCE(in_t, 0)) AS BIGINT) AS n_truth,
          CAST(SUM(COALESCE(in_c, 0) * COALESCE(in_t, 0)) AS BIGINT) AS n_hits
-  FROM cand FULL OUTER JOIN truth USING (da, db))
+  FROM candf FULL OUTER JOIN truth USING (da, db))
 SELECT n_candidates, n_truth, n_hits,
        CAST((1000000 * n_hits) // n_candidates AS BIGINT) AS precision_ppm,
        CAST((1000000 * n_hits) // n_truth AS BIGINT) AS recall_ppm

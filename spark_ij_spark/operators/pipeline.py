@@ -1252,8 +1252,12 @@ def q_pipeline_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: token counting and the ×|granularities| explode are
     map-only codegen; the audit is one partial-aggregating shuffle to
-    O(granularities) rows. Integer arithmetic end to end (ppm by
-    integer division), so the output hash-matches DuckDB exactly."""
+    O(granularities) rows. Counts are exact BIGINTs; the ppm is
+    FLOOR(1e6 · waste / padded) computed as ONE double multiply and
+    ONE double divide in the same order on both engines (bit-identical
+    IEEE, so the hash matches) — NOT a 1000000·waste BIGINT numerator,
+    which overflows 2^63 at ~9.2e12 waste tokens, i.e. exactly the
+    ~100 TB corpus this audit exists to plan for."""
     g_list = ", ".join(str(g) for g in PAD_GRANULARITIES)
     return (
         _docs(spark, sf_dir)
@@ -1269,8 +1273,8 @@ def q_pipeline_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(padded) AS BIGINT)").alias("padded_tokens"),
             F.expr("CAST(COUNT(DISTINCT padded) AS BIGINT)").alias("n_shapes"),
             F.expr(
-                "CAST((1000000 * (SUM(padded) - SUM(n_tok)))"
-                " DIV SUM(padded) AS BIGINT)"
+                "CAST(FLOOR(1e6 * (SUM(padded) - SUM(n_tok))"
+                " / SUM(padded)) AS BIGINT)"
             ).alias("waste_ppm"),
         )
         .orderBy("granularity")
@@ -1291,7 +1295,7 @@ SELECT CAST(g AS BIGINT) AS granularity,
        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
        CAST(SUM(padded) AS BIGINT) AS padded_tokens,
        CAST(COUNT(DISTINCT padded) AS BIGINT) AS n_shapes,
-       CAST((1000000 * (SUM(padded) - SUM(n_tok))) // SUM(padded) AS BIGINT)
+       CAST(FLOOR(1e6 * (SUM(padded) - SUM(n_tok)) / SUM(padded)) AS BIGINT)
          AS waste_ppm
 FROM pad
 GROUP BY g

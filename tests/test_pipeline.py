@@ -3,6 +3,8 @@ oracle matches plus semantic invariants."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 
 from spark_ij_spark.operators import pipeline
@@ -254,8 +256,10 @@ def test_padding_waste_monotone_tradeoff(spark):
     for g in sorted(rows):
         r = rows[g]
         assert r.padded_tokens >= r.sum_tokens
-        assert r.waste_ppm == (
-            1_000_000 * (r.padded_tokens - r.sum_tokens) // r.padded_tokens
+        # Same one-multiply-one-divide IEEE order as both engines (the
+        # BIGINT-numerator form would overflow at 100 TB token counts).
+        assert r.waste_ppm == math.floor(
+            1e6 * (r.padded_tokens - r.sum_tokens) / r.padded_tokens
         )
         if prev is not None:
             assert r.padded_tokens >= prev.padded_tokens

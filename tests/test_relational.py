@@ -7,7 +7,7 @@ import pytest
 
 from spark_ij_spark.operators import relational
 
-from .conftest import assert_oracle_match
+from .conftest import SF_DIR, assert_oracle_match
 
 QUERY_NAMES = sorted(relational.QUERIES)
 
@@ -58,11 +58,11 @@ def test_pareto_frontier_matches_bruteforce(spark, duck):
     excluded (checked per priority with numpy broadcasting)."""
     import numpy as np
 
+    # SF_DIR, not a hardcoded path: the duck fixture's views follow
+    # SPARK_GRAFT_TEST_SF_DIR, and both sides must read the same SF.
     got = {
         (r.o_orderpriority, r.o_orderkey)
-        for r in relational.q_pareto_orders(
-            spark, "/root/testdata/sf0.001"
-        ).collect()
+        for r in relational.q_pareto_orders(spark, SF_DIR).collect()
     }
     raw = duck.execute(
         "SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate"
