@@ -392,9 +392,15 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 2.2 s vs ~0.8 s here at sf0.1, and its CPU amplification
     is what dies first at 100 TB). Exactness: |x| ≤ EMBED_QUANT = 1e6
     so per-batch products ≤ 1e12 and a 10k-row Arrow batch keeps every
-    int64 partial < 1.2e16 ≪ 2^63; the final SUM of batch partials is
-    the same order-independent integer add DuckDB performs.
-    """
+    int64 partial < 1.2e16 ≪ 2^63. The CROSS-batch total, though,
+    grows with corpus rows (Σ|xy| can pass 2^63 around ~10^7
+    worst-case / ~10^9 realistic rows), so the final SUM widens to
+    DECIMAL(38,0) internally — exact and order-independent like
+    DuckDB's HUGEINT SUM, never a silent int64 wrap — and the BIGINT
+    output cast goes NULL (loudly wrong, caught by any NULL check)
+    rather than numerically wrong if a single shard's total exceeds
+    2^63. Past that, shard the corpus and merge shard partials
+    driver-side in Python integers (exact, O(d²·shards))."""
     import numpy as np
     import pandas as pd
 
@@ -428,10 +434,24 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(gram_partials, schema)
         .groupBy("i", "j")
         .agg(
-            F.expr("CAST(SUM(n_p) AS BIGINT)").alias("n"),
-            F.expr("CAST(SUM(sx_p) AS BIGINT)").alias("s_x"),
-            F.expr("CAST(SUM(sy_p) AS BIGINT)").alias("s_y"),
-            F.expr("CAST(SUM(sxy_p) AS BIGINT)").alias("s_xy"),
+            # DECIMAL(38,0) internal accumulator (output stays BIGINT):
+            # non-ANSI SUM(BIGINT) WRAPS silently past 2^63, and the
+            # Σxy total grows with corpus rows — the widened sum is
+            # still an exact order-independent integer add (like
+            # DuckDB's HUGEINT SUM) and goes NULL, not wrong, if a
+            # shard ever exceeds the output domain.
+            F.expr("CAST(SUM(CAST(n_p AS DECIMAL(38,0))) AS BIGINT)").alias(
+                "n"
+            ),
+            F.expr("CAST(SUM(CAST(sx_p AS DECIMAL(38,0))) AS BIGINT)").alias(
+                "s_x"
+            ),
+            F.expr("CAST(SUM(CAST(sy_p AS DECIMAL(38,0))) AS BIGINT)").alias(
+                "s_y"
+            ),
+            F.expr("CAST(SUM(CAST(sxy_p AS DECIMAL(38,0))) AS BIGINT)").alias(
+                "s_xy"
+            ),
         )
         .orderBy("i", "j")
     )

@@ -1,0 +1,88 @@
+"""Driver-contract invariants for ``__spark_entry__`` — pure Python,
+no Spark session. These lock in the grading-window mechanics that
+starved the TPC-H tail for six rounds (VERDICT r6 "What's wrong" #2):
+the contract is only as good as its bookkeeping, and every failure
+mode here is silent at runtime (a forgotten QUERY_AGE entry just
+sorts newest; a dropped oracle just downgrades to rows-only)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import __spark_entry__ as entry
+
+REPO = os.path.dirname(os.path.abspath(entry.__file__))
+
+# Queries that are rows-only BY DESIGN (engine-specific sketch
+# estimates / no SQL zlib) — each has an exact twin or tolerance
+# pytest instead. Growing this set must be a deliberate act: every
+# other query MUST carry an exact DuckDB oracle.
+ROWS_ONLY_BY_DESIGN = {
+    "events_hll_rollup",       # HLL++ estimate; exact twin events_hll_exact
+    "events_quantiles_approx", # GK sketch; exact twin events_quantiles
+    "text_vocab_approx",       # HLL++ estimate; exact twin text_vocab
+    "text_compression_ratio",  # zlib hop; exact driver-side pytest twin
+}
+
+
+def test_every_query_has_an_oracle_or_is_documented_rows_only():
+    qs, osql = entry.queries(), entry.oracle_sql()
+    assert set(qs) - set(osql) == ROWS_ONLY_BY_DESIGN
+    # No orphan oracles: an oracle whose query was renamed/dropped is
+    # dead weight the driver never runs.
+    assert set(osql) <= set(qs)
+
+
+def test_every_query_has_a_query_age_entry():
+    """A missing QUERY_AGE entry silently sorts the query NEWEST among
+    never-graded — exactly the starvation `_grading_order` exists to
+    prevent. Fail loudly instead."""
+    with open(os.path.join(REPO, "QUERY_AGE.json")) as fh:
+        ages = json.load(fh)
+    names = set(entry.queries())
+    assert names - set(ages) == set(), "new query missing QUERY_AGE entry"
+    assert set(ages) - names == set(), "QUERY_AGE has stale entries"
+    assert all(isinstance(v, int) and v >= 1 for v in ages.values())
+
+
+def test_grading_order_is_a_permutation_with_stalest_first():
+    qs = entry.queries()
+    names = list(qs)
+    # Permutation: rotation must never drop or duplicate a query.
+    assert sorted(names) == sorted(set(names))
+    # Recompute last-graded from the same artifacts the function reads
+    # (errored grades are NOT evidence) and assert the dict order is
+    # non-decreasing in it — never-graded (-1) strictly first.
+    last: dict[str, int] = {}
+    import glob
+
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        with open(path) as fh:
+            for q, rec in json.load(fh).items():
+                err = rec.get("err") if isinstance(rec, dict) else None
+                if err not in (None, "no_oracle"):
+                    continue
+                last[q] = max(last.get(q, 0), rnd)
+    seq = [last.get(n, -1) for n in names]
+    assert seq == sorted(seq), "queries() not ordered stalest-first"
+
+
+def test_grading_order_breaks_never_graded_ties_by_declared_round():
+    """Among never-graded queries, older declarations grade first —
+    the r6 fix that finally let the r1 TPC-H block into the window."""
+    import glob
+
+    graded: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            for q, rec in json.load(fh).items():
+                err = rec.get("err") if isinstance(rec, dict) else None
+                if err in (None, "no_oracle"):
+                    graded.add(q)
+    with open(os.path.join(REPO, "QUERY_AGE.json")) as fh:
+        ages = json.load(fh)
+    never = [n for n in entry.queries() if n not in graded]
+    seq = [ages.get(n, 10**6) for n in never]
+    assert seq == sorted(seq), "never-graded tie-break not oldest-first"
