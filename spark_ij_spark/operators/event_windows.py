@@ -358,10 +358,9 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(
             F.count("b_eid").alias("n_prior"),
-            F.expr(
-                "coalesce(CAST(SUM(CAST((b_value) AS DECIMAL(28,2))) AS DOUBLE),"
-                " CAST(0 AS DOUBLE))"
-            ).alias("sum_prior_value"),
+            F.coalesce(dsum("b_value", 2), F.lit(0.0)).alias(
+                "sum_prior_value"
+            ),
         )
     )
 
@@ -905,7 +904,14 @@ def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ln bit-identity verified across engines — see text_surprisal)."""
     ev = _events(spark, sf_dir)
     ut = ev.select("user_id", "event_type").distinct()
-    n_users = ut.select("user_id").distinct().count()  # O(1) model scalar
+    # Calibrate-then-apply (CLAUDE.md): the user count rides along as a
+    # broadcast 1-row frame, not a driver-side .count() — an eager
+    # action here would scan the corpus at plan-build time and again
+    # in the query's own lineage (twice per run, and bench re-pays it
+    # per timed call).
+    nu = ut.select("user_id").distinct().agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_users")
+    )
     a, b = ut.alias("a"), ut.alias("b")
     pairs = (
         a.join(
@@ -923,11 +929,12 @@ def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")
     )
     lift = (
-        f"(CAST(n_ab AS DOUBLE) * CAST({n_users} AS DOUBLE))"
+        "(CAST(n_ab AS DOUBLE) * CAST(n_users AS DOUBLE))"
         " / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
     )
     return (
-        pairs.join(
+        pairs.crossJoin(F.broadcast(nu))
+        .join(
             F.broadcast(
                 marg.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
             ),

@@ -43,6 +43,21 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _topk_rerank(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k over (ia, ib, cos): cosine desc
+    with ib-asc tie-break — ONE rerank shared by the exact baseline
+    and every approximate path, so rank/tie semantics can't drift
+    between the thing measured and its baseline."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ia").orderBy(F.desc("cos"), F.asc("ib"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("ia", "ib", "rank", F.expr("round(cos, 6)").alias("cos_sim"))
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-K nearest neighbors by cosine for each query vector
     (vec_id < N_QUERIES), brute force. The window ranks within each
@@ -58,14 +73,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(COS_SPARK).alias("cos"),
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("ia").orderBy(F.desc("cos"), F.asc("ib"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select("ia", "ib", "rank", F.expr("round(cos, 6)").alias("cos_sim"))
-    )
+    return _topk_rerank(scored, TOPK)
 
 
 Q_ANN_TOPK_SQL = f"""
@@ -146,14 +154,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e.alias("b"), F.col("ib") == F.col("b.vec_id"))
         .select("ia", "ib", F.expr(COS_SPARK).alias("cos"))
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("ia").orderBy(F.desc("cos"), F.asc("ib"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= LSH_TOPK)
-        .select("ia", "ib", "rank", F.expr("round(cos, 6)").alias("cos_sim"))
-    )
+    return _topk_rerank(scored, LSH_TOPK)
 
 
 Q_ANN_LSH_SQL = f"""
@@ -211,14 +212,7 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e.alias("b"), F.col("ib") == F.col("b.vec_id"))
         .select("ia", "ib", F.expr(COS_SPARK).alias("cos"))
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("ia").orderBy(F.desc("cos"), F.asc("ib"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= LSH_TOPK)
-        .select("ia", "ib", "rank", F.expr("round(cos, 6)").alias("cos_sim"))
-    )
+    return _topk_rerank(scored, LSH_TOPK)
 
 
 Q_ANN_LSH_MULTIPROBE_SQL = f"""
@@ -483,17 +477,26 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_brute(spark, sf_dir, q_ann_ivf(spark, sf_dir), IVF_TOPK)
 
 
-Q_ANN_RECALL_SQL = f"""
+def _recall_sql(inner_sql: str, k: int) -> str:
+    """Oracle twin of :func:`_recall_vs_brute`, parameterized on the
+    approximate path's SQL and k — ONE template for all four recall
+    oracles so a fix to the recall join or tie-break applies
+    everywhere at once (the Spark side already shares
+    ``_recall_vs_brute``)."""
+    return f"""
 WITH brute AS (
-  SELECT ia, ib FROM ({Q_ANN_TOPK_SQL}) WHERE rank <= {IVF_TOPK}),
+  SELECT ia, ib FROM ({Q_ANN_TOPK_SQL}) WHERE rank <= {k}),
 approx AS (
-  SELECT ia, ib, 1 AS hit FROM ({Q_ANN_IVF_SQL}))
+  SELECT ia, ib, 1 AS hit FROM ({inner_sql}))
 SELECT brute.ia AS ia,
        CAST(SUM(COALESCE(approx.hit, 0)) AS BIGINT) AS n_hits,
-       round(CAST(SUM(COALESCE(approx.hit, 0)) AS DOUBLE) / {IVF_TOPK}, 6) AS recall_at_k
+       round(CAST(SUM(COALESCE(approx.hit, 0)) AS DOUBLE) / {k}, 6) AS recall_at_k
 FROM brute LEFT JOIN approx ON brute.ia = approx.ia AND brute.ib = approx.ib
 GROUP BY brute.ia
 """
+
+
+Q_ANN_RECALL_SQL = _recall_sql(Q_ANN_IVF_SQL, IVF_TOPK)
 
 
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,30 +527,11 @@ def q_ann_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_ANN_LSH_RECALL_SQL = f"""
-WITH brute AS (
-  SELECT ia, ib FROM ({Q_ANN_TOPK_SQL}) WHERE rank <= {LSH_TOPK}),
-approx AS (
-  SELECT ia, ib, 1 AS hit FROM ({Q_ANN_LSH_SQL}))
-SELECT brute.ia AS ia,
-       CAST(SUM(COALESCE(approx.hit, 0)) AS BIGINT) AS n_hits,
-       round(CAST(SUM(COALESCE(approx.hit, 0)) AS DOUBLE) / {LSH_TOPK}, 6) AS recall_at_k
-FROM brute LEFT JOIN approx ON brute.ia = approx.ia AND brute.ib = approx.ib
-GROUP BY brute.ia
-"""
+Q_ANN_LSH_RECALL_SQL = _recall_sql(Q_ANN_LSH_SQL, LSH_TOPK)
 
-
-Q_ANN_LSH_MULTIPROBE_RECALL_SQL = f"""
-WITH brute AS (
-  SELECT ia, ib FROM ({Q_ANN_TOPK_SQL}) WHERE rank <= {LSH_TOPK}),
-approx AS (
-  SELECT ia, ib, 1 AS hit FROM ({Q_ANN_LSH_MULTIPROBE_SQL}))
-SELECT brute.ia AS ia,
-       CAST(SUM(COALESCE(approx.hit, 0)) AS BIGINT) AS n_hits,
-       round(CAST(SUM(COALESCE(approx.hit, 0)) AS DOUBLE) / {LSH_TOPK}, 6) AS recall_at_k
-FROM brute LEFT JOIN approx ON brute.ia = approx.ia AND brute.ib = approx.ib
-GROUP BY brute.ia
-"""
+Q_ANN_LSH_MULTIPROBE_RECALL_SQL = _recall_sql(
+    Q_ANN_LSH_MULTIPROBE_SQL, LSH_TOPK
+)
 
 
 # --- product quantization (PQ) ----------------------------------------
@@ -737,17 +721,7 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_ANN_PQ_RECALL_SQL = f"""
-WITH brute AS (
-  SELECT ia, ib FROM ({Q_ANN_TOPK_SQL}) WHERE rank <= {PQ_TOPK}),
-approx AS (
-  SELECT ia, ib, 1 AS hit FROM ({Q_ANN_PQ_SQL}))
-SELECT brute.ia AS ia,
-       CAST(SUM(COALESCE(approx.hit, 0)) AS BIGINT) AS n_hits,
-       round(CAST(SUM(COALESCE(approx.hit, 0)) AS DOUBLE) / {PQ_TOPK}, 6) AS recall_at_k
-FROM brute LEFT JOIN approx ON brute.ia = approx.ia AND brute.ib = approx.ib
-GROUP BY brute.ia
-"""
+Q_ANN_PQ_RECALL_SQL = _recall_sql(Q_ANN_PQ_SQL, PQ_TOPK)
 
 
 QUERIES = {

@@ -308,7 +308,11 @@ FROM scored GROUP BY doc_id
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min 60-bit hash over word-
     3-gram shingles (a k=1 MinHash). Map-only, no shuffle — at 100 TB
-    this is a single scan producing one bigint per doc."""
+    this is a single scan producing one bigint per doc. Docs with <3
+    tokens have no shingles; their fingerprint is the -1 sentinel
+    (hash60 is nonnegative) on BOTH sides — a NULL BIGINT would come
+    back NaN through the driver's pandas fetch but None from Spark
+    (CLAUDE.md NULL-coalescing rule)."""
     return (
         _docs(spark, sf_dir)
         .withColumn("toks", F.expr(TOKENS_SPARK))
@@ -316,7 +320,8 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.expr(
-                f"array_min(transform(shingles, s -> {hash60_spark('s')}))"
+                f"coalesce(array_min(transform(shingles,"
+                f" s -> {hash60_spark('s')})), CAST(-1 AS BIGINT))"
             ).alias("fingerprint"),
         )
     )
@@ -326,7 +331,8 @@ Q_TEXT_FINGERPRINT_SQL = f"""
 WITH t AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
 s AS (SELECT doc_id, {SHINGLES_DUCK} AS shingles FROM t)
 SELECT doc_id,
-       list_min(list_transform(shingles, s -> {hash60_duck('s')})) AS fingerprint
+       COALESCE(list_min(list_transform(shingles, s -> {hash60_duck('s')})),
+                CAST(-1 AS BIGINT)) AS fingerprint
 FROM s
 """
 

@@ -60,7 +60,10 @@ def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted sum is BIGINT cents × BIGINT micros (order-independent),
     and only the final division is floating point.
     """
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tie-break: ts-only ordering is engine-dependent when a
+    # user has two events at the same ts (same rule as
+    # events_transitions / events_scd2).
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         _events(spark, sf_dir)
         .select(
@@ -93,7 +96,7 @@ Q_EVENTS_TWA_SQL = f"""
 WITH spans AS (
   SELECT user_id,
          {_VALUE_C} AS value_c,
-         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
            - epoch_us(ts) AS dur_us
   FROM events)
 SELECT user_id,
@@ -166,7 +169,11 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot user costs the same as a cold one (contrast an unbounded
     collect_list).
     """
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    # event_id tie-break, same reason as TWA: ts-only row_number is
+    # engine-dependent on same-user timestamp ties.
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
     return (
         _events(spark, sf_dir)
         .select(
@@ -202,7 +209,7 @@ Q_EVENTS_EWMA_SQL = f"""
 WITH ranked AS (
   SELECT user_id,
          {_VALUE_C} AS value_c,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events),
 weighted AS (
   SELECT user_id, value_c,

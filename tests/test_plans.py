@@ -610,12 +610,18 @@ def test_weighted_sample_single_shuffle_no_join(spark):
 
 def test_cooccurrence_equi_self_join_broadcast_marginals(spark):
     """Association mining: the pair join is a user_id equi-join (never
-    all-pairs) and the O(types) marginals come back broadcast."""
+    all-pairs), the O(types) marginals come back broadcast, and the
+    ONLY nested-loop join is the 1-row broadcast user-count frame
+    (calibrate-then-apply — a driver .count() here would scan the
+    corpus eagerly at plan-build time)."""
     from spark_ij_spark.operators import event_windows
 
     plan = _plan(event_windows.q_events_cooccurrence(spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # Exactly one BNLJ: the broadcast cross join attaching the 1-row
+    # n_users aggregate to the O(types²) pair frame.
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
 
