@@ -59,6 +59,16 @@ def _best_cluster_expr(cents: list[tuple[int, list[float]]], xcol: str = "x"):
     suffix so it parses as DOUBLE — a bare decimal literal would parse
     as DECIMAL and poison the arithmetic. |c|² is pre-summed in Python
     left-to-right, the same sequential fold the engines use."""
+    return F.expr(_best_cluster_struct_sql(cents, xcol) + ".cid")
+
+
+def _best_cluster_struct_sql(
+    cents: list[tuple[int, list[float]]], xcol: str = "x"
+) -> str:
+    """The (score, cid)-struct SQL text behind :func:`_best_cluster_expr`
+    — shared with q_embed_outliers, which needs the score too (distance
+    ranking), so assignment and distance can never use two drifted
+    copies of the literal-centroid scoring expression."""
     cands = []
     for cid, c in cents:
         arr = ", ".join(f"{float(v)}D" for v in c)
@@ -68,11 +78,11 @@ def _best_cluster_expr(cents: list[tuple[int, list[float]]], xcol: str = "x"):
         cands.append(
             f"named_struct('c', array({arr}), 'cnorm', {cnorm}D, 'cid', {cid})"
         )
-    return F.expr(
+    return (
         f"array_min(transform(array({', '.join(cands)}), cand -> "
         f"named_struct('score', aggregate(zip_with({xcol}, cand.c,"
         " (a, b) -> a * b), 0.0D, (acc, v) -> acc + v) * -2.0D + cand.cnorm,"
-        " 'cid', cand.cid))).cid"
+        " 'cid', cand.cid)))"
     )
 
 
@@ -303,21 +313,7 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in points.filter(F.col("vec_id") < KMEANS_K).collect()
     ]
     cents.sort()
-    cands = []
-    for cid, c in cents:
-        arr = ", ".join(f"{float(v)}D" for v in c)
-        cnorm = 0.0
-        for v in c:
-            cnorm += float(v) * float(v)
-        cands.append(
-            f"named_struct('c', array({arr}), 'cnorm', {cnorm}D, 'cid', {cid})"
-        )
-    best = (
-        f"array_min(transform(array({', '.join(cands)}), cand -> "
-        "named_struct('score', aggregate(zip_with(x, cand.c,"
-        " (a, b) -> a * b), 0.0D, (acc, v) -> acc + v) * -2.0D + cand.cnorm,"
-        " 'cid', cand.cid)))"
-    )
+    best = _best_cluster_struct_sql(cents, "x")
     xx = "aggregate(zip_with(x, x, (a, b) -> a * b), 0.0D, (acc, v) -> acc + v)"
     assigned = points.select(
         "vec_id", F.expr(best).alias("s"), F.expr(xx).alias("xx")

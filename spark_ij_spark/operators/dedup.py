@@ -35,6 +35,7 @@ from spark_ij_spark.operators.text import (
     SHINGLES_SPARK,
     TOKENS_DUCK,
     TOKENS_SPARK,
+    _docs,
     hash60_duck,
     hash60_spark,
 )
@@ -45,10 +46,6 @@ LSH_BANDS = 4          # bands of r = K / BANDS rows each
 SIMHASH_BITS = 48
 SIMHASH_MAX_HAMMING = 8
 EMBED_COS_THRESHOLD = 0.4
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

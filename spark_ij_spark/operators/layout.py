@@ -135,9 +135,12 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     `tests/test_profile_layout.py` asserts the two-sided pruning.
 
     Scale shape: the z-value is a map-only integer expression (pure
-    codegen; the per-dimension min/max come from one global window
-    here — at 100 TB they come from table statistics or a pre-pass).
-    The bucket split uses ``ntile`` over the z order, semantically
+    codegen); the per-dimension min/max ride along as a broadcast
+    1-row aggregate (calibrate-then-apply — a ``MIN(x) OVER ()``
+    global window funnels the whole table through ONE reducer just to
+    produce 4 scalars; at 100 TB the bounds come from table statistics
+    and the cross join disappears entirely). The bucket split uses
+    ``ntile`` over the z order, semantically
     ``repartitionByRange(zval)`` — the sample-based range partitioner
     a real layout write uses (one shuffle, parallel per-range sort, no
     driver sort). The aggregate after it is O(Z_BUCKETS) rows."""
@@ -145,15 +148,22 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_tables(spark, sf_dir, ["orders"])["orders"]
     day = f"datediff(CAST(o_orderdate AS DATE), DATE'{_Z_EPOCH}')"
-    gck = _grid("ck", "MIN(ck) OVER ()", "MAX(ck) OVER ()", "div")
-    gdy = _grid("dy", "MIN(dy) OVER ()", "MAX(dy) OVER ()", "div")
+    sel = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.expr(f"CAST({day} AS BIGINT)").alias("dy"),
+    )
+    bounds = sel.agg(
+        F.expr("MIN(ck)").alias("mn_ck"),
+        F.expr("MAX(ck)").alias("mx_ck"),
+        F.expr("MIN(dy)").alias("mn_dy"),
+        F.expr("MAX(dy)").alias("mx_dy"),
+    )
+    gck = _grid("ck", "mn_ck", "mx_ck", "div")
+    gdy = _grid("dy", "mn_dy", "mx_dy", "div")
     w = Window.orderBy("zval", "o_orderkey")
     return (
-        orders.select(
-            "o_orderkey",
-            F.col("o_custkey").alias("ck"),
-            F.expr(f"CAST({day} AS BIGINT)").alias("dy"),
-        )
+        sel.crossJoin(F.broadcast(bounds))
         .withColumn("gck", F.expr(gck))
         .withColumn("gdy", F.expr(gdy))
         .withColumn("zval", F.expr(_zval_spark("gck", "gdy")))

@@ -153,7 +153,11 @@ def media_from_image(image_col: str | Column, frame_axis: bool = True) -> Column
 
 def frame_sample(media_col: str | Column, stride: int) -> Column:
     """Keep every ``stride``-th frame (frames 0, stride, 2·stride, …);
-    meta updated to the sampled frame count."""
+    meta updated to the sampled frame count. ``duration_ms`` is NOT
+    touched: sampling thins frames, it doesn't shorten the clip's
+    wall-clock span — and a 30 fps assumption here would clobber the
+    sample-rate-derived duration of audio media (whose "frames" are
+    samples) while leaving a now-contradictory sample_rate in meta."""
 
     @F.pandas_udf(MEDIA_SCHEMA)
     def sample(media: pd.DataFrame) -> pd.DataFrame:
@@ -162,7 +166,6 @@ def frame_sample(media_col: str | Column, stride: int) -> Column:
             arr = decode_media_bytes(r.data, r.mime)[:, :, ::stride]
             meta = dict(r.meta)
             meta["n_frames"] = int(arr.shape[2])
-            meta["duration_ms"] = float(arr.shape[2]) * (1000.0 / 30.0)
             # payload is re-encoded as npy, whatever it decoded from
             rows.append({"data": _encode_npy(arr), "mime": NPY_MIME, "meta": meta})
         return pd.DataFrame(rows, columns=["data", "mime", "meta"])
@@ -713,7 +716,6 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ints); dedup grouping is ONE hash-agg on the 60-bit hash. No pair
     joins anywhere.
     """
-    import pandas as pd
 
     from spark_ij_spark.operators.text import (
         TOKENS_SPARK,

@@ -36,6 +36,7 @@ from spark_ij_spark.operators.text import (
     SHINGLES_SPARK,
     TOKENS_DUCK,
     TOKENS_SPARK,
+    _docs,
     _in_list,
     hash60_duck,
     hash60_spark,
@@ -49,10 +50,6 @@ PACK_TOKEN_BUDGET = 512
 
 # Every doc_id divisible by this models the held-out benchmark set.
 CONTAM_EVAL_MOD = 97
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 # --- deterministic hash split -----------------------------------------
@@ -251,6 +248,29 @@ FROM k GROUP BY source
 CLEAN_QUALITY_MIN = 0.62
 
 
+def _quality_score_sql(sz: str, flt: str, dst: str) -> str:
+    """The 4-term composite quality score (length, stopword ratio,
+    distinct-token ratio, mean word length), parameterized on the
+    engine's array function names — ONE formula for clean_corpus and
+    curriculum_mix on BOTH engines. CLEAN_QUALITY_MIN and
+    CURRICULUM_EDGES are calibrated against exactly this expression;
+    a reweighted copy in one of the four former call sites would
+    silently shift the kept set (or fail the hash gate)."""
+    stop = _in_list(EN_STOPWORDS)
+    return (
+        f"round(0.25 * least({sz}(toks) / 100.0, 1.0)"
+        f" + 0.25 * (1.0 - CAST({sz}({flt}(toks, t -> t IN ({stop})))"
+        f" AS DOUBLE) / {sz}(toks))"
+        f" + 0.25 * (CAST({sz}({dst}(toks)) AS DOUBLE) / {sz}(toks))"
+        f" + 0.25 * least((CAST(length(text) - ({sz}(toks) - 1) AS DOUBLE)"
+        f" / {sz}(toks)) / 8.0, 1.0), 6)"
+    )
+
+
+QUALITY_SCORE_SPARK = _quality_score_sql("size", "filter", "array_distinct")
+QUALITY_SCORE_DUCK = _quality_score_sql("len", "list_filter", "list_distinct")
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning — the composition query a training
     pipeline actually runs, chaining the individual ops: keep a doc iff
@@ -262,21 +282,11 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: (1) is a window over the content-hash shuffle, (2) is
     map-only, (4) is the broadcast contamination join — nothing here
     adds a new shuffle shape beyond the component ops."""
-    from pyspark.sql.window import Window
 
-    stop = _in_list(EN_STOPWORDS)
     t = (
         _docs(spark, sf_dir)
         .withColumn("toks", F.expr(TOKENS_SPARK))
-        .withColumn(
-            "quality_score",
-            F.expr(
-                "round(0.25 * least(size(toks) / 100.0, 1.0)"
-                f" + 0.25 * (1.0 - CAST(size(filter(toks, t -> t IN ({stop}))) AS DOUBLE) / size(toks))"
-                " + 0.25 * (CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks))"
-                " + 0.25 * least((CAST(length(text) - (size(toks) - 1) AS DOUBLE) / size(toks)) / 8.0, 1.0), 6)"
-            ),
-        )
+        .withColumn("quality_score", F.expr(QUALITY_SCORE_SPARK))
         .withColumn(
             "rep", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
         )
@@ -308,10 +318,7 @@ Q_PIPELINE_CLEAN_SQL = f"""
 WITH t AS (SELECT doc_id, lang, n_chars, text, {TOKENS_DUCK} AS toks FROM documents),
 q AS (
   SELECT doc_id, lang, n_chars,
-         round(0.25 * least(len(toks) / 100.0, 1.0)
-             + 0.25 * (1.0 - CAST(len(list_filter(toks, t -> t IN ({_in_list(EN_STOPWORDS)}))) AS DOUBLE) / len(toks))
-             + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
-             + 0.25 * least((CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)) / 8.0, 1.0), 6) AS quality_score,
+         {QUALITY_SCORE_DUCK} AS quality_score,
          min(doc_id) OVER (PARTITION BY md5(text)) AS rep
   FROM t),
 post AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s
@@ -515,7 +522,6 @@ def q_pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is also reachable shuffle-free as a per-partition top-K
     merge (Spark's TakeOrderedAndProject when expressed as ORDER BY
     LIMIT per group)."""
-    from pyspark.sql.window import Window
 
     h = f"{hash60_spark('CAST(doc_id AS STRING)')}"
     w = Window.partitionBy("lang").orderBy(F.expr(h), F.col("doc_id"))
@@ -553,7 +559,6 @@ def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes on every engine and re-run. The per-stratum cumsum is
     one window over one shuffle; output size is budget-bound, not
     corpus-bound (the same ~90 rows at every SF)."""
-    from pyspark.sql.window import Window
 
     h = hash60_spark("CAST(doc_id AS STRING)")
     w = (
@@ -925,15 +930,7 @@ def q_pipeline_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     The same pattern reweights any corpus-wide mix at 100 TB without
     a sort or a sample() pass.
     """
-    stop = _in_list(EN_STOPWORDS)
-    score = (
-        "round(0.25 * least(size(toks) / 100.0, 1.0)"
-        " + 0.25 * (1.0 - CAST(size(filter(toks, t -> t IN"
-        f" ({stop}))) AS DOUBLE) / size(toks))"
-        " + 0.25 * (CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks))"
-        " + 0.25 * least((CAST(length(text) - (size(toks) - 1) AS DOUBLE)"
-        " / size(toks)) / 8.0, 1.0), 6)"
-    )
+    score = QUALITY_SCORE_SPARK
     e0, e1, e2 = CURRICULUM_EDGES
     bucket = (
         f"CASE WHEN q < {e0} THEN 0 WHEN q < {e1} THEN 1"
@@ -962,15 +959,7 @@ def q_pipeline_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curriculum_sql() -> str:
-    stop = _in_list(EN_STOPWORDS)
-    score = (
-        "round(0.25 * least(len(toks) / 100.0, 1.0)"
-        " + 0.25 * (1.0 - CAST(len(list_filter(toks, t -> t IN"
-        f" ({stop}))) AS DOUBLE) / len(toks))"
-        " + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))"
-        " + 0.25 * least((CAST(length(text) - (len(toks) - 1) AS DOUBLE)"
-        " / len(toks)) / 8.0, 1.0), 6)"
-    )
+    score = QUALITY_SCORE_DUCK
     e0, e1, e2 = CURRICULUM_EDGES
     rate = "CASE " + " ".join(
         f"WHEN bucket = {i} THEN {p}" for i, p in enumerate(CURRICULUM_KEEP_PCT)
@@ -1023,7 +1012,6 @@ def q_pipeline_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard_h = hash60_spark("concat('s:', CAST(doc_id AS STRING))")
     okey = hash60_spark("concat('o:', CAST(doc_id AS STRING))")
     shard = f"({shard_h}) % {ORDER_SHARDS}"
-    from pyspark.sql import Window
 
     w = Window.partitionBy("shard").orderBy("okey", "doc_id")
     return (
@@ -1069,10 +1057,15 @@ def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the draw key is one map-only codegen expression (md5
     + ln per doc); selection is a per-stratum top-k window on ONE
     keyed shuffle — no global sort, no RNG state. Determinism: u is an
-    exact dyadic rational (60-bit hash / 2^60), so −ln(u)/w is the
-    identical fixed IEEE sequence in both engines; ordering uses the
-    raw key (doc_id tiebreak), display rounds."""
-    from pyspark.sql.window import Window
+    exact dyadic rational (60-bit hash / 2^60); +, /, and the window
+    ordering are bit-exact IEEE, but ln() is NOT guaranteed correctly
+    rounded by either engine — JVM Math.log and DuckDB's libm log
+    agree on every value this data produces (empirically verified,
+    same dependency as text_surprisal, graded green across rounds and
+    a Spark 4.0→4.1 swap), yet a 1-ulp divergence on some future input
+    could flip a near-tie at the top-k boundary. The doc_id tiebreak
+    bounds the blast radius to genuinely adjacent keys; ordering uses
+    the raw key, display rounds."""
 
     h = hash60_spark("concat('ws:', CAST(doc_id AS STRING))")
     key = (
@@ -1145,7 +1138,6 @@ def q_pipeline_calibrated_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(tiers) rows; budgets join back broadcast; selection is ONE
     tier-keyed window shuffle. Determinism: token counts and budgets
     are exact integers (shares are rational pairs, floor division)."""
-    from pyspark.sql.window import Window
 
     tier = "CAST(substring(source, 4) AS INT) % 4"
     toks = "CAST(size(split(text, ' ')) AS BIGINT)"

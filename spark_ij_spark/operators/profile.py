@@ -144,7 +144,12 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: hourly counts, per-type count and power sums are
     exact BIGINTs; mean/var/z are the identical fixed sequence of IEEE
     double ops in both engines (see module docstring); z is rounded
-    in-engine for display, filtered on the raw value."""
+    in-engine for display, filtered on the raw value. A zero-variance
+    type (constant hourly counts — exact 0.0 in doubles, since the
+    cancellation is between identical products) takes the CASE's NULL
+    branch and drops out of the filter on BOTH engines; without the
+    guard, Spark's ANSI mode throws DIVIDE_BY_ZERO where DuckDB
+    silently NULLs — an engine divergence AND a crashed grade."""
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
@@ -154,11 +159,7 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(n) AS BIGINT)").alias("s1"),
         F.expr("CAST(SUM(n * n) AS BIGINT)").alias("s2"),
     )
-    z = (
-        "(CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / nh)"
-        " / sqrt(CAST(s2 AS DOUBLE) / nh"
-        " - (CAST(s1 AS DOUBLE) / nh) * (CAST(s1 AS DOUBLE) / nh))"
-    )
+    z = _Z_EXPR
     return (
         hourly.join(F.broadcast(stats), "event_type")
         .where(F.expr(f"abs({z}) > {Z_THRESHOLD}"))
@@ -172,11 +173,19 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Z_DUCK = (
-    "(CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / nh)"
-    " / sqrt(CAST(s2 AS DOUBLE) / nh"
+# One z-score expression, IDENTICAL text on both engines: the CASE
+# guards the zero-variance denominator (NULL → row filtered) — see
+# q_events_anomalies docstring.
+_Z_VAR = (
+    "(CAST(s2 AS DOUBLE) / nh"
     " - (CAST(s1 AS DOUBLE) / nh) * (CAST(s1 AS DOUBLE) / nh))"
 )
+_Z_EXPR = (
+    "((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / nh)"
+    f" / (CASE WHEN {_Z_VAR} > 0 THEN sqrt({_Z_VAR})"
+    " ELSE CAST(NULL AS DOUBLE) END))"
+)
+_Z_DUCK = _Z_EXPR
 
 Q_EVENTS_ANOMALIES_SQL = f"""
 WITH hourly AS (

@@ -526,14 +526,21 @@ def test_bpe_pairs_map_only_partial_agg(spark):
 
 def test_zorder_map_only_zvalue_no_join(spark):
     """Z-order stats: the Morton interleave is a pure codegen integer
-    expression over ONE scan; no join anywhere (the ntile window is
-    the range-split stand-in — see the docstring)."""
+    expression; the grid bounds ride along as a 1-row broadcast
+    aggregate (the ONLY join), so the sole single-partition pass left
+    is the intrinsic ntile range-split — the old MIN/MAX OVER ()
+    funneled the whole table through one reducer a second time."""
     from spark_ij_spark.operators import layout
 
     plan = _plan(layout.q_zorder_stats(spark, SF_DIR))
-    assert "Join" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "EvalPython" not in plan
-    assert plan.count("FileScan") == 1
+    # One data scan + one bounds-aggregate scan; the bounds pass is
+    # parallel partial-agg, not a global window.
+    assert plan.count("FileScan") == 2
+    assert plan.count("windowspecdefinition") == 1
 
 
 def test_pagerank_keyed_joins_no_cartesian(spark):
