@@ -125,7 +125,7 @@ def shingle_postings(
 # at any SF where the cap starts to bind.
 _POSTINGS_DUCK = f"""
   WITH sh0 AS (
-    SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK.replace('toks', TOKENS_DUCK.replace('text', 'text'))}) AS s
+    SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK.replace('toks', TOKENS_DUCK)}) AS s
     FROM documents)
   SELECT doc_id, s FROM sh0
   WHERE s NOT IN (
@@ -258,6 +258,20 @@ def _band_exprs() -> list[str]:
     return out
 
 
+def minhash_bands(
+    spark: SparkSession, sf_dir: str, postings: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, band) frame: signatures → band explode. The band
+    layout is defined HERE (and in ``_BANDS_DUCK``) once — the
+    self-join candidate generator and the delta-vs-corpus incremental
+    join both build on it."""
+    sig = minhash_signatures(spark, sf_dir, postings=postings)
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*[F.expr(e) for e in _band_exprs()])).alias("band"),
+    )
+
+
 def lsh_candidate_pairs(
     spark: SparkSession, sf_dir: str, postings: DataFrame | None = None
 ) -> DataFrame:
@@ -267,11 +281,7 @@ def lsh_candidate_pairs(
     (``q_dedup_lsh_audit``) can never drift apart — a retune of K or
     the band layout changes both, or the audit is measuring a
     different generator than production runs."""
-    sig = minhash_signatures(spark, sf_dir, postings=postings)
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[F.expr(e) for e in _band_exprs()])).alias("band"),
-    )
+    bands = minhash_bands(spark, sf_dir, postings=postings)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -339,9 +349,11 @@ sig AS (
 # lsh_candidate_pairs; Q_DEDUP_MINHASH_SQL and Q_DEDUP_LSH_AUDIT_SQL
 # splice in this one fragment so the audited generator IS the
 # production generator on the oracle side too.
+_BANDS_DUCK = f"""bands AS (
+  SELECT doc_id, unnest([{", ".join(_band_exprs_duck())}]) AS band FROM sig)"""
+
 _LSH_CAND_DUCK = f"""
-bands AS (
-  SELECT doc_id, unnest([{", ".join(_band_exprs_duck())}]) AS band FROM sig),
+{_BANDS_DUCK},
 cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
@@ -531,6 +543,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("blk") <= F.col("ob"))
         .select(F.col("blk").alias("bi"), F.col("ob").alias("bj"), "vec_id", "qv")
     )
+    # Deliberately re-derived (NOT `q` reused): the cogrouped
+    # block-matmul puts this frame on both sides of a self-cogroup,
+    # and Spark's ambiguous-self-join analyzer rejects one shared
+    # DataFrame object there (AMBIGUOUS_SELF_JOIN on qv/vec_id).
     q2 = quantized_embeddings(spark, sf_dir).withColumn(
         "blk", F.expr(f"CAST(vec_id % {EMBED_BLOCKS} AS INT)")
     )
@@ -831,11 +847,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate, verified with true Jaccard on the shared postings.
     """
     post = shingle_postings(spark, sf_dir).cache()
-    sig = minhash_signatures(spark, sf_dir, postings=post)
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[F.expr(e) for e in _band_exprs()])).alias("band"),
-    )
+    bands = minhash_bands(spark, sf_dir, postings=post)
     is_delta = f"doc_id % {INCR_DELTA_MOD} = {INCR_DELTA_RESIDUE}"
     d, c = bands.where(is_delta).alias("d"), bands.where(f"NOT ({is_delta})").alias("c")
     cand = (
@@ -865,8 +877,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_DEDUP_INCREMENTAL_SQL = f"""
 WITH {_MINHASH_SIG_DUCK},
-bands AS (
-  SELECT doc_id, unnest([{", ".join(_band_exprs_duck())}]) AS band FROM sig),
+{_BANDS_DUCK},
 cand AS (
   SELECT DISTINCT d.doc_id AS dd, c.doc_id AS dc
   FROM bands d JOIN bands c ON d.band = c.band
@@ -926,7 +937,10 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy("src").agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("deg"))
     symdeg = sym.join(deg, "src").select("src", "dst", "deg").localCheckpoint()
     n_nodes = symdeg.select("src").distinct().count()  # O(1) model scalar
-    base = PR_SCALE // n_nodes
+    # max(…, 1): a dup-free corpus yields an empty graph — every loop
+    # frame is empty and the query returns 0 rows (matching the
+    # oracle's empty set) instead of ZeroDivisionError on the driver.
+    base = PR_SCALE // max(n_nodes, 1)
     tele = (1000 - PR_DAMP_THOUSANDTHS) * base // 1000
     pr = deg.select("src", F.lit(base).cast("long").alias("pr")).localCheckpoint()
     for _ in range(PR_ITERS):
@@ -1153,10 +1167,14 @@ def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Peeling converges in O(peeling depth) rounds independent of graph
     size, and each round's cost shrinks monotonically.
     """
+    # cache(): the symmetrization references `edges` twice — uncached,
+    # each union branch re-runs the inverted-index self-join + pair
+    # aggregate (only the postings inside _jaccard_pairs are cached).
     edges = (
         _jaccard_pairs(shingle_postings(spark, sf_dir))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("da", "db")
+        .cache()
     )
     cur = (
         edges.select(F.col("da").alias("src"), F.col("db").alias("dst"))
@@ -1345,8 +1363,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares."""
     # Same capped inverted-index pipeline as the whole Jaccard family —
     # single-sourced so a cap/join-shape fix there applies here too
-    # (the unused jaccard column is pruned by Catalyst).
-    pairs = _jaccard_pairs(shingle_postings(spark, sf_dir))
+    # (the unused jaccard column is pruned by Catalyst). cache(): the
+    # fwd/rev union references the pair frame twice.
+    pairs = _jaccard_pairs(shingle_postings(spark, sf_dir)).cache()
     fwd = pairs.where(
         F.expr(
             f"{CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * na"
@@ -1590,12 +1609,18 @@ def q_dedup_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_truth",
             "n_hits",
+            # -1 sentinel when a set is empty (dup-free sampled slice):
+            # Spark's ANSI DIV throws on 0 where DuckDB NULLs — the
+            # crash-vs-NULL engine divergence class.
             F.expr(
-                "CAST((1000000 * n_hits) DIV n_candidates AS BIGINT)"
+                "CASE WHEN n_candidates = 0 THEN CAST(-1 AS BIGINT)"
+                " ELSE CAST((1000000 * n_hits) DIV n_candidates AS BIGINT)"
+                " END"
             ).alias("precision_ppm"),
-            F.expr("CAST((1000000 * n_hits) DIV n_truth AS BIGINT)").alias(
-                "recall_ppm"
-            ),
+            F.expr(
+                "CASE WHEN n_truth = 0 THEN CAST(-1 AS BIGINT)"
+                " ELSE CAST((1000000 * n_hits) DIV n_truth AS BIGINT) END"
+            ).alias("recall_ppm"),
         )
     )
 
@@ -1613,8 +1638,12 @@ u AS (
          CAST(SUM(COALESCE(in_c, 0) * COALESCE(in_t, 0)) AS BIGINT) AS n_hits
   FROM candf FULL OUTER JOIN truth USING (da, db))
 SELECT n_candidates, n_truth, n_hits,
-       CAST((1000000 * n_hits) // n_candidates AS BIGINT) AS precision_ppm,
-       CAST((1000000 * n_hits) // n_truth AS BIGINT) AS recall_ppm
+       CASE WHEN n_candidates = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST((1000000 * n_hits) // n_candidates AS BIGINT)
+            END AS precision_ppm,
+       CASE WHEN n_truth = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST((1000000 * n_hits) // n_truth AS BIGINT)
+            END AS recall_ppm
 FROM u
 """
 

@@ -285,8 +285,13 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("o_year")
         .agg(
+            # NATION_3, not the TPC-H spec's 'CHINA': the generated
+            # nation table holds NATION_0..NATION_24, so the spec
+            # literal matched nothing and the conditional-aggregation
+            # path this query exists to exercise was vacuously 0 (q7
+            # was adapted the same way).
             F.expr(
-                "CAST(SUM(CASE WHEN n_name = 'CHINA' "
+                "CAST(SUM(CASE WHEN n_name = 'NATION_3' "
                 "THEN CAST(volume AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)"
             ).alias("nation_volume"),
             dsum("volume", 6, "total_volume"),
@@ -297,7 +302,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_MARKET_SHARE_SQL = f"""
 SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
-       CAST(SUM(CASE WHEN n_name = 'CHINA'
+       CAST(SUM(CASE WHEN n_name = 'NATION_3'
                 THEN CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(28,6))
                 ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS nation_volume,
        {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS total_volume
@@ -945,17 +950,29 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen (get_json_object), never a Python UDF.
     """
     ev = load_tables(spark, sf_dir, ["events"])["events"]
+    # Missing '$.k' coalesces to its own -1 bucket with a 0 sum
+    # contribution: a NULL k would otherwise produce a NULL group key
+    # and NULL sum_k — None from Spark, NaN through the driver's
+    # pandas fetch (the CLAUDE.md NULL-sentinel rule).
     return (
         ev.select(
             "event_type",
             F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)").alias("k"),
         )
-        .withColumn("k_bucket", F.expr("CAST(k DIV 10 AS BIGINT)"))
+        .withColumn(
+            "k_bucket",
+            F.expr(
+                "CASE WHEN k IS NULL THEN CAST(-1 AS BIGINT)"
+                " ELSE CAST(k DIV 10 AS BIGINT) END"
+            ),
+        )
         .groupBy("event_type", "k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.expr("CAST(SUM(k) AS BIGINT)").alias("sum_k"),
-            F.expr("round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6)").alias("avg_k"),
+            F.expr("CAST(SUM(coalesce(k, 0)) AS BIGINT)").alias("sum_k"),
+            F.expr(
+                "round(CAST(SUM(coalesce(k, 0)) AS DOUBLE) / COUNT(*), 6)"
+            ).alias("avg_k"),
         )
         .orderBy("event_type", "k_bucket")
     )
@@ -966,10 +983,12 @@ WITH e AS (
   SELECT event_type,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events)
-SELECT event_type, CAST(k // 10 AS BIGINT) AS k_bucket,
+SELECT event_type,
+       CASE WHEN k IS NULL THEN CAST(-1 AS BIGINT)
+            ELSE CAST(k // 10 AS BIGINT) END AS k_bucket,
        COUNT(*) AS n_events,
-       CAST(SUM(k) AS BIGINT) AS sum_k,
-       round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_k
+       CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k,
+       round(CAST(SUM(COALESCE(k, 0)) AS DOUBLE) / COUNT(*), 6) AS avg_k
 FROM e
 GROUP BY event_type, k_bucket
 ORDER BY event_type, k_bucket
@@ -1030,6 +1049,12 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast to double, and the moments derived per-group with scalar IEEE
     arithmetic — bit-identical on any engine, any partition count.
     One partial-aggregated shuffle on the 3-value group key.
+
+    Degenerate groups are CASE-guarded to sentinels on BOTH engines
+    (std −1.0 for a single-row group or zero/cancellation-negative
+    variance; corr −2.0, outside [−1, 1]): Spark's ANSI mode throws
+    DIVIDE_BY_ZERO and DuckDB errors on sqrt(negative) where the
+    other engine would NULL/NaN — the events_anomalies crash class.
     """
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     sums = li.groupBy("l_returnflag").agg(
@@ -1044,13 +1069,25 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n",
         F.expr("round(sq / n, 6)").alias("mean_qty"),
-        F.expr("round(sqrt((sqq - sq * sq / n) / (n - 1)), 6)").alias("std_qty"),
+        F.expr(_STD_QTY_EXPR).alias("std_qty"),
         F.expr("round(sp / n, 6)").alias("mean_price"),
-        F.expr(
-            "round((n * sqp - sq * sp) /"
-            " (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)"
-        ).alias("corr_qty_price"),
+        F.expr(_CORR_EXPR).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+# Shared moment expressions (identical text both engines); see the
+# q_stats_moments docstring for the sentinel semantics.
+_STD_QTY_EXPR = (
+    "CASE WHEN n > 1 AND (sqq - sq * sq / n) > 0"
+    " THEN round(sqrt((sqq - sq * sq / n) / (n - 1)), 6)"
+    " ELSE CAST(-1 AS DOUBLE) END"
+)
+_CORR_EXPR = (
+    "CASE WHEN (n * sqq - sq * sq) > 0 AND (n * spp - sp * sp) > 0"
+    " THEN round((n * sqp - sq * sp) /"
+    " (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)"
+    " ELSE CAST(-2 AS DOUBLE) END"
+)
 
 
 Q_STATS_MOMENTS_SQL = f"""
@@ -1064,11 +1101,9 @@ WITH sums AS (
   FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag, n,
        round(sq / n, 6) AS mean_qty,
-       round(sqrt((sqq - sq * sq / n) / (n - 1)), 6) AS std_qty,
+       {_STD_QTY_EXPR} AS std_qty,
        round(sp / n, 6) AS mean_price,
-       round((n * sqp - sq * sp) /
-             (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
-         AS corr_qty_price
+       {_CORR_EXPR} AS corr_qty_price
 FROM sums ORDER BY l_returnflag
 """
 
