@@ -1740,8 +1740,85 @@ ORDER BY cluster_rep
 """
 
 
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every unordered pair of
+    sources, how many near-dup pairs span them — the standard
+    web-corpus provenance audit (which feeds mirror which; Dolma and
+    RefinedWeb both report it) that decides whether to dedup WITHIN
+    sources independently (cheap, per-source shards) or must dedup
+    ACROSS the full corpus. A heavy off-diagonal cell means per-source
+    dedup would silently keep every cross-source copy.
+
+    Shape: the near-dup pair set comes off the shared capped
+    inverted-index pipeline (O(pairs) rows, cached — referenced by the
+    id-set and the matrix join). The doc→source dimension is
+    candidate-bounded BEFORE it is broadcast: a semi-join against the
+    distinct pair doc-ids cuts it from corpus-sized to O(dup docs),
+    the round-7 pair-verification rule. The matrix itself is two
+    broadcast hash joins plus one ~|sources|² aggregate — the corpus
+    is never reshuffled.
+
+    Determinism: source pair canonicalized with least/greatest
+    (identical lexicographic VARCHAR compare both engines); counts
+    are BIGINT."""
+    pairs = (
+        _jaccard_pairs(shingle_postings(spark, sf_dir))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("da", "db")
+        .cache()
+    )
+    ids = (
+        pairs.select(F.col("da").alias("doc_id"))
+        .union(pairs.select(F.col("db").alias("doc_id")))
+        .distinct()
+    )
+    meta = (
+        _docs(spark, sf_dir)
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("doc_id", "source")
+        .cache()
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                meta.select(
+                    F.col("doc_id").alias("da"), F.col("source").alias("sa")
+                )
+            ),
+            "da",
+        )
+        .join(
+            F.broadcast(
+                meta.select(
+                    F.col("doc_id").alias("db"), F.col("source").alias("sb")
+                )
+            ),
+            "db",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pairs"))
+    )
+
+
+Q_DEDUP_SOURCE_MATRIX_SQL = f"""
+WITH {_JACCARD_PAIRS_DUCK},
+pairs AS (SELECT da, db FROM jac WHERE jaccard >= {JACCARD_THRESHOLD})
+SELECT LEAST(la.source, lb.source) AS source_a,
+       GREATEST(la.source, lb.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN documents la ON p.da = la.doc_id
+JOIN documents lb ON p.db = lb.doc_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_lsh_audit": q_dedup_lsh_audit,
+    "dedup_source_matrix": q_dedup_source_matrix,
     "dedup_keeper_quality": q_dedup_keeper_quality,
     "dedup_kcore": q_dedup_kcore,
     "dedup_prefix_filter": q_dedup_prefix_filter,
@@ -1761,6 +1838,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_lsh_audit": Q_DEDUP_LSH_AUDIT_SQL,
+    "dedup_source_matrix": Q_DEDUP_SOURCE_MATRIX_SQL,
     "dedup_keeper_quality": Q_DEDUP_KEEPER_QUALITY_SQL,
     "dedup_kcore": Q_DEDUP_KCORE_SQL,
     "dedup_prefix_filter": Q_DEDUP_PREFIX_FILTER_SQL,

@@ -489,6 +489,56 @@ def q_text_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram frequency spectrum: number of distinct n-gram types
+    and total occurrence mass per log2-frequency bucket — the one-page
+    Zipf/Heaps health check run on a corpus before tokenizer or LM
+    training (a healthy natural-language corpus is hapax-dominated in
+    types with mass concentrating in the high buckets; boilerplate-
+    heavy or template-generated corpora bend the spectrum visibly).
+    Over 3-grams rather than unigrams because the n-gram spectrum is
+    what repetition filters (Rae 2021 §A.1.2) and dedup threshold
+    tuning actually consume.
+
+    Shape: one partial-aggregating groupBy on the shingle (the same
+    corpus-sized shuffle every inverted-index op pays), then a
+    ~60-bucket aggregate — no vocab-sized global sort or rank window,
+    which is what makes this the scale-safe form of "plot the Zipf
+    curve" (true rank assignment would be a single-reducer window
+    over the whole vocabulary).
+
+    Determinism: the bucket is length(bin(cnt))-1 — integer log2 via
+    the binary-string length, identical on both engines (float
+    ``log2`` at exact powers of two is libm-dependent); sums are
+    occurrence counts (BIGINT, corpus-token bounded)."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKENS_SPARK))
+        .select(F.explode(F.expr(SHINGLES_SPARK)).alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(F.expr("CAST(length(bin(cnt)) - 1 AS BIGINT)").alias("log2_bucket"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_types"),
+            F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n_grams"),
+        )
+    )
+
+
+Q_TEXT_FREQ_SPECTRUM_SQL = f"""
+WITH c AS (
+  SELECT s, COUNT(*) AS cnt
+  FROM (SELECT unnest({SHINGLES_DUCK.replace('toks', TOKENS_DUCK)}) AS s
+        FROM documents)
+  GROUP BY s)
+SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams
+FROM c
+GROUP BY 1
+"""
+
+
 TFIDF_TOP_TERMS = 3
 
 
@@ -948,6 +998,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_vocab": q_text_vocab,
     "text_vocab_approx": q_text_vocab_approx,
+    "text_freq_spectrum": q_text_freq_spectrum,
     "text_tfidf": q_text_tfidf,
 }
 
@@ -964,6 +1015,7 @@ ORACLES = {
     "text_surprisal": Q_TEXT_SURPRISAL_SQL,
     "text_fingerprint": Q_TEXT_FINGERPRINT_SQL,
     "text_vocab": Q_TEXT_VOCAB_SQL,
+    "text_freq_spectrum": Q_TEXT_FREQ_SPECTRUM_SQL,
     "text_tfidf": Q_TEXT_TFIDF_SQL,
     # text_vocab_approx: sketch-based, tolerance-tested in pytest
     # (tests/test_north_star.py), no hash oracle by design.

@@ -834,3 +834,25 @@ def test_lsh_audit_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "FullOuter" in plan
+
+
+def test_source_matrix_candidate_bounded_broadcast_dims(spark):
+    """Source matrix: the doc→source dimension must be semi-filtered
+    to pair participants and attached via broadcast hash joins — the
+    corpus is never reshuffled for the matrix, and no all-pairs
+    product sneaks in."""
+    plan = _plan(dedup.q_dedup_source_matrix(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_freq_spectrum_partial_agg_jvm_only(spark):
+    """Frequency spectrum: two hash aggregates (shingle count, then
+    bucket rollup) with map-side partial aggregation, no sort or
+    window over the vocabulary, pure JVM."""
+    plan = _plan(text.q_text_freq_spectrum(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
