@@ -701,15 +701,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 
-Q_DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE {_JACCARD_PAIRS_DUCK.strip()},
+# Shared CC-labels fragment (edges → symmetrized reach → min-rep
+# labels). Every oracle that consumes cluster labels composes THIS
+# fragment — Spark-side consumers all call q_dedup_clusters — so a
+# retune of the labeling (threshold, symmetrization, tie-break) stays
+# one code path per engine.
+_CLUSTERS_DUCK = f"""
 edges AS (SELECT da, db FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
 sym AS (SELECT da AS a, db AS b FROM edges UNION ALL SELECT db, da FROM edges),
 reach(id, r) AS (
   SELECT a, a FROM (SELECT DISTINCT a FROM sym)
   UNION
-  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id)
-SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id
+  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id),
+labels AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id)
+"""
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_DUCK.strip()},
+{_CLUSTERS_DUCK.strip()}
+SELECT doc_id, cluster_rep FROM labels
 """
 
 
@@ -1597,12 +1607,20 @@ def q_dedup_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(truth, ["da", "db"], "full_outer")
         .agg(
-            F.expr("CAST(SUM(coalesce(in_c, 0)) AS BIGINT)").alias(
+            # Outer coalesce: when BOTH pair sets are empty the join has
+            # zero rows and SUM yields NULL, not 0 — without it the
+            # n_candidates=0 sentinel guard below never fires and the
+            # row comes out all-NULL (NaN through the driver's pandas
+            # fetch).
+            F.expr("CAST(coalesce(SUM(coalesce(in_c, 0)), 0) AS BIGINT)").alias(
                 "n_candidates"
             ),
-            F.expr("CAST(SUM(coalesce(in_t, 0)) AS BIGINT)").alias("n_truth"),
             F.expr(
-                "CAST(SUM(coalesce(in_c, 0) * coalesce(in_t, 0)) AS BIGINT)"
+                "CAST(coalesce(SUM(coalesce(in_t, 0)), 0) AS BIGINT)"
+            ).alias("n_truth"),
+            F.expr(
+                "CAST(coalesce(SUM(coalesce(in_c, 0) * coalesce(in_t, 0)), 0)"
+                " AS BIGINT)"
             ).alias("n_hits"),
         )
         .select(
@@ -1633,9 +1651,10 @@ candf AS (SELECT da, db, 1 AS in_c FROM cand),
 truth AS (
   SELECT da, db, 1 AS in_t FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
 u AS (
-  SELECT CAST(SUM(COALESCE(in_c, 0)) AS BIGINT) AS n_candidates,
-         CAST(SUM(COALESCE(in_t, 0)) AS BIGINT) AS n_truth,
-         CAST(SUM(COALESCE(in_c, 0) * COALESCE(in_t, 0)) AS BIGINT) AS n_hits
+  SELECT CAST(COALESCE(SUM(COALESCE(in_c, 0)), 0) AS BIGINT) AS n_candidates,
+         CAST(COALESCE(SUM(COALESCE(in_t, 0)), 0) AS BIGINT) AS n_truth,
+         CAST(COALESCE(SUM(COALESCE(in_c, 0) * COALESCE(in_t, 0)), 0)
+              AS BIGINT) AS n_hits
   FROM candf FULL OUTER JOIN truth USING (da, db))
 SELECT n_candidates, n_truth, n_hits,
        CASE WHEN n_candidates = 0 THEN CAST(-1 AS BIGINT)
@@ -1713,13 +1732,7 @@ def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_DEDUP_KEEPER_QUALITY_SQL = f"""
 WITH RECURSIVE {_JACCARD_PAIRS_DUCK.strip()},
-edges AS (SELECT da, db FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
-sym AS (SELECT da AS a, db AS b FROM edges UNION ALL SELECT db, da FROM edges),
-reach(id, r) AS (
-  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-  UNION
-  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id),
-labels AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id),
+{_CLUSTERS_DUCK.strip()},
 keyed AS (
   SELECT l.cluster_rep,
          lpad(CAST(d.n_chars AS VARCHAR), {_KEEP_PAD}, '0') ||

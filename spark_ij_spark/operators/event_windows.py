@@ -1044,7 +1044,10 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CASE WHEN touch_type IS NOT NULL THEN"
             " concat(lpad(CAST(unix_micros(ts) AS STRING), 20, '0'),"
-            " lpad(CAST(event_id AS STRING), 12, '0'), ':', touch_type)"
+            # 20-digit pad covers any BIGINT event_id (19 digits max);
+            # lpad TRUNCATES past the width on both engines, which would
+            # silently corrupt the MIN/MAX touch selection.
+            " lpad(CAST(event_id AS STRING), 20, '0'), ':', touch_type)"
             " END"
         ),
     )
@@ -1061,9 +1064,9 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_purch_g").over(wj).alias("n_purch"),
         F.sum("c_jt").over(wj).alias("n_touches"),
         F.expr("substring(MIN(min_key) OVER"
-               " (PARTITION BY user_id, journey), 34)").alias("first_type"),
+               " (PARTITION BY user_id, journey), 42)").alias("first_type"),
         F.expr("substring(MAX(max_key) OVER"
-               " (PARTITION BY user_id, journey), 34)").alias("last_type"),
+               " (PARTITION BY user_id, journey), 42)").alias("last_type"),
     )
     return (
         lvl2.filter(
@@ -1105,7 +1108,7 @@ seg AS (
            0) AS journey,
          CASE WHEN touch_type IS NOT NULL THEN
            lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
-           lpad(CAST(event_id AS VARCHAR), 12, '0') || ':' || touch_type
+           lpad(CAST(event_id AS VARCHAR), 20, '0') || ':' || touch_type
          END AS touch_key
   FROM ev),
 lvl1 AS (
@@ -1119,8 +1122,8 @@ lvl2 AS (
   SELECT touch_type, c_jt,
          SUM(n_purch_g) OVER w AS n_purch,
          SUM(c_jt) OVER w AS n_touches,
-         substring(MIN(min_key) OVER w, 34) AS first_type,
-         substring(MAX(max_key) OVER w, 34) AS last_type
+         substring(MIN(min_key) OVER w, 42) AS first_type,
+         substring(MAX(max_key) OVER w, 42) AS last_type
   FROM lvl1
   WINDOW w AS (PARTITION BY user_id, journey))
 SELECT touch_type,
@@ -1152,8 +1155,9 @@ PATH_GAP_MIN = 720
 
 
 def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top navigation paths: each 30-min-gap session becomes the
-    ordered sequence of its event types (truncated to the first
+    """Top navigation paths: each PATH_GAP_MIN-gap visit (12 h — wider
+    than ``events_session``'s 30-min gap, see the constant's comment)
+    becomes the ordered sequence of its event types (truncated to the first
     PATH_MAX_STEPS — the guard that keeps distinct-path cardinality
     bounded no matter how long a bot session runs), and the PATH_TOP_K
     most frequent paths are reported with their session count and how

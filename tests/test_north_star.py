@@ -657,3 +657,31 @@ def test_keeper_quality_dominates_naive(spark):
         assert r.keeper_chars >= r.naive_chars
         assert r.keeper_doc in members[r.cluster_rep]
         assert r.naive_keeper == min(members[r.cluster_rep])
+
+
+def test_lsh_audit_dup_free_corpus_emits_sentinel_row(spark, tmp_path):
+    """On a corpus with NO near-dup pairs (every doc shares no shingle
+    with any other) both the candidate and truth pair sets are empty;
+    SUM over the zero-row full-outer join is NULL, and without the
+    outer COALESCE the audit emitted an all-NULL row instead of the
+    documented (0, 0, 0, -1, -1) sentinel (found by review, round 7)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(8), type=pa.int64()),
+            "text": [
+                " ".join(f"tok{d}_{i}" for i in range(12)) for d in range(8)
+            ],
+            "lang": ["en"] * 8,
+            "source": ["src0"] * 8,
+            "n_chars": pa.array([60] * 8, type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    row = dedup.q_dedup_lsh_audit(spark, str(tmp_path)).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["n_candidates"], r["n_truth"], r["n_hits"]) == (0, 0, 0)
+    assert (r["precision_ppm"], r["recall_ppm"]) == (-1, -1)
