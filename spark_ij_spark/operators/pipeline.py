@@ -744,13 +744,14 @@ def q_pipeline_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     small fraction by construction, but not broadcast-safe at 100 TB,
     so it's a keyed shuffle join AQE can downgrade to broadcast when
     small); everything downstream is the map-only hash-split plus two
-    tiny aggregates. The labels frame is localCheckpoint()ed by the CC
-    loop, so its double use (witness + accounting) re-reads the
-    checkpoint, not the pair-graph pipeline. The witness itself never
-    touches the corpus: a clustered doc's split is a pure function of
-    cluster_rep, so countDistinct(split) per cluster aggregates the
-    LABEL frame (identical value to aggregating the joined corpus —
-    every label row is a corpus row — for one fewer full scan+join).
+    tiny aggregates. The witness aggregates the PRODUCTION split
+    column of the joined frame (cached — referenced by both the
+    witness and the accounting aggregate), exactly as the oracle does:
+    a witness recomputed from cluster_rep would be 1 by construction
+    (countDistinct of a pure function of the group key) and could
+    never catch a split assignment edited to depend on doc-level data
+    — the audit must measure the code path production runs (CLAUDE.md
+    round-7 shared-generator rule).
     """
     from spark_ij_spark.operators.dedup import q_dedup_clusters
 
@@ -769,11 +770,12 @@ def q_pipeline_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(labels, "doc_id", "left")
         .withColumn("rep", F.coalesce("cluster_rep", "doc_id"))
         .withColumn("split", F.expr(split_of("rep")))
+        .cache()
     )
     wit = F.broadcast(
-        labels.withColumn("wsplit", F.expr(split_of("cluster_rep")))
+        s.where(F.col("cluster_rep").isNotNull())
         .groupBy("cluster_rep")
-        .agg(F.countDistinct("wsplit").alias("ns"))
+        .agg(F.countDistinct("split").alias("ns"))
         .agg(
             F.coalesce(F.max("ns"), F.lit(0))
             .cast("bigint")
@@ -1070,7 +1072,7 @@ def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = hash60_spark("concat('ws:', CAST(doc_id AS STRING))")
     key = (
         f"-ln((CAST(({h}) AS DOUBLE) + 1) / {_TWO_60}.0)"
-        " / CAST(size(split(text, ' ')) AS DOUBLE)"
+        f" / CAST(size({TOKENS_SPARK}) AS DOUBLE)"
     )
     w = Window.partitionBy("lang").orderBy("draw_key", "doc_id")
     return (
@@ -1078,7 +1080,7 @@ def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             "doc_id",
-            F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+            F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)").alias("n_tokens"),
             F.expr(key).alias("draw_key"),
         )
         .withColumn("rk", F.row_number().over(w))
@@ -1097,12 +1099,12 @@ def _weighted_sample_sql() -> str:
     h = hash60_duck("concat('ws:', CAST(doc_id AS VARCHAR))")
     key = (
         f"-ln((CAST(({h}) AS DOUBLE) + 1) / {_TWO_60}.0)"
-        " / CAST(len(string_split(text, ' ')) AS DOUBLE)"
+        f" / CAST(len({TOKENS_DUCK}) AS DOUBLE)"
     )
     return f"""
 WITH keyed AS (
   SELECT lang, doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len({TOKENS_DUCK}) AS BIGINT) AS n_tokens,
          {key} AS draw_key
   FROM documents),
 ranked AS (
@@ -1140,7 +1142,7 @@ def q_pipeline_calibrated_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integers (shares are rational pairs, floor division)."""
 
     tier = "CAST(substring(source, 4) AS INT) % 4"
-    toks = "CAST(size(split(text, ' ')) AS BIGINT)"
+    toks = f"CAST(size({TOKENS_SPARK}) AS BIGINT)"
     h = hash60_spark("concat('mix:', CAST(doc_id AS STRING))")
     docs = _docs(spark, sf_dir).select(
         "doc_id",
@@ -1188,7 +1190,7 @@ def q_pipeline_calibrated_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _calibrated_mix_sql() -> str:
     tier = "CAST(substring(source, 4) AS INT) % 4"
-    toks = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    toks = f"CAST(len({TOKENS_DUCK}) AS BIGINT)"
     h = hash60_duck("concat('mix:', CAST(doc_id AS VARCHAR))")
     cap = "CASE " + " ".join(
         f"WHEN tier = {t} THEN avail_tokens * {d} // {n}"

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spark_ij_spark.operators.text import hash60_duck, hash60_spark
 from spark_ij_spark.session import load_tables
 
 # EWMA: alpha = 1/2 over the last EWMA_K events (weight 2^(K-rank)).
@@ -85,8 +86,13 @@ def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_intervals",
             "dur_us_total",
             "twa_num_c",
-            F.round(
-                F.col("twa_num_c") / F.col("dur_us_total") / F.lit(100.0), 6
+            # -1 sentinel when every interval has zero duration (all of
+            # a user's events share one ts): divide-by-zero is NULL on
+            # both engines, but the driver's pandas fetch turns DuckDB
+            # NULL doubles into NaN, which never hash-equals Spark None.
+            F.expr(
+                "CASE WHEN dur_us_total = 0 THEN CAST(-1.0 AS DOUBLE)"
+                " ELSE round(twa_num_c / dur_us_total / 100.0, 6) END"
             ).alias("twa_value"),
         )
     )
@@ -103,8 +109,10 @@ SELECT user_id,
        COUNT(*) AS n_intervals,
        CAST(SUM(dur_us) AS BIGINT) AS dur_us_total,
        CAST(SUM(value_c * dur_us) AS BIGINT) AS twa_num_c,
-       ROUND(CAST(SUM(value_c * dur_us) AS BIGINT)
-             / CAST(SUM(dur_us) AS BIGINT) / 100.0, 6) AS twa_value
+       CASE WHEN CAST(SUM(dur_us) AS BIGINT) = 0 THEN CAST(-1.0 AS DOUBLE)
+            ELSE ROUND(CAST(SUM(value_c * dur_us) AS BIGINT)
+                       / CAST(SUM(dur_us) AS BIGINT) / 100.0, 6) END
+         AS twa_value
 FROM spans
 WHERE dur_us IS NOT NULL
 GROUP BY user_id
@@ -113,16 +121,24 @@ GROUP BY user_id
 
 def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars per event_type: open/close = value at the
-    first/last event of the hour (min_by/max_by over the globally
-    unique ts — deterministic), high/low = extremes, volume = exact
+    first/last event of the hour, high/low = extremes, volume = exact
     cent sum. The market-data / metrics-rollup bar builder.
 
     Shape: single partial-agg group-by on (event_type, hour) — min_by/
-    max_by carry (ts, value) pairs through the map-side combine, so
+    max_by carry (key, value) pairs through the map-side combine, so
     the shuffle moves one row per (type, hour, partition), not per
     event. open/high/low/close are SELECTED stored doubles (no
     accumulation), so they hash-match without quantization.
-    """
+
+    Determinism: the min_by/max_by ordering key is the packed string
+    ``lpad(micros)||lpad(event_id)`` — ts alone leaves same-timestamp
+    ties engine-dependent (the hazard the TWA/EWMA windows already
+    tie-break with event_id; micro-truncation of distinct nanos can
+    also manufacture ties on one engine only)."""
+    tie_key = (
+        "concat(lpad(CAST(unix_micros(ts) AS STRING), 20, '0'),"
+        " lpad(CAST(event_id AS STRING), 20, '0'))"
+    )
     return (
         _events(spark, sf_dir)
         .groupBy(
@@ -130,23 +146,28 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.expr("min_by(value, ts)").alias("open"),
+            F.expr(f"min_by(value, {tie_key})").alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.expr("max_by(value, ts)").alias("close"),
+            F.expr(f"max_by(value, {tie_key})").alias("close"),
             F.sum(F.expr(_VALUE_C)).alias("volume_c"),
         )
     )
 
 
+_OHLC_KEY_DUCK = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||"
+    " lpad(CAST(event_id AS VARCHAR), 20, '0')"
+)
+
 Q_EVENTS_OHLC_SQL = f"""
 SELECT event_type,
        date_trunc('hour', ts) AS bar_hour,
        COUNT(*) AS n_events,
-       arg_min(value, ts) AS open,
+       arg_min(value, {_OHLC_KEY_DUCK}) AS open,
        MAX(value) AS high,
        MIN(value) AS low,
-       arg_max(value, ts) AS close,
+       arg_max(value, {_OHLC_KEY_DUCK}) AS close,
        CAST(SUM({_VALUE_C}) AS BIGINT) AS volume_c
 FROM events
 GROUP BY event_type, date_trunc('hour', ts)
@@ -320,8 +341,7 @@ def q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.expr(
-                "CAST(conv(substring(md5(concat('u:', CAST(user_id AS STRING))),"
-                " 1, 15), 16, 10) AS BIGINT)"
+                hash60_spark("concat('u:', CAST(user_id AS STRING))")
             ).alias("h"),
         )
         .distinct()
@@ -336,6 +356,10 @@ def q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         n.join(F.broadcast(km), "event_type")
+        # Bind kmv_est ONCE, then derive rel_err from the bound column
+        # (mirrors the oracle's j CTE) — two verbatim copies of the
+        # CASE would have to be retuned in lockstep or rel_err silently
+        # measures a different estimate than kmv_est reports.
         .select(
             "event_type",
             "n_users",
@@ -343,11 +367,14 @@ def q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CASE WHEN m < {KMV_K} THEN n_users"
                 f" ELSE CAST(FLOOR({KMV_K - 1}.0 * {_TWO60} / hk) AS BIGINT) END"
             ).alias("kmv_est"),
-            F.expr(
-                f"round(abs(CASE WHEN m < {KMV_K} THEN n_users"
-                f" ELSE CAST(FLOOR({KMV_K - 1}.0 * {_TWO60} / hk) AS BIGINT) END"
-                " - n_users) / n_users, 6)"
-            ).alias("rel_err"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "kmv_est",
+            F.expr("round(abs(kmv_est - n_users) / n_users, 6)").alias(
+                "rel_err"
+            ),
         )
     )
 
@@ -355,7 +382,7 @@ def q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_EVENTS_KMV_SQL = f"""
 WITH d AS (
   SELECT DISTINCT event_type,
-         ('0x' || substring(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         {hash60_duck("'u:' || CAST(user_id AS VARCHAR)")} AS h
   FROM events),
 n AS (SELECT event_type, COUNT(*) AS n_users FROM d GROUP BY event_type),
 km AS (
@@ -405,8 +432,7 @@ def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.expr(
-                "CAST(conv(substring(md5(concat('u:', CAST(user_id AS STRING))),"
-                " 1, 15), 16, 10) AS BIGINT)"
+                hash60_spark("concat('u:', CAST(user_id AS STRING))")
             ).alias("h"),
         )
         .distinct()
@@ -608,10 +634,8 @@ def _cms_bucket(prefix: str, key_expr: str, d: int) -> str:
 
     The hash is nonnegative, so ``%`` agrees between Spark and DuckDB
     (no pmod needed)."""
-    return (
-        f"CAST(conv(substring(md5(concat('{prefix}{d}:', {key_expr})),"
-        f" 1, 15), 16, 10) AS BIGINT) % {CMS_WIDTH}"
-    )
+    salted = f"concat('{prefix}{d}:', {key_expr})"
+    return f"{hash60_spark(salted)} % {CMS_WIDTH}"
 
 
 def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,10 +704,8 @@ def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cms_bucket_duck(prefix: str, key_expr: str, d: int) -> str:
-    return (
-        f"('0x' || substring(md5('{prefix}{d}:' || {key_expr}), 1, 15))::BIGINT"
-        f" % {CMS_WIDTH}"
-    )
+    salted = f"'{prefix}{d}:' || {key_expr}"
+    return f"{hash60_duck(salted)} % {CMS_WIDTH}"
 
 
 def _cms_sql() -> str:
@@ -780,9 +802,25 @@ def q_events_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_overlap"),
-            F.sum(F.col("a.s_c") * F.col("b.s_c")).alias("dot_c2"),
-            F.sum(F.col("a.s_c") * F.col("a.s_c")).alias("na_c2"),
-            F.sum(F.col("b.s_c") * F.col("b.s_c")).alias("nb_c2"),
+            # cent-sum products GROW with corpus volume (s_c² passes
+            # 2^63 near $30M/hour/type): widen the operands so the
+            # product and its sum accumulate in DECIMAL(38,0) — exact
+            # order-independent integer adds, NULL (not silently
+            # wrapped) on the BIGINT output cast — matching the
+            # HUGEINT arithmetic the oracle uses (CLAUDE.md round-7
+            # widen-internally rule; embed_covariance pattern).
+            F.expr(
+                "CAST(SUM(CAST(a.s_c AS DECIMAL(19,0))"
+                " * CAST(b.s_c AS DECIMAL(19,0))) AS BIGINT)"
+            ).alias("dot_c2"),
+            F.expr(
+                "CAST(SUM(CAST(a.s_c AS DECIMAL(19,0))"
+                " * CAST(a.s_c AS DECIMAL(19,0))) AS BIGINT)"
+            ).alias("na_c2"),
+            F.expr(
+                "CAST(SUM(CAST(b.s_c AS DECIMAL(19,0))"
+                " * CAST(b.s_c AS DECIMAL(19,0))) AS BIGINT)"
+            ).alias("nb_c2"),
         )
         .select(
             "ta",
@@ -790,9 +828,13 @@ def q_events_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag_h",
             "n_overlap",
             "dot_c2",
+            # -2 sentinel (outside [-1, 1]) when a zero-norm series
+            # makes the denominator 0: NULL would come back NaN from
+            # the driver's pandas fetch on the DuckDB side only.
             F.expr(
-                "round(dot_c2 / (sqrt(CAST(na_c2 AS DOUBLE))"
-                " * sqrt(CAST(nb_c2 AS DOUBLE))), 6)"
+                "CASE WHEN na_c2 = 0 OR nb_c2 = 0 THEN CAST(-2.0 AS DOUBLE)"
+                " ELSE round(dot_c2 / (sqrt(CAST(na_c2 AS DOUBLE))"
+                " * sqrt(CAST(nb_c2 AS DOUBLE))), 6) END"
             ).alias("xcorr"),
         )
     )
@@ -807,17 +849,23 @@ WITH hourly AS (
 lagged AS (
   SELECT event_type, hour_us, s_c, unnest(range(0, {XCORR_MAX_LAG + 1})) AS lag_h
   FROM hourly)
-SELECT a.event_type AS ta, b.event_type AS tb, CAST(a.lag_h AS INT) AS lag_h,
-       COUNT(*) AS n_overlap,
-       CAST(SUM(a.s_c * b.s_c) AS BIGINT) AS dot_c2,
-       round(CAST(SUM(a.s_c * b.s_c) AS BIGINT)
-             / (sqrt(CAST(CAST(SUM(a.s_c * a.s_c) AS BIGINT) AS DOUBLE))
-                * sqrt(CAST(CAST(SUM(b.s_c * b.s_c) AS BIGINT) AS DOUBLE))), 6)
+SELECT ta, tb, lag_h, n_overlap, dot_c2,
+       CASE WHEN na_c2 = 0 OR nb_c2 = 0 THEN CAST(-2.0 AS DOUBLE)
+            ELSE round(dot_c2 / (sqrt(CAST(na_c2 AS DOUBLE))
+                                 * sqrt(CAST(nb_c2 AS DOUBLE))), 6) END
          AS xcorr
-FROM lagged a JOIN hourly b
-  ON a.hour_us + a.lag_h * {_HOUR_US} = b.hour_us
- AND a.event_type < b.event_type
-GROUP BY 1, 2, 3
+FROM (
+  SELECT a.event_type AS ta, b.event_type AS tb, CAST(a.lag_h AS INT) AS lag_h,
+         COUNT(*) AS n_overlap,
+         -- HUGEINT product/sum: exact past 2^63 like the Spark side's
+         -- DECIMAL(38,0) accumulator; BIGINT only at the output cast
+         CAST(SUM(CAST(a.s_c AS HUGEINT) * b.s_c) AS BIGINT) AS dot_c2,
+         CAST(SUM(CAST(a.s_c AS HUGEINT) * a.s_c) AS BIGINT) AS na_c2,
+         CAST(SUM(CAST(b.s_c AS HUGEINT) * b.s_c) AS BIGINT) AS nb_c2
+  FROM lagged a JOIN hourly b
+    ON a.hour_us + a.lag_h * {_HOUR_US} = b.hour_us
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2, 3)
 """
 
 
@@ -852,8 +900,6 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     by type. At 100 TB the heavy scan happens once; per-type window
     state is one running sum + one running min.
     """
-    from pyspark.sql.window import Window
-
     hourly = (
         _events(spark, sf_dir)
         .groupBy(
@@ -866,22 +912,31 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrun = wtype.orderBy("hour_us").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # DECIMAL(38,0) internal arithmetic: d ~ n_hours·s_c and its prefix
+    # sum GROW with span × corpus volume, so raw BIGINT would silently
+    # wrap past 2^63 (CLAUDE.md round-7 widen-internally rule); the
+    # oracle accumulates in HUGEINT the same way. Output stays BIGINT
+    # and goes NULL, not wrong, if a real corpus ever exceeds it.
     return (
         hourly.withColumn("n_hours", F.count("*").over(wtype))
         .withColumn("total_c", F.sum("s_c").over(wtype))
-        .withColumn("d", F.col("n_hours") * F.col("s_c") - F.col("total_c"))
-        .withColumn("ps", F.sum("d").over(wrun))
         .withColumn(
-            "cusum_nc",
-            F.col("ps") - F.least(F.min("ps").over(wrun), F.lit(0).cast("long")),
+            "d", F.expr("CAST(n_hours AS DECIMAL(19,0)) * s_c - total_c")
+        )
+        .withColumn("ps", F.sum("d").over(wrun))
+        .withColumn("mn", F.min("ps").over(wrun))
+        .withColumn(
+            "cusum_dec",
+            F.expr("ps - least(mn, CAST(0 AS DECIMAL(38,0)))"),
         )
         .select(
             "event_type",
             "hour_us",
             "s_c",
-            "cusum_nc",
+            F.expr("CAST(cusum_dec AS BIGINT)").alias("cusum_nc"),
             F.expr(
-                f"CAST(cusum_nc > {CUSUM_H_HOURS} * total_c AS BIGINT)"
+                f"CAST(cusum_dec > CAST({CUSUM_H_HOURS} AS DECIMAL(19,0))"
+                " * total_c AS BIGINT)"
             ).alias("alarm"),
         )
     )
@@ -899,14 +954,17 @@ d AS (
          CAST(SUM(s_c) OVER (PARTITION BY event_type) AS BIGINT) AS total_c
   FROM hourly),
 ps AS (
+  -- HUGEINT accumulation mirrors the Spark side's DECIMAL(38,0):
+  -- n_hours*s_c and the prefix sum grow past 2^63 at real volume
   SELECT event_type, hour_us, s_c, total_c,
-         CAST(SUM(n_hours * s_c - total_c) OVER w AS BIGINT) AS ps
+         SUM(CAST(n_hours AS HUGEINT) * s_c - total_c) OVER w AS ps
   FROM d
   WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT event_type, hour_us, s_c,
        CAST(ps - LEAST(MIN(ps) OVER w, 0) AS BIGINT) AS cusum_nc,
-       CAST(ps - LEAST(MIN(ps) OVER w, 0) > {CUSUM_H_HOURS} * total_c
+       CAST(ps - LEAST(MIN(ps) OVER w, 0)
+              > CAST({CUSUM_H_HOURS} AS HUGEINT) * total_c
             AS BIGINT) AS alarm
 FROM ps
 WINDOW w AS (PARTITION BY event_type ORDER BY hour_us

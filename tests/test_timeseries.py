@@ -252,3 +252,43 @@ def test_hll_exact_twin_bounds_hll_estimate(spark):
         assert abs(est[r.event_type] - r.exact_distinct_users) <= max(
             0.08 * r.exact_distinct_users, 2
         )
+
+
+def test_ohlc_duplicate_ts_tie_breaks_on_event_id(spark, tmp_path):
+    """Two events in one bar sharing an exact timestamp: open/close
+    must pick the smaller/larger event_id's value (the packed
+    ts||event_id ordering key), not an engine- or scan-order-dependent
+    row. Before the round-7 fix the key was ts alone and a tie made
+    min_by/arg_max nondeterministic across engines/runs."""
+    import datetime as dt
+
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = {
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([t0, t0, t0, t0 + dt.timedelta(minutes=5)],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([7, 8, 9, 10], type=pa.int64()),
+        "event_type": ["click"] * 4,
+        "value": pa.array([5.0, 1.0, 9.0, 4.0], type=pa.float64()),
+        "props": ["{}"] * 4,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+    got = timeseries.q_events_ohlc(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    bar = got[0]
+    # tie at t0: event_id 1 (value 5.0) wins open; close is the
+    # later-ts event regardless of the tie
+    assert bar["open"] == 5.0 and bar["close"] == 4.0
+    assert bar["high"] == 9.0 and bar["low"] == 1.0
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    d = con.execute(timeseries.Q_EVENTS_OHLC_SQL).fetchall()
+    assert len(d) == 1
+    drow = dict(zip([c[0] for c in con.description], d[0]))
+    assert drow["open"] == bar["open"] and drow["close"] == bar["close"]
