@@ -86,6 +86,33 @@ def _best_cluster_struct_sql(
     )
 
 
+def _seed_cents(points: DataFrame) -> list[tuple[int, list[float]]]:
+    """Seed centroids (vec_id < KMEANS_K, sorted by id) — the ONE seed
+    selection kmeans / SemDeDup / outlier-pruning all share; a seed-rule
+    change edited here reaches every cell-assignment op (three verbatim
+    copies previously had to be retuned in lockstep)."""
+    cents = [
+        (int(r.vec_id), [float(v) for v in r.x])
+        for r in points.filter(F.col("vec_id") < KMEANS_K).collect()
+    ]
+    cents.sort()
+    return cents
+
+
+# Shared oracle fragments: the quantization (q) and seed-centroid (s)
+# CTEs every cell-assignment oracle (kmeans / semdedup / outliers)
+# composes — so a retune of the quantization scale, K, or the seed
+# rule cannot silently split sibling queries across engines.
+_Q_QUANT_DUCK = f"""q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(CAST(round(CAST(v AS DOUBLE) * {EMBED_QUANT}) AS BIGINT) AS DOUBLE)) AS x
+  FROM embeddings)"""
+_SEEDS_DUCK = f"""s AS (
+  SELECT vec_id AS cid, x AS c, list_dot_product(x, x) AS cnorm
+  FROM q WHERE vec_id < {KMEANS_K})"""
+
+
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster assignment after KMEANS_ITERS Lloyd iterations
     (seeds = vec_id < K). Returns every vector's final cluster plus the
@@ -98,11 +125,7 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen, no join at all) plus one tiny (cluster, dim) shuffle for
     the update. Data never leaves the executors."""
     points = _points(spark, sf_dir).cache()
-    cents = [
-        (int(r.vec_id), [float(v) for v in r.x])
-        for r in points.filter(F.col("vec_id") < KMEANS_K).collect()
-    ]
-    cents.sort()
+    cents = _seed_cents(points)
     for _ in range(KMEANS_ITERS):
         assigned = points.select(
             "vec_id", "x", _best_cluster_expr(cents).alias("cluster")
@@ -141,17 +164,10 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_kmeans_sql() -> str:
     dot = "list_dot_product({a}, {b})"
-    ctes = [
-        f"""q AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           v -> CAST(CAST(round(CAST(v AS DOUBLE) * {EMBED_QUANT}) AS BIGINT) AS DOUBLE)) AS x
-  FROM embeddings)""",
-        f"""c0 AS (
-  SELECT vec_id AS cid, x AS c, {dot.format(a='x', b='x')} AS cnorm
-  FROM q WHERE vec_id < {KMEANS_K})""",
-    ]
-    prev = "c0"
+    # iteration-0 centroids ARE the shared seed CTE (the same q/s
+    # fragments the semdedup/outlier oracles compose)
+    ctes = [_Q_QUANT_DUCK, _SEEDS_DUCK]
+    prev = "s"
     for i in range(1, KMEANS_ITERS + 1):
         ctes.append(f"""a{i} AS (
   SELECT vec_id, cid AS cluster FROM (
@@ -224,11 +240,7 @@ def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     points = _points(spark, sf_dir)
-    cents = [
-        (int(r.vec_id), [float(v) for v in r.x])
-        for r in points.filter(F.col("vec_id") < KMEANS_K).collect()
-    ]
-    cents.sort()
+    cents = _seed_cents(points)
     cells = points.select(
         "vec_id", "x", _best_cluster_expr(cents).alias("cell")
     )
@@ -260,14 +272,8 @@ def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_EMBED_SEMDEDUP_SQL = f"""
-WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           v -> CAST(CAST(round(CAST(v AS DOUBLE) * {EMBED_QUANT}) AS BIGINT) AS DOUBLE)) AS x
-  FROM embeddings),
-s AS (
-  SELECT vec_id AS cid, x AS c, list_dot_product(x, x) AS cnorm
-  FROM q WHERE vec_id < {KMEANS_K}),
+WITH {_Q_QUANT_DUCK},
+{_SEEDS_DUCK},
 a AS (
   SELECT vec_id, x, cid AS cell FROM (
     SELECT q.vec_id, q.x, s.cid,
@@ -308,11 +314,7 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank, count) window. Nothing is all-pairs and the model state is
     O(K×dim) literals."""
     points = _points(spark, sf_dir)
-    cents = [
-        (int(r.vec_id), [float(v) for v in r.x])
-        for r in points.filter(F.col("vec_id") < KMEANS_K).collect()
-    ]
-    cents.sort()
+    cents = _seed_cents(points)
     best = _best_cluster_struct_sql(cents, "x")
     xx = "aggregate(zip_with(x, x, (a, b) -> a * b), 0.0D, (acc, v) -> acc + v)"
     assigned = points.select(
@@ -338,14 +340,8 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_EMBED_OUTLIERS_SQL = f"""
-WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           v -> CAST(CAST(round(CAST(v AS DOUBLE) * {EMBED_QUANT}) AS BIGINT) AS DOUBLE)) AS x
-  FROM embeddings),
-s AS (
-  SELECT vec_id AS cid, x AS c, list_dot_product(x, x) AS cnorm
-  FROM q WHERE vec_id < {KMEANS_K}),
+WITH {_Q_QUANT_DUCK},
+{_SEEDS_DUCK},
 a AS (
   SELECT vec_id, CAST(cid AS BIGINT) AS cell, CAST(score + xx AS BIGINT) AS dist2
   FROM (
@@ -547,8 +543,17 @@ def q_embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         qe.mapInPandas(gram_partials, schema)
         .groupBy("i", "j")
         .agg(
-            F.expr("CAST(SUM(n_p) AS BIGINT)").alias("n"),
-            F.expr("CAST(SUM(g_p) AS BIGINT)").alias("g"),
+            # DECIMAL(38,0) internal accumulator, same rule as
+            # q_embed_covariance above: per-row g_p products reach
+            # PI_QUANT² = 2^40-ish, so the cross-batch total crosses
+            # 2^63 around ~1e13 rows and non-ANSI SUM(BIGINT) would
+            # wrap SILENTLY (the oracle's HUGEINT sum stays exact).
+            F.expr("CAST(SUM(CAST(n_p AS DECIMAL(38,0))) AS BIGINT)").alias(
+                "n"
+            ),
+            F.expr("CAST(SUM(CAST(g_p AS DECIMAL(38,0))) AS BIGINT)").alias(
+                "g"
+            ),
         )
         .collect()
     )

@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_ij_spark.operators.dedup import COS_DUCK, COS_SPARK, emb_with_norm
+from spark_ij_spark.operators.dedup import (
+    COS_DUCK,
+    COS_SPARK,
+    EMBED_QUANT,
+    emb_with_norm,
+)
 from spark_ij_spark.operators.text import hash60_duck, hash60_spark
 
 TOPK = 5
@@ -36,7 +41,12 @@ LSH_TOPK = 3
 N_QUERIES = 20      # query set = vec_id < N_QUERIES
 LSH_NBITS = 8
 DIM = 64
-QUANT = 1000000.0   # float → integer quantization scale for projections
+# float → integer quantization scale for projections/PQ — DEFINED AS
+# dedup.EMBED_QUANT (not a lookalike literal): the PQ Spark path
+# quantizes via dedup.quantized_embeddings, so an independent constant
+# here would let one retune silently desync codebooks/codes/LUT
+# between the Spark queries and the DuckDB oracles built from QUANT.
+QUANT = EMBED_QUANT
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,6 +250,17 @@ SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {LSH_TOP
 
 
 IVF_NLIST = 16    # cells (seed centroids = the NLIST lowest vec_ids)
+
+# query/vector-to-seed cosine over the a (vector) × b (seed) aliases —
+# ONE copy of the fold expression whose bit-identity with DuckDB's
+# list_dot_product the determinism contract rests on; cell assignment
+# and probe selection must never score with two drifted variants.
+_SEED_COS_SPARK = (
+    "aggregate(zip_with(a.embedding, b.s_emb,"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    " / (a.nrm * b.s_nrm)"
+)
 IVF_NPROBE = 4    # cells probed per query
 IVF_TOPK = 3
 
@@ -267,12 +288,7 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.seed_id").alias("seed_id"),
-            F.expr(
-                "aggregate(zip_with(a.embedding, b.s_emb,"
-                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-                " / (a.nrm * b.s_nrm)"
-            ).alias("cos"),
+            F.expr(_SEED_COS_SPARK).alias("cos"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("seed_id"))
@@ -328,12 +344,7 @@ def ivf_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("ia"),
             F.col("b.seed_id").alias("cell"),
-            F.expr(
-                "aggregate(zip_with(a.embedding, b.s_emb,"
-                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-                " / (a.nrm * b.s_nrm)"
-            ).alias("cos"),
+            F.expr(_SEED_COS_SPARK).alias("cos"),
         )
     )
     wq = Window.partitionBy("ia").orderBy(F.desc("cos"), F.asc("cell"))
@@ -359,15 +370,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest cells, exact cosine re-rank within probed cells. Candidate
     generation is an equi-join on cell id; at 100 TB the inverted file
     is the partitioning key and each probe touches 1/NLIST of data."""
-    from pyspark.sql.window import Window
-
-    scored = ivf_scored_candidates(spark, sf_dir)
-    w = Window.partitionBy("ia").orderBy(F.desc("cos"), F.asc("ib"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= IVF_TOPK)
-        .select("ia", "ib", "rank", F.expr("round(cos, 6)").alias("cos_sim"))
-    )
+    return _topk_rerank(ivf_scored_candidates(spark, sf_dir), IVF_TOPK)
 
 
 _IVF_RESCORED_DUCK = f"""
@@ -417,19 +420,12 @@ def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (never all-pairs), exact re-rank, one window keyed by
     query id; the dup filter is a map-only predicate on the candidate
     stream, NOT a join against the dedup pair set."""
-    from pyspark.sql.window import Window
-
     from spark_ij_spark.operators.dedup import EMBED_COS_THRESHOLD
 
     scored = ivf_scored_candidates(spark, sf_dir).filter(
         F.col("cos") < EMBED_COS_THRESHOLD
     )
-    w = Window.partitionBy("ia").orderBy(F.desc("cos"), F.asc("ib"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= HN_K)
-        .select("ia", "ib", "rank", F.expr("round(cos, 6)").alias("cos_sim"))
-    )
+    return _topk_rerank(scored, HN_K)
 
 
 def _hard_negatives_sql() -> str:
