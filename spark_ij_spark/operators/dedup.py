@@ -134,6 +134,16 @@ _POSTINGS_DUCK = f"""
 """
 
 
+# 6-decimal rounding of integer-ratio quotients (jaccard/containment/
+# clustering coefficient) relies on Spark round(DOUBLE) being HALF-UP
+# like DuckDB's, INCLUDING at exact binary-fraction ties (97/128 =
+# 0.7578125 → 0.757813 on both engines; empirically probed, and
+# guarded by tests/test_north_star.py::test_round_agrees_at_exact_
+# binary_fraction_tie). The half-even divergence CLAUDE.md documents
+# for embed_power_iteration does NOT apply to round(DOUBLE, 6) — do
+# NOT "fix" these with a floor(x*1e6+0.5)/1e6 form: the 1000000.0
+# literal parses as DECIMAL in Spark and poisons the output type.
+
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     """Inverted-index self-join → (da, db, jaccard) for all co-shingled
     pairs. Shuffles on the shingle key, then on the (da, db) pair key —
@@ -634,6 +644,19 @@ def cc_partitions(n_edges: int) -> int:
     return max(CC_MIN_PARTITIONS, math.ceil(n_edges / CC_TARGET_EDGES_PER_PARTITION))
 
 
+def jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded near-dup edge list (da < db, jaccard >= t), cached —
+    the ONE pair generator the graph family (clusters, triangles,
+    k-core, source matrix) builds on, so a threshold or cap retune
+    reaches every consumer (previously four verbatim copies)."""
+    return (
+        _jaccard_pairs(shingle_postings(spark, sf_dir))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("da", "db")
+        .cache()
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the Jaccard≥t
     pair graph via iterative min-label propagation (the Spark shape of
@@ -645,12 +668,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: rounds = O(component diameter) ≈ small for dup clusters;
     each round shuffles O(edges). This is the large-graph-safe
     alternative to collecting edges driver-side."""
-    edges = (
-        _jaccard_pairs(shingle_postings(spark, sf_dir))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("da", "db")
-        .cache()
-    )
+    edges = jaccard_edges(spark, sf_dir)
     # The pair graph is tiny relative to the corpus (that's the point of
     # dedup), but "tiny" spans orders of magnitude between sf0.01 and
     # 100 TB — size the loop frames from the MEASURED edge count (this
@@ -672,6 +690,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .repartition(n_parts, "doc_id")
     )
+    converged = False
     for _ in range(CC_MAX_ROUNDS):
         neighbor_min = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -697,7 +716,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Returning intermediate labels would SILENTLY diverge from the
+        # oracle's exact transitive closure (and feed wrong reps to the
+        # keeper/leakage-split consumers) — fail loudly instead; a
+        # >20-hop component diameter means CC_MAX_ROUNDS needs raising
+        # (or pointer-jumping) for this graph.
+        raise RuntimeError(
+            f"CC label propagation did not reach fixpoint within"
+            f" {CC_MAX_ROUNDS} rounds; raise CC_MAX_ROUNDS"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 
@@ -936,9 +966,14 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.5x on the loop at sf0.1).
     Determinism: pure integer fixed-point (see constants above); no
     float accumulates anywhere, so summation order is irrelevant."""
+    # cache BEFORE the self-union: the union references `edges` twice,
+    # and uncached each branch independently re-runs the whole
+    # quantize→cogroup→matmul embedding pipeline (ReuseExchange cannot
+    # dedupe post-exchange applyInPandas work) — same hazard the kcore
+    # loop documents for its edge frame.
     edges = q_dedup_embedding(spark, sf_dir).select(
         F.col("ia").alias("src"), F.col("ib").alias("dst")
-    )
+    ).cache()
     sym0 = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
@@ -1042,12 +1077,7 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is generated exactly once, then credited to its 3 vertices with
     one explode + count.
     """
-    edges = (
-        _jaccard_pairs(shingle_postings(spark, sf_dir))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("da", "db")
-        .cache()
-    )
+    edges = jaccard_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("da").alias("v"))
         .union(edges.select(F.col("db").alias("v")))
@@ -1177,18 +1207,20 @@ def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Peeling converges in O(peeling depth) rounds independent of graph
     size, and each round's cost shrinks monotonically.
     """
-    # cache(): the symmetrization references `edges` twice — uncached,
-    # each union branch re-runs the inverted-index self-join + pair
-    # aggregate (only the postings inside _jaccard_pairs are cached).
-    edges = (
-        _jaccard_pairs(shingle_postings(spark, sf_dir))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("da", "db")
-        .cache()
-    )
+    # jaccard_edges is cache()d: the symmetrization references it twice
+    # — uncached, each union branch re-runs the inverted-index
+    # self-join + pair aggregate.
+    edges = jaccard_edges(spark, sf_dir)
+    # Size the checkpointed loop frame from the measured edge count
+    # (CLAUDE.md iterative-loop rule, same as the CC/PageRank loops):
+    # the edges.count() also materializes the shared edge cache. The
+    # per-round aggregate/join shuffles are AQE-coalesced; this keeps
+    # the checkpoint storage and the count() probes right-sized.
+    n_parts = cc_partitions(2 * edges.count())
     cur = (
         edges.select(F.col("da").alias("src"), F.col("db").alias("dst"))
         .union(edges.select(F.col("db").alias("src"), F.col("da").alias("dst")))
+        .repartition(n_parts, "src")
         .localCheckpoint()
     )
     # Early exit when a peel removes nothing: rounds past the fixpoint
@@ -1208,6 +1240,7 @@ def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
+            .repartition(n_parts, "src")
             .localCheckpoint()
         )
         n = cur.count()
@@ -1774,12 +1807,7 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: source pair canonicalized with least/greatest
     (identical lexicographic VARCHAR compare both engines); counts
     are BIGINT."""
-    pairs = (
-        _jaccard_pairs(shingle_postings(spark, sf_dir))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("da", "db")
-        .cache()
-    )
+    pairs = jaccard_edges(spark, sf_dir)
     ids = (
         pairs.select(F.col("da").alias("doc_id"))
         .union(pairs.select(F.col("db").alias("doc_id")))

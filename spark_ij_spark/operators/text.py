@@ -975,11 +975,10 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bytes",
             "n_compressed",
             F.expr("(n_compressed * 1000) div n_bytes").alias("ratio_pm"),
-            (
-                F.expr("(n_compressed * 1000) div n_bytes")
-                < int(LOW_INFO_RATIO * 1000)
-            ).alias("low_info"),
         )
+        # derive the flag from the EMITTED ratio column so threshold
+        # and reported value can never use two drifted expressions
+        .withColumn("low_info", F.col("ratio_pm") < int(LOW_INFO_RATIO * 1000))
     )
 
 

@@ -685,3 +685,19 @@ def test_lsh_audit_dup_free_corpus_emits_sentinel_row(spark, tmp_path):
     r = row[0]
     assert (r["n_candidates"], r["n_truth"], r["n_hits"]) == (0, 0, 0)
     assert (r["precision_ppm"], r["recall_ppm"]) == (-1, -1)
+
+
+def test_round_agrees_at_exact_binary_fraction_tie(spark, duck):
+    """The dedup jaccard/containment columns round integer-ratio
+    quotients with round(DOUBLE, 6); power-of-two denominators land
+    EXACTLY on 6-decimal ties (97/128 = 0.7578125), so this only
+    hash-matches while Spark's round(DOUBLE) stays HALF-UP like
+    DuckDB's (it does — Java BigDecimal HALF_UP under the hood). If a
+    Spark version ever switches these to half-even, this canary fails
+    before the dedup family silently diverges. (Do NOT "fix" with
+    floor(x*1e6+0.5)/1e6: the 1e6 literal parses as DECIMAL in Spark
+    and poisons the output type.)"""
+    tie = "CAST(97 AS DOUBLE) / 128"
+    s_round = spark.sql(f"SELECT round({tie}, 6) AS v").collect()[0]["v"]
+    d_round = duck.execute(f"SELECT round({tie}, 6) AS v").fetchone()[0]
+    assert s_round == d_round == 0.757813
