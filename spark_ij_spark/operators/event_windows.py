@@ -60,8 +60,11 @@ GROUP BY ws, event_type
 
 def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (30-min gap), batch session_window.
-    Semantics: window end = last event + gap, exclusive — an event at
-    exactly last+gap starts a new session."""
+    Semantics: window end = last event + gap; an event at EXACTLY
+    last+gap still MERGES into the session (Spark session_window
+    treats the boundary inclusively — empirically probed: events at
+    00:00 and 00:30 form ONE session with a 30-min gap). The oracle's
+    gaps-and-islands split therefore uses strict '>', not '>='."""
     return (
         _events(spark, sf_dir)
         .groupBy(
@@ -87,7 +90,7 @@ WITH o AS (
 f AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN prev IS NULL
-                OR ts - prev >= INTERVAL '{SESSION_GAP_MIN} minutes'
+                OR ts - prev > INTERVAL '{SESSION_GAP_MIN} minutes'
               THEN 1 ELSE 0 END AS new_s
   FROM o),
 s AS (
@@ -205,9 +208,14 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
+    # cache: dev feeds BOTH the MAD calibration aggregate and the final
+    # outlier count — uncached, the events scan (plus the median
+    # aggregate feeding the broadcast) re-runs for each consumer
+    # (4 fact scans measured in the executed plan).
     dev = (
         ev.join(F.broadcast(med), "event_type")
         .select("event_type", "med", "value")
+        .cache()
     )
     mad = (
         dev.groupBy("event_type")
@@ -903,7 +911,11 @@ def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs; lift/PMI are fixed IEEE double sequences from those ints
     (ln bit-identity verified across engines — see text_surprisal)."""
     ev = _events(spark, sf_dir)
-    ut = ev.select("user_id", "event_type").distinct()
+    # cache: ut feeds FOUR subtrees (both pair-join sides, the user
+    # count, the marginals) — uncached, the corpus scan + distinct
+    # shuffle re-runs for each (5 fact scans measured in the executed
+    # plan); cached, the distinct collapse materializes once.
+    ut = ev.select("user_id", "event_type").distinct().cache()
     # Calibrate-then-apply (CLAUDE.md): the user count rides along as a
     # broadcast 1-row frame, not a driver-side .count() — an eager
     # action here would scan the corpus at plan-build time and again
@@ -1083,9 +1095,13 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("last_touch"),
             F.expr("CAST(SUM(c_jt) AS BIGINT)").alias("touches"),
+            # ~1e6 per converted journey: the total GROWS with corpus
+            # rows, so widen internally (DECIMAL(38,0), the
+            # embed_covariance pattern) — DuckDB's SUM is HUGEINT
+            # already; raw SUM(BIGINT) would wrap silently past 2^63.
             F.expr(
-                f"CAST(SUM(({ATTR_CREDIT_SCALE} * c_jt) DIV n_touches)"
-                " AS BIGINT)"
+                f"CAST(SUM(CAST(({ATTR_CREDIT_SCALE} * c_jt) DIV n_touches"
+                " AS DECIMAL(38,0))) AS BIGINT)"
             ).alias("linear_credit_ppm"),
         )
         .orderBy("touch_type")

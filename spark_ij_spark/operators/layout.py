@@ -139,11 +139,16 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row aggregate (calibrate-then-apply — a ``MIN(x) OVER ()``
     global window funnels the whole table through ONE reducer just to
     produce 4 scalars; at 100 TB the bounds come from table statistics
-    and the cross join disappears entirely). The bucket split uses
-    ``ntile`` over the z order, semantically
-    ``repartitionByRange(zval)`` — the sample-based range partitioner
-    a real layout write uses (one shuffle, parallel per-range sort, no
-    driver sort). The aggregate after it is O(Z_BUCKETS) rows."""
+    and the cross join disappears entirely). The bucket split here is
+    ``ntile`` over an UNPARTITIONED window — a single-reducer global
+    sort that is only acceptable as the oracle-exact audit form at
+    test SF (exact equal-count buckets, deterministic hash). The
+    production write is ``repartitionByRange(zval)`` — sample-based
+    range edges, one shuffle, parallel per-range sort — whose buckets
+    are approximately, not exactly, equal; its edges can be audited
+    with this query by swapping the ntile for calibrated z-range
+    edges broadcast back (calibrate-then-apply). The aggregate after
+    the split is O(Z_BUCKETS) rows either way."""
     from pyspark.sql import Window
 
     orders = load_tables(spark, sf_dir, ["orders"])["orders"]
@@ -363,7 +368,12 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     because a manifest is ~10^5 rows when the table is 10^11. All
     arithmetic is BIGINT (DIV both engines), so the plan hash-matches
     DuckDB exactly."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from spark_ij_spark.operators.text import _docs
+
+    docs = _docs(spark, sf_dir)
+    # cache: manifest feeds both the per-source targets aggregate and
+    # the planning join — uncached, the corpus scan + manifest shuffle
+    # run twice; cached it is O(sources × buckets) metadata rows.
     manifest = (
         docs.groupBy(
             "source",
@@ -373,6 +383,7 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("file_bytes"),
             F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
         )
+        .cache()
     )
     targets = manifest.groupBy("source").agg(
         F.expr(

@@ -151,13 +151,22 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard, Spark's ANSI mode throws DIVIDE_BY_ZERO where DuckDB
     silently NULLs — an engine divergence AND a crashed grade."""
     ev = load_tables(spark, sf_dir, ["events"])["events"]
+    # cache: hourly feeds BOTH the stats calibration aggregate and the
+    # join left side — uncached, the events scan + (type, hour) shuffle
+    # run twice per execution; cached it is O(types × hours) rows.
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")).cache()
     stats = hourly.groupBy("event_type").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("nh"),
         F.expr("CAST(SUM(n) AS BIGINT)").alias("s1"),
-        F.expr("CAST(SUM(n * n) AS BIGINT)").alias("s2"),
+        # moment partial GROWS with corpus volume: widen the product
+        # and its sum internally (DECIMAL(38,0), the embed_covariance
+        # pattern; oracle uses HUGEINT) — raw n*n wraps/throws past
+        # hourly counts of ~3e9.
+        F.expr(
+            "CAST(SUM(CAST(n AS DECIMAL(19,0)) * n) AS BIGINT)"
+        ).alias("s2"),
     )
     z = _Z_EXPR
     return (
@@ -193,7 +202,8 @@ WITH hourly AS (
   FROM events GROUP BY 1, 2),
 stats AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
-         CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
+         CAST(SUM(n) AS BIGINT) AS s1,
+         CAST(SUM(CAST(n AS HUGEINT) * n) AS BIGINT) AS s2
   FROM hourly GROUP BY 1)
 SELECT event_type, h AS hour, n, round({_Z_DUCK}, 6) AS z
 FROM hourly JOIN stats USING (event_type)
@@ -224,9 +234,9 @@ def q_docs_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the identical fixed sequence of IEEE double ops in both
     engines (ln over rationals of exact integers), rounded in-engine
     for display."""
-    from spark_ij_spark.operators.text import hash60_spark
+    from spark_ij_spark.operators.text import _docs, hash60_spark
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     h = hash60_spark("concat('psi:', CAST(doc_id AS STRING))")
     binned = docs.select(
         F.expr(
@@ -308,9 +318,11 @@ def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated frame only). Ratios are doubles from exact integer
     counts — deterministic in both engines."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    # cache: counts feeds both the 1-row totals re-aggregate and the
+    # crossJoin — uncached, the fact scan + per-key groupBy run twice.
     counts = li.groupBy("l_partkey").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt")
-    )
+    ).cache()
     totals = counts.agg(
         F.expr("CAST(SUM(cnt) AS BIGINT)").alias("total"),
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("nkeys"),
@@ -357,7 +369,9 @@ def q_integrity_docs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: key-only projections of both tables into one
     co-partitioned full outer join, aggregated map-side to a single
     row; no table is scanned twice."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    from spark_ij_spark.operators.text import _docs
+
+    docs = _docs(spark, sf_dir).select("doc_id")
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
     return (
         docs.join(vecs, docs.doc_id == vecs.vec_id, "full_outer")

@@ -610,7 +610,11 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("p_ts")
     )
-    converted = (
+    # first_click is constant per user inside the group, so carry it
+    # through the aggregate (MIN) instead of re-joining first_click —
+    # the re-join recomputed the click aggregate over events a second
+    # time plus an extra shuffle join for an identical result.
+    return (
         first_click.join(purchases, "user_id")
         .where(
             (F.col("p_ts") >= F.col("first_click"))
@@ -618,12 +622,13 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(
+            F.min("first_click").alias("first_click"),
             F.min("p_ts").alias("first_purchase"),
             F.count("*").alias("n_purchases_in_window"),
         )
-    )
-    return converted.join(first_click, "user_id").select(
-        "user_id", "first_click", "first_purchase", "n_purchases_in_window"
+        .select(
+            "user_id", "first_click", "first_purchase", "n_purchases_in_window"
+        )
     )
 
 
@@ -870,6 +875,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(dsum("l_extendedprice * (1 - l_discount)", 6, "total_revenue"))
+        # cache: rev feeds both the 1-row MAX re-aggregate and the
+        # equality join — uncached, the filtered lineitem scan + per-
+        # suppkey aggregate run twice; cached it is O(suppliers) rows.
+        .cache()
     )
     top = F.broadcast(rev.agg(F.max("total_revenue").alias("max_revenue")))
     rev = rev.join(top, F.col("total_revenue") == F.col("max_revenue")).drop(
@@ -1004,9 +1013,9 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot surface: hour-of-day event counts, one column per type.
 
-    groupBy(month).pivot(type, fixed_list).count() plans as two keyed
-    partial-aggregated shuffles: (month, type) pair counts, then a
-    pivot_first assembly over the O(months × types) aggregated rows —
+    groupBy(hour).pivot(type, fixed_list).count() plans as two keyed
+    partial-aggregated shuffles: (hour, type) pair counts, then a
+    pivot_first assembly over the O(24 × types) aggregated rows —
     the second exchange carries group counts, not events. Passing the
     fixed value list skips the distinct-values pre-job Spark otherwise
     runs. Missing combinations coalesce to 0 so the output is
@@ -1373,6 +1382,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         supply.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(eu_nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("l_partkey", "supply_cost", "s_acctbal", "s_name", "n_name")
+        # cache: eu_supply feeds both the per-part MIN and the equality
+        # join back — uncached, the lineitem aggregate + supplier/
+        # nation joins execute twice; cached it is O(EU part×supplier).
+        .cache()
     )
     min_cost = eu_supply.groupBy(F.col("l_partkey").alias("mk")).agg(
         F.min("supply_cost").alias("min_cost")
@@ -1520,6 +1533,10 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_suppkey", "l_quantity")
+        # cache: li feeds BOTH decorrelated aggregates — uncached, the
+        # filtered lineitem scan + widget broadcast join run twice
+        # (2 fact FileScans measured in the executed plan).
+        .cache()
     )
     per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
         dsum("l_quantity", 2, "supp_qty")

@@ -135,3 +135,41 @@ def test_session_paths_prefix_and_conversion_semantics(spark):
         assert 0 <= r.n_converted <= r.n_sessions
         if "purchase" in steps:
             assert r.n_converted == r.n_sessions
+
+
+def test_session_boundary_event_at_exactly_gap_merges(spark, tmp_path):
+    """Spark session_window treats an event at EXACTLY last_ts + gap as
+    part of the same session (inclusive boundary, empirically probed);
+    the oracle's gaps-and-islands split must therefore use strict '>'.
+    Before the round-7 fix the oracle used '>=' and split this case
+    into two sessions — a hash divergence waiting for the first
+    exact-1800s gap in the data."""
+    import datetime as dt
+
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    gap = dt.timedelta(minutes=event_windows.SESSION_GAP_MIN)
+    rows = {
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "ts": pa.array([t0, t0 + gap, t0 + 3 * gap], type=pa.timestamp("us")),
+        "user_id": pa.array([42, 42, 42], type=pa.int64()),
+        "event_type": ["click"] * 3,
+        "value": pa.array([1.0, 2.0, 3.0], type=pa.float64()),
+        "props": ["{}"] * 3,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+    got = sorted(
+        event_windows.q_events_session(spark, str(tmp_path)).collect(),
+        key=lambda r: r["session_start"],
+    )
+    # events 1+2 (exactly gap apart) merge; event 3 (2 gaps later) splits
+    assert [r["n_events"] for r in got] == [2, 1]
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    d = con.execute(event_windows.Q_EVENTS_SESSION_SQL).fetchall()
+    assert sorted(r[3] for r in d) == [1, 2]  # n_events per session
