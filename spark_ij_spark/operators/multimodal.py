@@ -215,6 +215,20 @@ def media_features(media_col: str | Column) -> Column:
         rows = []
         for r in media.itertuples(index=False):
             arr = decode_media_bytes(r.data, r.mime).astype("float64")
+            if arr.size == 0:
+                # a valid 0-sample payload (empty WAV/AVI) decodes to a
+                # zero-size array; min/max have no identity and would
+                # kill the whole Arrow batch — emit NaN features instead
+                rows.append(
+                    {
+                        "mean": float("nan"),
+                        "std": float("nan"),
+                        "p_min": float("nan"),
+                        "p_max": float("nan"),
+                        "n_px": 0,
+                    }
+                )
+                continue
             rows.append(
                 {
                     "mean": float(arr.mean()),
@@ -305,7 +319,13 @@ def video_from_frames(pixels_col: str | Column) -> Column:
         for s in pixels:
             x = np.asarray(s, dtype=np.uint8)
             n = x.size // (SCENE_W * SCENE_H)
-            arr = x.reshape(n, SCENE_H, SCENE_W).transpose(1, 2, 0)
+            # truncate a partial trailing frame: reshape requires an
+            # exact multiple and would raise on stray pixels
+            arr = (
+                x[: n * SCENE_W * SCENE_H]
+                .reshape(n, SCENE_H, SCENE_W)
+                .transpose(1, 2, 0)
+            )
             rows.append(
                 {
                     "data": encode_avi(arr),
@@ -366,12 +386,24 @@ def audio_features(media_col: str | Column) -> Column:
     @F.pandas_udf(AUDIO_FEATURE_SCHEMA)
     def feats(media: pd.DataFrame) -> pd.DataFrame:
         rows = []
+        # int64 np.dot wraps SILENTLY past 2^63 (clip energy grows with
+        # clip length: x² ≤ ~1.07e9, so ~8.6e9 samples overflow) while
+        # the DuckDB oracle's HUGEINT sum stays exact — chunk the dot
+        # so each partial stays < 2^53 and accumulate in a Python int
+        # (arbitrary precision). A clip whose TOTAL exceeds int64 then
+        # fails loudly at the Arrow LongType cast, like the oracle's
+        # out-of-range CAST, instead of silently wrapping.
+        chunk = 1 << 23
         for r in media.itertuples(index=False):
             x = decode_wav(bytes(r.data))[0][:, 0].astype(np.int64)
+            energy = 0
+            for i in range(0, x.size, chunk):
+                c = x[i : i + chunk]
+                energy += int(np.dot(c, c))
             rows.append(
                 {
                     "n_samples": int(x.size),
-                    "energy": int(np.dot(x, x)),
+                    "energy": energy,
                     "zero_crossings": int(np.count_nonzero(x[:-1] * x[1:] < 0)),
                     "peak": int(np.abs(x).max()) if x.size else 0,
                 }
@@ -511,7 +543,6 @@ def q_media_feature_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.types import ArrayType
 
-    from spark_ij_spark.operators.image_queries import order_quantity_images
     from spark_ij_spark.operators.text import hash60_spark
 
     imgs = order_quantity_images(spark, sf_dir).select(

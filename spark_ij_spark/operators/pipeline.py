@@ -351,6 +351,78 @@ GOPHER_DUP_BIGRAM_FRAC_MAX = 0.06
 GOPHER_DUP_TRIGRAM_FRAC_MAX = 0.04
 
 
+# Per-doc metric/pass expression fragments over the toks/bgs/tgs
+# columns — the ONE Spark-side definition both the batch filters below
+# and the streaming ingest (streaming/documents.quality_flags) compose,
+# so a metric retune cannot silently fork the two code paths.
+GOPHER_TOP_FRAC_SPARK = (
+    "round(CAST(array_max(transform(array_distinct(toks),"
+    " w -> size(filter(toks, x -> x = w)))) AS DOUBLE)"
+    " / size(toks), 6)"
+)
+GOPHER_DUP_BI_SPARK = (
+    "round(CASE WHEN size(bgs) = 0 THEN 0.0 ELSE"
+    " 1.0 - CAST(size(array_distinct(bgs)) AS DOUBLE) / size(bgs)"
+    " END, 6)"
+)
+GOPHER_DUP_TRI_SPARK = (
+    "round(CASE WHEN size(tgs) = 0 THEN 0.0 ELSE"
+    " 1.0 - CAST(size(array_distinct(tgs)) AS DOUBLE) / size(tgs)"
+    " END, 6)"
+)
+
+
+def gopher_pass_spark() -> str:
+    """0/1 pass expression for the Gopher repetition rules."""
+    return (
+        f"CASE WHEN {GOPHER_TOP_FRAC_SPARK} <= {GOPHER_TOP_TOKEN_FRAC_MAX}"
+        f" AND {GOPHER_DUP_BI_SPARK} <= {GOPHER_DUP_BIGRAM_FRAC_MAX}"
+        f" AND {GOPHER_DUP_TRI_SPARK} <= {GOPHER_DUP_TRIGRAM_FRAC_MAX}"
+        " THEN 1 ELSE 0 END"
+    )
+
+
+# DuckDB twins of the metric/pass fragments above — composed by the
+# batch oracles here AND the streaming ingest oracle
+# (streaming/documents._ingest_audit_sql), one definition per engine.
+GOPHER_TOP_FRAC_DUCK = (
+    "round(CAST(list_max(list_transform(list_distinct(toks),"
+    " w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)"
+    " / len(toks), 6)"
+)
+GOPHER_DUP_BI_DUCK = (
+    "round(CASE WHEN len(bgs) = 0 THEN 0.0 ELSE"
+    " 1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) END, 6)"
+)
+GOPHER_DUP_TRI_DUCK = (
+    "round(CASE WHEN len(tgs) = 0 THEN 0.0 ELSE"
+    " 1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE) / len(tgs) END, 6)"
+)
+
+
+def gopher_pass_duck() -> str:
+    """0/1 pass expression for the Gopher rules (DuckDB)."""
+    return (
+        f"CASE WHEN {GOPHER_TOP_FRAC_DUCK} <= {GOPHER_TOP_TOKEN_FRAC_MAX}"
+        f" AND {GOPHER_DUP_BI_DUCK} <= {GOPHER_DUP_BIGRAM_FRAC_MAX}"
+        f" AND {GOPHER_DUP_TRI_DUCK} <= {GOPHER_DUP_TRIGRAM_FRAC_MAX}"
+        " THEN 1 ELSE 0 END"
+    )
+
+
+def c4_pass_duck() -> str:
+    """0/1 pass expression for the C4 rules (DuckDB)."""
+    stop = _in_list(EN_STOPWORDS)
+    return (
+        f"CASE WHEN len(toks) BETWEEN {C4_MIN_TOKENS} AND {C4_MAX_TOKENS}"
+        " AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)"
+        f" >= {C4_MIN_TTR}"
+        f" AND len(list_filter(toks, t -> t IN ({stop})))"
+        f" >= {C4_MIN_STOPWORDS}"
+        " THEN 1 ELSE 0 END"
+    )
+
+
 def q_pipeline_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality filter (the Gopher-rules family): a doc
     is dropped when its most-frequent token dominates, or too many of
@@ -366,21 +438,9 @@ def q_pipeline_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tgs", F.expr(SHINGLES_SPARK))
         .select(
             "lang",
-            F.expr(
-                "round(CAST(array_max(transform(array_distinct(toks),"
-                " w -> size(filter(toks, x -> x = w)))) AS DOUBLE)"
-                " / size(toks), 6)"
-            ).alias("top_frac"),
-            F.expr(
-                "round(CASE WHEN size(bgs) = 0 THEN 0.0 ELSE"
-                " 1.0 - CAST(size(array_distinct(bgs)) AS DOUBLE) / size(bgs)"
-                " END, 6)"
-            ).alias("dup_bi"),
-            F.expr(
-                "round(CASE WHEN size(tgs) = 0 THEN 0.0 ELSE"
-                " 1.0 - CAST(size(array_distinct(tgs)) AS DOUBLE) / size(tgs)"
-                " END, 6)"
-            ).alias("dup_tri"),
+            F.expr(GOPHER_TOP_FRAC_SPARK).alias("top_frac"),
+            F.expr(GOPHER_DUP_BI_SPARK).alias("dup_bi"),
+            F.expr(GOPHER_DUP_TRI_SPARK).alias("dup_tri"),
         )
         .withColumn(
             "keep",
@@ -413,13 +473,9 @@ b AS (
   SELECT lang, toks, {BIGRAMS_DUCK} AS bgs, {SHINGLES_DUCK} AS tgs FROM t),
 m AS (
   SELECT lang,
-         round(CAST(list_max(list_transform(list_distinct(toks),
-                 w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
-               / len(toks), 6) AS top_frac,
-         round(CASE WHEN len(bgs) = 0 THEN 0.0 ELSE
-           1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) END, 6) AS dup_bi,
-         round(CASE WHEN len(tgs) = 0 THEN 0.0 ELSE
-           1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE) / len(tgs) END, 6) AS dup_tri
+         {GOPHER_TOP_FRAC_DUCK} AS top_frac,
+         {GOPHER_DUP_BI_DUCK} AS dup_bi,
+         {GOPHER_DUP_TRI_DUCK} AS dup_tri
   FROM b),
 k AS (
   SELECT lang, top_frac, dup_bi,
@@ -444,6 +500,18 @@ C4_MIN_TOKENS = 20
 C4_MAX_TOKENS = 90
 C4_MIN_TTR = 0.33
 C4_MIN_STOPWORDS = 1
+
+
+def c4_pass_spark() -> str:
+    """0/1 pass expression for the C4 rules (over the toks column)."""
+    stop = _in_list(EN_STOPWORDS)
+    return (
+        f"CASE WHEN size(toks) BETWEEN {C4_MIN_TOKENS} AND {C4_MAX_TOKENS}"
+        " AND CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks)"
+        f" >= {C4_MIN_TTR}"
+        f" AND size(filter(toks, t -> t IN ({stop}))) >= {C4_MIN_STOPWORDS}"
+        " THEN 1 ELSE 0 END"
+    )
 
 
 def q_pipeline_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,21 +24,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from spark_ij_spark.operators.pipeline import (
-    C4_MIN_STOPWORDS,
-    C4_MIN_TOKENS,
-    C4_MAX_TOKENS,
-    C4_MIN_TTR,
-    GOPHER_DUP_BIGRAM_FRAC_MAX,
-    GOPHER_DUP_TRIGRAM_FRAC_MAX,
-    GOPHER_TOP_TOKEN_FRAC_MAX,
-)
+from spark_ij_spark.operators.pipeline import c4_pass_spark, gopher_pass_spark
 from spark_ij_spark.operators.text import (
     BIGRAMS_SPARK,
-    EN_STOPWORDS,
     SHINGLES_SPARK,
     TOKENS_SPARK,
-    _in_list,
 )
 
 DOCUMENTS_SCHEMA = StructType(
@@ -70,9 +60,10 @@ def read_documents_stream(
 def quality_flags(docs: DataFrame) -> DataFrame:
     """Per-doc Gopher repetition + C4 rule verdicts — one map-only
     projection, valid on a stream or a batch frame unchanged (the
-    stream==batch test relies on that). Mirrors the thresholds and
-    expression fragments of the batch ops exactly."""
-    stop = _in_list(EN_STOPWORDS)
+    stream==batch test relies on that). The pass expressions are the
+    pipeline module's OWN fragments (gopher_pass_spark/c4_pass_spark),
+    so the ingest filter can never silently diverge from the batch
+    filters it mirrors."""
     return (
         docs.withColumn("toks", F.expr(TOKENS_SPARK))
         .withColumn("bgs", F.expr(BIGRAMS_SPARK))
@@ -82,25 +73,8 @@ def quality_flags(docs: DataFrame) -> DataFrame:
             "lang",
             "source",
             "n_chars",
-            F.expr(
-                "CASE WHEN round(CAST(array_max(transform(array_distinct(toks),"
-                " w -> size(filter(toks, x -> x = w)))) AS DOUBLE)"
-                f" / size(toks), 6) <= {GOPHER_TOP_TOKEN_FRAC_MAX}"
-                " AND round(CASE WHEN size(bgs) = 0 THEN 0.0 ELSE"
-                " 1.0 - CAST(size(array_distinct(bgs)) AS DOUBLE) / size(bgs)"
-                f" END, 6) <= {GOPHER_DUP_BIGRAM_FRAC_MAX}"
-                " AND round(CASE WHEN size(tgs) = 0 THEN 0.0 ELSE"
-                " 1.0 - CAST(size(array_distinct(tgs)) AS DOUBLE) / size(tgs)"
-                f" END, 6) <= {GOPHER_DUP_TRIGRAM_FRAC_MAX}"
-                " THEN 1 ELSE 0 END"
-            ).alias("pass_gopher"),
-            F.expr(
-                f"CASE WHEN size(toks) BETWEEN {C4_MIN_TOKENS} AND {C4_MAX_TOKENS}"
-                " AND CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks)"
-                f" >= {C4_MIN_TTR}"
-                f" AND size(filter(toks, t -> t IN ({stop}))) >= {C4_MIN_STOPWORDS}"
-                " THEN 1 ELSE 0 END"
-            ).alias("pass_c4"),
+            F.expr(gopher_pass_spark()).alias("pass_gopher"),
+            F.expr(c4_pass_spark()).alias("pass_c4"),
         )
     )
 
@@ -140,13 +114,13 @@ def q_documents_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ingest_audit_sql() -> str:
+    from spark_ij_spark.operators.pipeline import c4_pass_duck, gopher_pass_duck
     from spark_ij_spark.operators.text import (
         BIGRAMS_DUCK,
         SHINGLES_DUCK,
         TOKENS_DUCK,
     )
 
-    stop = _in_list(EN_STOPWORDS)
     return f"""
 WITH t AS (
   SELECT source, {TOKENS_DUCK} AS toks FROM documents),
@@ -154,21 +128,8 @@ b AS (
   SELECT source, toks, {BIGRAMS_DUCK} AS bgs, {SHINGLES_DUCK} AS tgs FROM t),
 m AS (
   SELECT source,
-         CASE WHEN
-             round(CAST(list_max(list_transform(list_distinct(toks),
-                     w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
-                   / len(toks), 6) <= {GOPHER_TOP_TOKEN_FRAC_MAX}
-         AND round(CASE WHEN len(bgs) = 0 THEN 0.0 ELSE
-               1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) END, 6)
-             <= {GOPHER_DUP_BIGRAM_FRAC_MAX}
-         AND round(CASE WHEN len(tgs) = 0 THEN 0.0 ELSE
-               1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE) / len(tgs) END, 6)
-             <= {GOPHER_DUP_TRIGRAM_FRAC_MAX}
-         THEN 1 ELSE 0 END AS pass_gopher,
-         CASE WHEN len(toks) BETWEEN {C4_MIN_TOKENS} AND {C4_MAX_TOKENS}
-          AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= {C4_MIN_TTR}
-          AND len(list_filter(toks, t -> t IN ({stop}))) >= {C4_MIN_STOPWORDS}
-         THEN 1 ELSE 0 END AS pass_c4
+         {gopher_pass_duck()} AS pass_gopher,
+         {c4_pass_duck()} AS pass_c4
   FROM b)
 SELECT source, COUNT(*) AS n_seen,
        CAST(SUM(pass_gopher) AS BIGINT) AS n_pass_gopher,

@@ -34,7 +34,8 @@ from pyspark.sql.types import (
 # Raw parquet schema: ts is TIMESTAMP(NANOS). On Spark <4.1 it
 # surfaces as long (nanos) via spark.sql.legacy.parquet.nanosAsLong;
 # Spark 4.1+ reads it natively as timestamp_ntz (micros-truncated) and
-# ignores the legacy conf — _raw_ts_type() probes which world we're in.
+# ignores the legacy conf — read_events_stream probes which world
+# we're in (the batch-schema probe at its top).
 def _events_raw_schema(ts_type) -> StructType:
     return StructType(
         [
@@ -419,21 +420,14 @@ def user_high_watermarks(events: DataFrame) -> DataFrame:
     )
 
 
-def interval_join_purchase_click(
-    events: DataFrame,
-    lookback: str = "5 minutes",
-    watermark: str = DEFAULT_WATERMARK,
+def _interval_join(
+    events: DataFrame, lookback: str, watermark: str, how: str
 ) -> DataFrame:
-    """Stream-stream interval join: each purchase joined to the same
-    user's clicks in the trailing ``lookback`` window (attribution
-    candidates — the streaming sibling of the batch as-of / range joins
-    in ``operators/event_windows.py``).
-
-    Both sides carry watermarks, and the join condition bounds c_ts to
-    [p_ts - lookback, p_ts), so Spark can size and evict join state:
-    a click is droppable once the watermark passes its ts + lookback.
-    Unbounded-state stream joins (no time bound) do not survive a real
-    workload; the interval bound is what makes this a 100 TB/day op."""
+    """Shared body of the inner/left-outer interval joins: purchase and
+    click projections, per-side watermarks, and the state-evicting
+    [p_ts - lookback, p_ts) condition live HERE once — a lookback or
+    watermark fix edited in one variant can no longer leave the other
+    stale."""
     p = (
         events.filter(F.col("event_type") == "purchase")
         .select(
@@ -460,7 +454,26 @@ def interval_join_purchase_click(
             f" AND c_ts >= p_ts - interval {lookback}"
             f" AND c_ts < p_ts"
         ),
+        how,
     ).select("p_event_id", "p_user_id", "p_ts", "p_value", "c_ts", "c_value")
+
+
+def interval_join_purchase_click(
+    events: DataFrame,
+    lookback: str = "5 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the trailing ``lookback`` window (attribution
+    candidates — the streaming sibling of the batch as-of / range joins
+    in ``operators/event_windows.py``).
+
+    Both sides carry watermarks, and the join condition bounds c_ts to
+    [p_ts - lookback, p_ts), so Spark can size and evict join state:
+    a click is droppable once the watermark passes its ts + lookback.
+    Unbounded-state stream joins (no time bound) do not survive a real
+    workload; the interval bound is what makes this a 100 TB/day op."""
+    return _interval_join(events, lookback, watermark, "inner")
 
 
 def interval_join_left_outer(
@@ -482,34 +495,7 @@ def interval_join_left_outer(
     watermark, costing nothing extra. In batch the same expression
     degrades to a plain left join (watermark is a no-op), which the
     stream==batch pytest exploits."""
-    p = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("p_event_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("p_ts"),
-            F.col("value").alias("p_value"),
-        )
-        .withWatermark("p_ts", watermark)
-    )
-    c = (
-        events.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user_id"),
-            F.col("ts").alias("c_ts"),
-            F.col("value").alias("c_value"),
-        )
-        .withWatermark("c_ts", watermark)
-    )
-    return p.join(
-        c,
-        F.expr(
-            f"p_user_id = c_user_id"
-            f" AND c_ts >= p_ts - interval {lookback}"
-            f" AND c_ts < p_ts"
-        ),
-        "leftOuter",
-    ).select("p_event_id", "p_user_id", "p_ts", "p_value", "c_ts", "c_value")
+    return _interval_join(events, lookback, watermark, "leftOuter")
 
 
 def write_batch_idempotent(df: DataFrame, batch_id: int, path: str) -> None:

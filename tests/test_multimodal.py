@@ -241,3 +241,15 @@ def test_phash_groups_cover_corpus_and_exact_dups_collide(spark, sf_dir):
         multi = sum(r.n_docs for r in rows if r.n_docs > 1)
         assert multi >= sum(b["count"] for b in bags)
     del dedup  # imported for parity with other tests; silence linters
+
+
+def test_phash_dedup_matches_oracle(spark, duck):
+    """media_phash_dedup is driver-graded; the closed-form oracle must
+    also be gated locally (a one-sided PHASH_PIX_GAIN/threshold retune
+    would otherwise pass the suite and only fail at grading time)."""
+    assert_oracle_match(
+        spark,
+        duck,
+        mm.QUERIES["media_phash_dedup"],
+        mm.ORACLES["media_phash_dedup"],
+    )

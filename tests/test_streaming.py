@@ -539,3 +539,20 @@ def test_interval_join_left_outer_emits_unmatched_on_watermark(spark, tmp_path):
     assert by_id[3][4] is None and by_id[3][5] is None     # outer NULLs
     # sentinel never emits (horizon beyond end-of-stream watermark)
     assert got.where("p_event_id >= 100").count() == 0
+
+
+def test_documents_ingest_audit_matches_oracle(spark, duck):
+    """The batch twin of the streaming ingest audit is driver-graded;
+    gate its DuckDB oracle locally too (stream==batch tests never
+    execute the SQL side, so a one-sided expression retune would pass
+    the suite and fail only at grading time)."""
+    from spark_ij_spark.streaming import documents as sd
+
+    from .conftest import assert_oracle_match
+
+    assert_oracle_match(
+        spark,
+        duck,
+        sd.QUERIES["documents_ingest_audit"],
+        sd.ORACLES["documents_ingest_audit"],
+    )
