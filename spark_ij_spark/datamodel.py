@@ -150,12 +150,28 @@ def coerce_ingest(arr: np.ndarray) -> np.ndarray:
     raise TypeError(f"unsupported image dtype: {name}")
 
 
-def ensure_3d(arr: np.ndarray) -> np.ndarray:
-    """Normalize to [h][w][slices] (or [h][w][slices][3] for RGB)."""
+def ensure_3d(arr: np.ndarray, rgb: bool | None = None) -> np.ndarray:
+    """Normalize to [h][w][slices] (or [h][w][slices][3] for RGB).
+
+    A 3D ``[h][w][3]`` array is genuinely ambiguous — an RGB image OR
+    a 3-slice grayscale stack — so the CALLER that knows must say:
+    ``rgb=True`` (color decoders: PNG/BMP/GIF/PNM color, PIL, 3-sample
+    TIFF) lifts it to ``[h][w][1][3]`` for ANY dtype (8- and 16-bit
+    color); ``rgb=False`` (stack producers: multi-page TIFF, AVI,
+    createEmptyImages/assemble/op outputs) keeps it a 3-slice stack;
+    ``rgb=None`` applies the legacy uint8/uint16 heuristic — only for
+    arrays whose provenance is unknown (``.npy`` blobs, bare user
+    arrays), where a color guess is the lesser evil."""
     if arr.ndim == 2:
         return arr[:, :, np.newaxis]
-    if arr.ndim == 3 and arr.shape[-1] == 3 and arr.dtype == np.uint8:
-        # ambiguous 2D-RGB [h][w][3] → [h][w][1][3]
+    if (
+        arr.ndim == 3
+        and arr.shape[-1] == 3
+        and (
+            rgb is True
+            or (rgb is None and arr.dtype in (np.uint8, np.uint16))
+        )
+    ):
         return arr[:, :, np.newaxis, :]
     if arr.ndim in (3, 4):
         return arr
@@ -171,9 +187,17 @@ def np_to_image(
     arr: np.ndarray,
     meta: dict[str, Any] | None = None,
     log: list[dict[str, Any]] | None = None,
+    rgb: bool | None = False,
 ) -> dict[str, Any]:
-    """Build an image-struct dict (pandas-UDF output row) from an array."""
-    arr = ensure_3d(coerce_ingest(np.asarray(arr)))
+    """Build an image-struct dict (pandas-UDF output row) from an array.
+
+    ``rgb`` defaults to False: internal callers (op outputs, stack
+    assembly, createEmptyImages) preserve stack semantics — a 3-slice
+    uint8 stack must NOT be reinterpreted as an RGB image (round-7
+    review). Color arrays from the decoders arrive here already lifted
+    to 4D by ``codecs.decode_bytes``, which passes the per-format rgb
+    flag to ``ensure_3d`` itself."""
+    arr = ensure_3d(coerce_ingest(np.asarray(arr)), rgb=rgb)
     arr = np.ascontiguousarray(arr)
     m = dict(DEFAULT_META)
     if meta:

@@ -61,23 +61,30 @@ def decode_bytes(data: bytes, path: str) -> np.ndarray:
     """bytes → ndarray ([h][w][slices] after ingest coercion), suffix-
     dispatched like the reference's opener (`scOps.scala:90-91`)."""
     sfx = _suffix(path)
+    # rgb flag: each format KNOWS whether a trailing dim of 3 means
+    # color — PNG/PNM/BMP/GIF only produce (h,w,3) for color; TIFF is
+    # ambiguous (3-sample page vs 3-page gray stack) and carries spp in
+    # its header; AVI is grayscale frames; .npy provenance is unknown,
+    # so only it keeps the uint8/uint16 heuristic (rgb=None).
     if sfx == ".npy":
         arr = np.load(io.BytesIO(data), allow_pickle=False)
         return ensure_3d(coerce_ingest(arr))
     if sfx == ".png":
-        return ensure_3d(coerce_ingest(pp.decode_png(data)))
+        return ensure_3d(coerce_ingest(pp.decode_png(data)), rgb=True)
     if sfx in (".tif", ".tiff"):
-        return ensure_3d(coerce_ingest(pp.decode_tiff(data)))
+        return ensure_3d(
+            coerce_ingest(pp.decode_tiff(data)), rgb=pp.tiff_is_color(data)
+        )
     if sfx in (".pgm", ".ppm"):
-        return ensure_3d(coerce_ingest(pp.decode_pnm(data)))
+        return ensure_3d(coerce_ingest(pp.decode_pnm(data)), rgb=True)
     if sfx == ".bmp":
-        return ensure_3d(coerce_ingest(pp.decode_bmp(data)))
+        return ensure_3d(coerce_ingest(pp.decode_bmp(data)), rgb=True)
     if sfx == ".gif":
-        return ensure_3d(coerce_ingest(pp.decode_gif(data)))
+        return ensure_3d(coerce_ingest(pp.decode_gif(data)), rgb=True)
     if sfx == ".avi":
-        return ensure_3d(coerce_ingest(pp.decode_avi(data)))
+        return ensure_3d(coerce_ingest(pp.decode_avi(data)), rgb=False)
     if sfx in (".dcm", ".dicom"):
-        return ensure_3d(coerce_ingest(pp.decode_dicom(data)))
+        return ensure_3d(coerce_ingest(pp.decode_dicom(data)), rgb=False)
     if sfx in PIL_SUFFIXES:
         try:
             from PIL import Image  # noqa: F401
@@ -88,7 +95,7 @@ def decode_bytes(data: bytes, path: str) -> np.ndarray:
                 "(see sources/codecs.py). PNG/TIFF/PGM decode without PIL."
             ) from e
         img = Image.open(io.BytesIO(data))
-        return ensure_3d(coerce_ingest(np.asarray(img)))
+        return ensure_3d(coerce_ingest(np.asarray(img)), rgb=True)
     raise ValueError(
         f"unsupported image suffix {sfx!r} for {path!r}; supported: "
         f"{', '.join(SUPPORTED_SUFFIXES)}"
@@ -124,6 +131,12 @@ def encode_array(arr: np.ndarray, suffix: str = ".npy") -> bytes:
                 "'.npy', '.png', '.tif', '.pgm' encode without it"
             ) from e
         buf = io.BytesIO()
-        Image.fromarray(arr.squeeze()).save(buf, format=suffix.lstrip(".").upper())
+        # PIL's SAVE registry is keyed by format NAME ("JPEG"), not
+        # extension — format="JPG" raises KeyError even with PIL
+        # installed
+        fmt = {"jpg": "JPEG"}.get(suffix.lstrip(".").lower())
+        Image.fromarray(arr.squeeze()).save(
+            buf, format=fmt or suffix.lstrip(".").upper()
+        )
         return buf.getvalue()
     raise ValueError(f"unsupported encode suffix {suffix!r}")

@@ -243,15 +243,21 @@ def save_images_parquet(
     )
 
 
-def read_images_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Inverse of save_images_parquet: decode the byte column back."""
+def read_images_parquet(
+    spark: SparkSession, path: str, suffix: str = ".npy"
+) -> DataFrame:
+    """Inverse of save_images_parquet: decode the byte column back.
+    ``suffix`` must match the one the save side encoded with (the
+    blobs carry no filename, so the codec is chosen by this hint)."""
 
     @F.pandas_udf(IMAGE_SCHEMA)
     def decode(paths: pd.Series, blobs: pd.Series) -> pd.DataFrame:
         rows = []
         for p, b in zip(paths, blobs):
             rows.append(
-                np_to_image(decode_bytes(bytes(b), p + ".npy"), log=[_load_entry(p)])
+                np_to_image(
+                    decode_bytes(bytes(b), p + suffix), log=[_load_entry(p)]
+                )
             )
         return pd.DataFrame(rows, columns=["data", "dtype", "shape", "meta", "log"])
 
@@ -300,10 +306,18 @@ class ImageJReader(DataSourceReader):
             # round-trips of debug tables
             items = [("debug_%d" % i, i) for i in range(self.count)]
         else:
+            # skip hidden AND Hadoop-marker files ('_SUCCESS') and
+            # subdirectories — same rule as the stream reader's
+            # _listing; an unfiltered directory entry would reach
+            # open()/decode_bytes and kill the scan
             names = sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if not f.startswith(".")
+                p
+                for p in (
+                    os.path.join(self.path, f)
+                    for f in os.listdir(self.path)
+                    if not f.startswith(".") and not f.startswith("_")
+                )
+                if os.path.isfile(p)
             )
             items = [(p, i) for i, p in enumerate(names)]
         n = max(1, min(self.partitions_n, len(items)))
@@ -324,12 +338,26 @@ class ImageJReader(DataSourceReader):
                 img["dtype"],
                 img["shape"],
                 tuple(img["meta"].values()),
-                [],
+                # serialize the LOAD lineage entry (LOG_ENTRY_SCHEMA
+                # field order) — an empty list here silently dropped
+                # provenance for DSv2-loaded images
+                [
+                    (
+                        e["optype"],
+                        e["optool"],
+                        e["opval"],
+                        e["opargs"],
+                        e["children_json"],
+                    )
+                    for e in img["log"]
+                ],
             )
             if simple:
                 yield (path, image_row)
             else:
-                h, w, s = arr.shape
+                # RGB decodes are 4D [h][w][s][c] after ensure_3d's
+                # normalization — unpack the spatial dims positionally
+                h, w, s = (int(d) for d in arr.shape[:3])
                 parts = path.split("/")
                 yield (
                     path,
@@ -356,15 +384,15 @@ class ImageJWriter(DataSourceWriter):
             raise ValueError("imagej write requires OPTIONS path")
 
     def write(self, iterator):
-        import numpy as np  # noqa: F811 (executor-side import)
+        from spark_ij_spark.datamodel import image_to_np
 
         os.makedirs(self.path, exist_ok=True)
         n = 0
         for row in iterator:
-            img = row.image
-            arr = np.frombuffer(bytes(img.data), dtype=img.dtype).reshape(
-                tuple(img.shape)
-            )
+            # shared struct→ndarray path (same as save_images_local /
+            # save_images_parquet) — a hand-rolled frombuffer here
+            # would drift if the struct layout ever changes
+            arr = image_to_np(row.image)
             base = os.path.splitext(os.path.basename(row.path))[0]
             with open(os.path.join(self.path, base + self.suffix), "wb") as fh:
                 fh.write(encode_array(arr, self.suffix))
@@ -374,11 +402,16 @@ class ImageJWriter(DataSourceWriter):
 
 class ImageJStreamReader(SimpleDataSourceStreamReader):
     """Directory-watch image stream: each micro-batch decodes the files
-    that appeared since the last offset. Offset = sorted file listing
-    high-water mark, so replay after failure is deterministic — the
-    streaming shape for an instrument dropping images into a landing
-    directory. Decode happens in ``read`` per batch; at scale, point
-    this at the landing zone and size ``maxFilesPerBatch``."""
+    that appeared since the last offset. Offset = the full sorted
+    seen-file set (correct for ARBITRARY filenames; replay after
+    failure is deterministic), so each checkpointed offset is O(files
+    in the landing dir) — fine for an instrument dropping thousands of
+    images, and the honest tradeoff vs a name high-water mark, which
+    is O(1) per offset but silently drops files whose names do not
+    arrive in sorted order. At scale with monotone shard names, swap
+    the seen-set for a max-name high-water mark. Decode happens in
+    ``read`` per batch; size ``maxFilesPerBatch`` for the landing
+    zone."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")

@@ -348,6 +348,19 @@ def _packbits_decode(buf: bytes) -> bytes:
 _T_PREDICTOR = 317
 
 
+def tiff_is_color(data: bytes) -> bool:
+    """True when the first IFD's SamplesPerPixel is 3 (RGB) — the
+    disambiguator ``codecs.decode_bytes`` needs: a ``(h, w, 3)`` TIFF
+    decode is otherwise indistinguishable from a 3-page grayscale
+    stack (both are legal and both occur)."""
+    if data[:4] not in (b"MM\x00*", b"II*\x00"):
+        raise ValueError("TIFF: bad header")
+    bo = ">" if data[:4] == b"MM\x00*" else "<"
+    (off,) = struct.unpack_from(f"{bo}I", data, 4)
+    tags, _ = _read_ifd(data, off, bo)
+    return tags.get(_T_SPP, [1])[0] == 3
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     if data[:4] == b"MM\x00*":
         bo = ">"
@@ -1016,10 +1029,11 @@ def decode_avi(data: bytes) -> np.ndarray:
         raise ValueError("AVI: bad RIFF signature")
     w = h = bpp = None
     pal = None
+    bottom_up = True
     frames: list[np.ndarray] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal w, h, bpp, pal
+        nonlocal w, h, bpp, pal, bottom_up
         pos = start
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
@@ -1030,9 +1044,21 @@ def decode_avi(data: bytes) -> np.ndarray:
             elif cid == b"strf" and w is None:
                 w_, h_ = struct.unpack_from("<ii", data, body + 4)
                 (bpp_,) = struct.unpack_from("<H", data, body + 14)
+                (compression,) = struct.unpack_from("<I", data, body + 16)
+                # negative biHeight = top-down DIB rows (same convention
+                # decode_bmp handles); only bottom-up frames get flipped
                 w, h, bpp = w_, abs(h_), bpp_
+                bottom_up = h_ > 0
                 if bpp != 8:
                     raise ValueError(f"AVI: {bpp}-bit not supported (8-bit only)")
+                if compression != 0:
+                    # '00dc' chunks are accepted below only because this
+                    # guarantees BI_RGB — a compressed stream must raise,
+                    # not decode adjacent bytes as pixels
+                    raise ValueError(
+                        f"AVI: compression {compression} not supported"
+                        " (uncompressed BI_RGB only)"
+                    )
                 pal_ = np.frombuffer(
                     data, np.uint8, count=256 * 4, offset=body + 40
                 ).reshape(256, 4)[:, 2::-1]
@@ -1043,8 +1069,17 @@ def decode_avi(data: bytes) -> np.ndarray:
                 pal = pal_[:, 0]
             elif cid in (b"00db", b"00dc") and size:
                 stride = ((8 * w + 31) // 32) * 4
+                if size < h * stride or body + h * stride > len(data):
+                    # respect the chunk's declared size: a short chunk
+                    # would otherwise silently decode the NEXT chunk's
+                    # headers/idx1 bytes as pixels
+                    raise ValueError(
+                        f"AVI: truncated frame chunk ({size} bytes,"
+                        f" need {h * stride})"
+                    )
                 rows = np.frombuffer(data, np.uint8, count=h * stride, offset=body)
-                frames.append(rows.reshape(h, stride)[::-1, :w])
+                grid = rows.reshape(h, stride)
+                frames.append(grid[::-1, :w] if bottom_up else grid[:, :w])
             pos = body + size + (size & 1)  # RIFF chunks are word-aligned
 
     walk(12, len(data))

@@ -670,3 +670,48 @@ def test_codec_dispatch_avi():
     out = codecs.decode_bytes(data, "clip.avi")
     assert out.shape == (5, 4, 5)
     np.testing.assert_array_equal(out, v)
+
+
+def test_avi_truncated_frame_chunk_raises():
+    """A '00db' chunk whose declared size is smaller than one frame
+    must raise, not silently decode the next chunk's headers as
+    pixels (round-7 review: the decoder ignored the size field)."""
+    a = np.arange(8, dtype=np.uint8).reshape(2, 2, 2)
+    blob = bytearray(pp.encode_avi(a))
+    idx = blob.find(b"00db")
+    assert idx > 0
+    struct.pack_into("<I", blob, idx + 4, 2)  # shrink the chunk size
+    with pytest.raises(ValueError, match="truncated frame chunk"):
+        pp.decode_avi(bytes(blob))
+
+
+def test_avi_top_down_height_not_flipped():
+    """Negative biHeight marks top-down DIB rows (the decode_bmp
+    convention): rows must NOT be flipped. Built by patching the
+    encoder's bottom-up output: negate biHeight and reverse the
+    row order inside the single frame."""
+    frame = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    blob = bytearray(pp.encode_avi(frame[:, :, None]))
+    sidx = blob.find(b"strf")
+    # biHeight lives at strf body + 8 (biSize 4, biWidth 4)
+    (h,) = struct.unpack_from("<i", blob, sidx + 8 + 8)
+    assert h == 2
+    struct.pack_into("<i", blob, sidx + 8 + 8, -h)
+    didx = blob.find(b"00db")
+    stride = 4  # 2 px padded to 4-byte alignment
+    body = didx + 8
+    rows = bytes(blob[body : body + 2 * stride])
+    blob[body : body + 2 * stride] = rows[stride:] + rows[:stride]
+    got = pp.decode_avi(bytes(blob))
+    assert np.array_equal(got[:, :, 0], frame)
+
+
+def test_avi_compressed_stream_raises():
+    """biCompression != 0 (e.g. RLE8) must raise instead of treating
+    compressed chunk bytes as raw pixels."""
+    a = np.zeros((2, 2, 1), dtype=np.uint8)
+    blob = bytearray(pp.encode_avi(a))
+    sidx = blob.find(b"strf")
+    struct.pack_into("<I", blob, sidx + 8 + 16, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="compression"):
+        pp.decode_avi(bytes(blob))

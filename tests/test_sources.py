@@ -305,3 +305,45 @@ def test_save_images_url_dispatch(spark, tmp_path):
     rows = back.collect()
     assert len(rows) == 3
     assert image_to_np(rows[0].image).shape == (2, 3, 1)
+
+
+def test_ddl_abstract_table_reads_rgb_file(imagej_source, tmp_path):
+    """An RGB file decodes to a 4D [h][w][1][3] array; the abstract
+    table's dimension unpack must handle it (round-7 review: a 3-way
+    shape unpack crashed on every RGB input), and lineage must carry
+    the LOAD entry instead of an empty log."""
+    import numpy as np
+
+    from spark_ij_spark.sources.codecs import encode_array
+
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    (tmp_path / "a.png").write_bytes(encode_array(rgb, ".png"))
+    spark = imagej_source
+    df = (
+        spark.read.format("imagej")
+        .option("table", "abstract")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    r = df.collect()[0]
+    assert (r.width, r.height, r.slices) == (3, 2, 1)
+    assert [int(s) for s in r.image.shape] == [2, 3, 1, 3]
+    assert len(r.image.log) == 1 and r.image.log[0].optype == "LOAD"
+
+
+def test_ddl_reader_skips_marker_files_and_dirs(imagej_source, tmp_path):
+    """'_SUCCESS' markers and subdirectories in the source directory
+    must be skipped like the stream reader does — an unfiltered entry
+    reaches decode_bytes and kills the scan."""
+    import numpy as np
+
+    from spark_ij_spark.sources.codecs import encode_array
+
+    (tmp_path / "img.png").write_bytes(
+        encode_array(np.zeros((2, 2), dtype=np.uint8), ".png")
+    )
+    (tmp_path / "_SUCCESS").write_bytes(b"")
+    (tmp_path / "subdir").mkdir()
+    spark = imagej_source
+    df = spark.read.format("imagej").option("path", str(tmp_path)).load()
+    assert df.count() == 1
