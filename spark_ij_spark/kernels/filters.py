@@ -103,6 +103,13 @@ def _gaussian_1d(sigma: float) -> np.ndarray:
 
 def _convolve2d(sl: np.ndarray, kernel: np.ndarray) -> np.ndarray:
     kh, kw = kernel.shape
+    if kh % 2 == 0 or kw % 2 == 0:
+        # even kernels have no center anchor: the symmetric padding
+        # would GROW the image by one pixel per even axis and misalign
+        # downstream combines — reject loudly like ImageJ's dialog does
+        raise ValueError(
+            f"Convolve: kernel dimensions must be odd, got {kh}x{kw}"
+        )
     padded = np.pad(sl.astype("float64"), ((kh // 2, kh // 2), (kw // 2, kw // 2)), mode="edge")
     win = sliding_window_view(padded, kernel.shape)
     return np.einsum("ijkl,kl->ij", win, kernel)

@@ -208,7 +208,12 @@ def make_substack(arr, args, meta):
     """Extract slices [first..last] of a stack (1-based, like the
     ImageJ command; getDoubleSlice analog is first=last=k,
     Spiji.java:751-762)."""
-    s = arr.shape[2] if arr.ndim >= 3 else 1
+    # normalize 2D intermediates (e.g. a preceding Z Project in a fused
+    # chain) to 3D before slicing — the sibling stack ops all guard
+    from spark_ij_spark.kernels.menu import _stack3d
+
+    arr = _stack3d(arr)
+    s = arr.shape[2]
     first = get_int(args, "first", 1)
     last = get_int(args, "last", s)
     first = max(1, min(first, s))

@@ -35,9 +35,12 @@ def histogram(
     if bins < 2:
         raise ValueError("bins must be >= 2")
     if hi <= lo:
+        # degenerate/point range: count only pixels AT lo into bin 0 —
+        # counting a.size would include out-of-range pixels the normal
+        # branch excludes (for a constant image the two agree)
         centers = np.linspace(lo, lo + 1, bins)
         counts = np.zeros(bins, dtype="int64")
-        counts[0] = a.size
+        counts[0] = int(np.count_nonzero(a == lo))
         return centers, counts
     centers = np.linspace(lo, hi, bins)
     step = (hi - lo) / (bins - 1)

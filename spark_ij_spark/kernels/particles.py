@@ -24,11 +24,27 @@ from spark_ij_spark.registry import register_op
 def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
     """8-connected two-pass union-find labeling of a 2D boolean mask.
 
-    Returns (labels int32 [h][w] with 0 = background, n_components).
-    """
+    Returns (labels int32 [h][w] with 0 = background, n_components);
+    component ids are assigned in raster order of each component's
+    first pixel (the ImageJ results-table row order).
+
+    Run-based: rows decompose into foreground RUNS (vectorized
+    ``np.diff`` edge detection), union-find runs over runs — O(runs)
+    Python work instead of the per-pixel double loop this replaces
+    (CLAUDE.md: vectorize per Arrow batch, not per pixel; ~1M
+    interpreter iterations per 1024² image before)."""
     h, w = mask.shape
     labels = np.zeros((h, w), dtype=np.int32)
-    parent = [0]  # parent[i] = representative; parent[0] unused
+    padded = np.zeros((h, w + 2), dtype=bool)
+    padded[:, 1:-1] = mask
+    d = np.diff(padded.astype(np.int8), axis=1)
+    run_rows, run_starts = np.nonzero(d == 1)
+    run_ends = np.nonzero(d == -1)[1] - 1  # inclusive, aligned with starts
+    n_runs = run_rows.size
+    if n_runs == 0:
+        return labels, 0
+
+    parent = np.arange(n_runs)
 
     def find(x: int) -> int:
         root = x
@@ -38,46 +54,41 @@ def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
             parent[x], x = root, parent[x]
         return root
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    # rows are emitted in order by np.nonzero; per-row run slices
+    row_bounds = np.searchsorted(run_rows, np.arange(h + 1))
+    for i in range(1, h):
+        a0, a1 = row_bounds[i], row_bounds[i + 1]  # runs in row i
+        p0, p1 = row_bounds[i - 1], row_bounds[i]  # runs in row i-1
+        if a0 == a1 or p0 == p1:
+            continue
+        # 8-connectivity: run [s,e] touches prev-row run [ps,pe] when
+        # ps <= e+1 and s <= pe+1. Two-pointer sweep over the sorted
+        # runs of both rows — O(runs in the two rows).
+        pi = p0
+        for ai in range(a0, a1):
+            s, e = run_starts[ai], run_ends[ai]
+            while pi < p1 and run_ends[pi] + 1 < s:
+                pi += 1
+            pj = pi
+            while pj < p1 and run_starts[pj] <= e + 1:
+                ra, rb = find(ai), find(pj)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+                pj += 1
 
-    nxt = 1
-    for i in range(h):
-        row = mask[i]
-        for j in range(w):
-            if not row[j]:
-                continue
-            neigh = []
-            if i > 0:
-                if labels[i - 1, j]:
-                    neigh.append(labels[i - 1, j])
-                if j > 0 and labels[i - 1, j - 1]:
-                    neigh.append(labels[i - 1, j - 1])
-                if j + 1 < w and labels[i - 1, j + 1]:
-                    neigh.append(labels[i - 1, j + 1])
-            if j > 0 and labels[i, j - 1]:
-                neigh.append(labels[i, j - 1])
-            if not neigh:
-                labels[i, j] = nxt
-                parent.append(nxt)
-                nxt += 1
-            else:
-                m = min(neigh)
-                labels[i, j] = m
-                for n in neigh:
-                    union(m, n)
-    # second pass: compress to consecutive ids
-    remap: dict[int, int] = {}
+    # compress roots to consecutive ids in first-run (raster) order
+    roots = np.array([find(i) for i in range(n_runs)])
+    first = {}
+    remap = np.zeros(n_runs, dtype=np.int32)
     out_n = 0
-    flat = labels.ravel()
-    for idx in np.nonzero(flat)[0]:
-        r = find(int(flat[idx]))
-        if r not in remap:
+    for i in range(n_runs):
+        r = roots[i]
+        if r not in first:
             out_n += 1
-            remap[r] = out_n
-        flat[idx] = remap[r]
+            first[r] = out_n
+        remap[i] = first[r]
+    for i in range(n_runs):
+        labels[run_rows[i], run_starts[i] : run_ends[i] + 1] = remap[i]
     return labels, out_n
 
 
@@ -97,8 +108,17 @@ def _component_measurements(
         )
     }
     px_area = pixel_width * pixel_height
+    # ONE foreground scan, pixels grouped by label via stable argsort —
+    # the per-label ``labels == lab`` rescan this replaces was
+    # O(n_components × h × w)
+    ys_all, xs_all = np.nonzero(labels)
+    lab_all = labels[ys_all, xs_all]
+    order = np.argsort(lab_all, kind="stable")
+    ys_all, xs_all, lab_all = ys_all[order], xs_all[order], lab_all[order]
+    bounds = np.searchsorted(lab_all, np.arange(1, n + 2))
     for lab in range(1, n + 1):
-        ys, xs = np.nonzero(labels == lab)
+        lo_i, hi_i = bounds[lab - 1], bounds[lab]
+        ys, xs = ys_all[lo_i:hi_i], xs_all[lo_i:hi_i]
         vals = values[ys, xs].astype("float64")
         cnt = vals.size
         mean = vals.mean()
@@ -116,11 +136,12 @@ def _component_measurements(
             cxm, cym = cx, cy
         bx, by = xs.min(), ys.min()
         bw, bh = xs.max() - bx + 1, ys.max() - by + 1
-        # perimeter: exposed 4-neighbor edges (approximation)
-        comp = labels == lab
+        # perimeter: exposed 4-neighbor edges (approximation), computed
+        # on a zero-padded bounding-box crop — O(component), not
+        # O(image); the padding preserves the image-border edge counts
+        comp = np.zeros((bh + 2, bw + 2), dtype=bool)
+        comp[ys - by + 1, xs - bx + 1] = True
         per = 0
-        per += np.count_nonzero(comp[0, :]) + np.count_nonzero(comp[-1, :])
-        per += np.count_nonzero(comp[:, 0]) + np.count_nonzero(comp[:, -1])
         per += np.count_nonzero(comp[1:, :] != comp[:-1, :])
         per += np.count_nonzero(comp[:, 1:] != comp[:, :-1])
         per = per * (pixel_width + pixel_height) / 2.0

@@ -130,7 +130,8 @@ def roi_measure(arr: np.ndarray, roi: dict[str, Any]) -> dict[str, float]:
     return {
         "min": float(vals.min()),
         "mean": float(vals.sum() / vals.size),
-        "stdDev": float(vals.std()),
+        # sample stddev (n−1), the ImageJ ImageStatistics convention
+        "stdDev": float(vals.std(ddof=1)) if vals.size > 1 else 0.0,
         "max": float(vals.max()),
         "pts": float(vals.size),
     }

@@ -196,7 +196,9 @@ def run_with_table(
 
 def image_stats(image_col: str | Column) -> Column:
     """min/mean/stdDev/max/pts struct (reference: getImageStatistics,
-    PortableImagePlus.scala:143-146; population stddev like ImageJ)."""
+    PortableImagePlus.scala:143-146, which delegates to ImageJ's
+    ImageStatistics — SAMPLE stddev, n−1 denominator; matches
+    particles.py's per-component measurements)."""
 
     @F.pandas_udf(STATS_SCHEMA)
     def _udf(img: pd.DataFrame) -> pd.DataFrame:
@@ -207,7 +209,7 @@ def image_stats(image_col: str | Column) -> Column:
                 {
                     "min": float(a.min()),
                     "mean": float(a.mean()),
-                    "stdDev": float(a.std()),
+                    "stdDev": float(a.std(ddof=1)) if a.size > 1 else 0.0,
                     "max": float(a.max()),
                     "pts": float(a.size),
                 }
@@ -327,8 +329,12 @@ def explode_pixels(df: DataFrame, image_col: str = "image", sample_col: str = "s
     view of pixel data (`toarray` SQL surface made queryable)."""
 
     def gen(batches):
+        # accumulate numpy arrays per batch and concatenate ONCE — the
+        # per-pixel list extends this replaces boxed ~5 Python objects
+        # per pixel before pandas re-converted them to Arrow (CLAUDE.md:
+        # vectorize per Arrow batch, not per row/image)
         for pdf in batches:
-            out: dict[str, list] = {"sample": [], "y": [], "x": [], "z": [], "value": []}
+            samples, ys, xs, zs, vs = [], [], [], [], []
             for sample, img in zip(pdf[sample_col], pdf[image_col]):
                 arr = image_to_np(img)
                 if arr.ndim == 4:
@@ -337,13 +343,22 @@ def explode_pixels(df: DataFrame, image_col: str = "image", sample_col: str = "s
                 yy, xx, zz = np.meshgrid(
                     np.arange(h), np.arange(w), np.arange(s), indexing="ij"
                 )
-                n = arr.size
-                out["sample"].extend([sample] * n)
-                out["y"].extend(yy.ravel().tolist())
-                out["x"].extend(xx.ravel().tolist())
-                out["z"].extend(zz.ravel().tolist())
-                out["value"].extend(arr.astype("float64").ravel().tolist())
-            yield pd.DataFrame(out)
+                samples.append(np.repeat(np.asarray([sample]), arr.size))
+                ys.append(yy.ravel())
+                xs.append(xx.ravel())
+                zs.append(zz.ravel())
+                vs.append(arr.astype("float64").ravel())
+            if not samples:
+                continue
+            yield pd.DataFrame(
+                {
+                    "sample": np.concatenate(samples),
+                    "y": np.concatenate(ys),
+                    "x": np.concatenate(xs),
+                    "z": np.concatenate(zs),
+                    "value": np.concatenate(vs),
+                }
+            )
 
     return df.select(sample_col, image_col).mapInPandas(gen, schema=_PIXEL_SCHEMA)
 

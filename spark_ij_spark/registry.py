@@ -24,6 +24,7 @@ Arg strings use the ImageJ macro grammar (``radius=3 white clear``):
 from __future__ import annotations
 
 import difflib
+import re
 import shlex
 from collections.abc import Callable
 from typing import Any
@@ -44,6 +45,7 @@ def register_op(name: str) -> Callable:
 
 
 def get_op(name: str) -> Callable:
+    _ensure_loaded()  # bare get_op in a fresh process must see the menu
     try:
         return OPS[name]
     except KeyError:
@@ -74,10 +76,15 @@ def parse_args(args: str | None) -> dict[str, Any]:
 
     ``"radius=3 white clear method=IsoData"`` →
     ``{"radius": "3", "white": True, "clear": True, "method": "IsoData"}``
+
+    Bracketed multi-word values — the form the ImageJ macro recorder
+    actually emits, ``projection=[Max Intensity]`` — are normalized to
+    quoted form before tokenizing, so recorded macros replay verbatim.
     """
     out: dict[str, Any] = {}
     if not args:
         return out
+    args = re.sub(r'=\[([^\]]*)\]', lambda m: '="' + m.group(1) + '"', args)
     try:
         tokens = shlex.split(args)
     except ValueError:
