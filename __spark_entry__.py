@@ -138,6 +138,11 @@ def oracle_sql() -> dict[str, str]:
     )
     from spark_ij_spark.streaming import documents as streaming_documents
 
+    # SAME merge order as queries() (timeseries first): with identical
+    # precedence a name collision resolves to the SAME module in both
+    # functions — mismatched orders would let the grader hash-check one
+    # module's implementation against another's oracle.
+    out.update(timeseries.ORACLES)
     out.update(pipeline.ORACLES)
     out.update(streaming_documents.ORACLES)
     out.update(clustering.ORACLES)
@@ -151,5 +156,4 @@ def oracle_sql() -> dict[str, str]:
     out.update(text.ORACLES)
     out.update(image_queries.ORACLES)
     out.update(relational.ORACLES)
-    out.update(timeseries.ORACLES)
     return out

@@ -42,6 +42,9 @@ def main() -> None:
     # measure steady-state throughput, not process spawning.
     qs["q1_pricing_summary"](spark, sf_dir).count()
     qs["img_order_stats"](spark, sf_dir).count()
+    # drop the warmups' cached frames so the FIRST timed query runs
+    # under the same isolated-cache protocol as the rest
+    spark.catalog.clearCache()
 
     # Soft wall-clock budget: past it, remaining queries degrade from
     # min-of-3 to a single timed run (still after their warmup pass)

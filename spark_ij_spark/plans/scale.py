@@ -93,7 +93,18 @@ def salted_join(
     salt value, and the join key becomes (key, salt) — a hot key now
     spreads over ``salt`` reducers. Result equals the plain join
     row-for-row (verified in tests); cost is dim replication x salt,
-    so use it fact-side-skewed, dim-side-small."""
+    so use it fact-side-skewed, dim-side-small.
+
+    Only inner and left joins are salt-safe with fact-side salting:
+    an unmatched DIM row exists ``salt`` times after replication, so
+    right/full outer joins would emit it ``salt`` times null-extended
+    — silently inflated output. Rejected loudly."""
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}):"
+            " replicated dim rows would survive a right/full outer"
+            " join once per salt value"
+        )
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(*fact.columns), F.lit(salt)).cast("int")
     )

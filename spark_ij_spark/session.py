@@ -27,11 +27,6 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-# Dimension tables small enough to broadcast at any scale factor the
-# TPC-H-ish generator produces (region=5, nation=25 rows always).
-BROADCAST_TABLES = {"region", "nation"}
-
-
 def get_spark(app_name: str = "spark_ij_spark", cpus: int | None = None) -> SparkSession:
     """Create (or fetch) a SparkSession with engine defaults.
 

@@ -44,7 +44,7 @@ def duck():
     con.close()
 
 
-def assert_oracle_match(spark, duck, query_fn, sql, sf_dir=SF_DIR, float_tol=0.0):
+def assert_oracle_match(spark, duck, query_fn, sql, sf_dir=SF_DIR):
     """Local replica of the driver's correctness gate: row count, column
     names, and (order-insensitive) values must match DuckDB.
 
@@ -53,8 +53,26 @@ def assert_oracle_match(spark, duck, query_fn, sql, sf_dir=SF_DIR, float_tol=0.0
     NaN, NULL timestamps to NaT, DATE to midnight datetime, and
     raises OutOfBoundsDatetime past 2262 (the events_scd2 r6 red row
     slipped through a fetchall()-based gate), so those divergences
-    must surface locally too."""
+    must surface locally too.
+
+    A non-default ``sf_dir`` rebinds the DuckDB views too — the duck
+    fixture is session-bound to SF_DIR, and comparing Spark@sf_x
+    against DuckDB@SF_DIR would be a guaranteed spurious mismatch."""
     import math
+
+    if sf_dir != SF_DIR:
+        import duckdb
+
+        from spark_ij_spark.session import TABLE_NAMES
+
+        con = duckdb.connect()
+        for name in TABLE_NAMES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{path}'"
+                )
+        duck = con
 
     sdf = query_fn(spark, sf_dir)
     spark_cols = sorted(sdf.columns)
@@ -79,8 +97,6 @@ def assert_oracle_match(spark, duck, query_fn, sql, sf_dir=SF_DIR, float_tol=0.0
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            if float_tol:
-                return round(v / max(abs(v), 1e-300), 0) * round(abs(v), 6)
             return v
         if hasattr(v, "item"):
             return v.item()

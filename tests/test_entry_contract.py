@@ -86,3 +86,42 @@ def test_grading_order_breaks_never_graded_ties_by_declared_round():
     never = [n for n in entry.queries() if n not in graded]
     seq = [ages.get(n, 10**6) for n in never]
     assert seq == sorted(seq), "never-graded tie-break not oldest-first"
+
+
+def test_no_duplicate_query_names_across_modules():
+    """queries() and oracle_sql() merge module dicts with identical
+    precedence; a name declared in TWO modules would let the grader
+    hash-check one module's implementation against another's oracle.
+    Guard: the merged size equals the sum of the parts."""
+    from spark_ij_spark.operators import (
+        clustering,
+        dedup,
+        entity,
+        event_windows,
+        image_queries,
+        layout,
+        multimodal,
+        pipeline,
+        profile,
+        relational,
+        similarity,
+        text,
+        timeseries,
+    )
+    from spark_ij_spark.streaming import documents as streaming_documents
+
+    modules = [
+        timeseries, pipeline, streaming_documents, clustering, entity,
+        profile, layout, multimodal, event_windows, similarity, dedup,
+        text, image_queries, relational,
+    ]
+    total = sum(len(m.QUERIES) for m in modules)
+    merged: dict = {}
+    for m in modules:
+        merged.update(m.QUERIES)
+    assert len(merged) == total, "duplicate query name across modules"
+    ototal = sum(len(m.ORACLES) for m in modules)
+    omerged: dict = {}
+    for m in modules:
+        omerged.update(m.ORACLES)
+    assert len(omerged) == ototal, "duplicate oracle name across modules"

@@ -18,12 +18,16 @@ import __spark_entry__ as mod  # noqa: E402
 from spark_ij_spark.session import TABLE_NAMES, get_spark  # noqa: E402
 
 
-def vhash(cols, rows):
+def vhash(rows):
     def norm(v):
         if v is None:
             return "NULL"
         if isinstance(v, float):
-            return "NaN" if math.isnan(v) else repr(v)
+            # float(v) first: numpy>=2 reprs np.float64(1.5) as
+            # 'np.float64(1.5)' while the Spark side is a plain float —
+            # repr of the coerced builtin is version-stable
+            f = float(v)
+            return "NaN" if math.isnan(f) else repr(f)
         return str(v)
 
     return hashlib.sha256(
@@ -42,6 +46,12 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     qs, osql = mod.queries(), mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not silently skip everything and exit 0
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        spark.stop()
+        return 2
     bad = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -55,11 +65,12 @@ def main() -> int:
         dpdf = con.execute(osql[name]).df()
         dcols = sorted(dpdf.columns)
         drows = [tuple(r) for r in dpdf[dcols].itertuples(index=False, name=None)]
-        ok = vhash(scols, srows) == vhash(dcols, drows) and scols == dcols
+        ok = vhash(srows) == vhash(drows) and scols == dcols
         bad += not ok
         print(f"  {name}: {'MATCH' if ok else 'MISMATCH'} rows={len(srows)}/{len(drows)}")
         if not ok and scols == dcols and len(srows) == len(drows):
-            for a, b in zip(sorted(srows), sorted(drows)):
+            # key=repr: rows with NULLs are not orderable natively
+            for a, b in zip(sorted(srows, key=repr), sorted(drows, key=repr)):
                 if tuple(map(str, a)) != tuple(map(str, b)):
                     print("    spark ", a)
                     print("    duckdb", b)
