@@ -208,3 +208,76 @@ def test_chunk_starts_cover_every_token_without_subset_chunks(n):
         covered.update(range(s, end + 1))
         prev_end = end
     assert covered == set(range(1, n + 1))
+
+
+def _label_components_reference(mask):
+    """The pre-round-7 per-pixel union-find labeling, kept as the
+    semantic reference for the vectorized run-based implementation."""
+    import numpy as np
+
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent = [0]
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    nxt = 1
+    for i in range(h):
+        for j in range(w):
+            if not mask[i, j]:
+                continue
+            neigh = []
+            if i > 0:
+                for dj in (-1, 0, 1):
+                    jj = j + dj
+                    if 0 <= jj < w and labels[i - 1, jj]:
+                        neigh.append(labels[i - 1, jj])
+            if j > 0 and labels[i, j - 1]:
+                neigh.append(labels[i, j - 1])
+            if not neigh:
+                labels[i, j] = nxt
+                parent.append(nxt)
+                nxt += 1
+            else:
+                m = min(neigh)
+                labels[i, j] = m
+                for n_ in neigh:
+                    ra, rb = find(m), find(n_)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    remap, out_n = {}, 0
+    flat = labels.ravel()
+    for idx in np.nonzero(flat)[0]:
+        r = find(int(flat[idx]))
+        if r not in remap:
+            out_n += 1
+            remap[r] = out_n
+        flat[idx] = remap[r]
+    return labels, out_n
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    arrays(
+        dtype=bool,
+        shape=st.tuples(st.integers(1, 12), st.integers(1, 12)),
+    )
+)
+def test_run_based_labeling_matches_pixel_reference(mask):
+    """The vectorized run-based 8-connected labeling must be
+    label-for-label identical (including raster id order) to the
+    per-pixel union-find it replaced."""
+    import numpy as np
+
+    from spark_ij_spark.kernels.particles import label_components
+
+    a, na = label_components(mask.copy())
+    b, nb = _label_components_reference(mask.copy())
+    assert na == nb
+    assert np.array_equal(a, b)
