@@ -159,18 +159,18 @@ def ensure_3d(arr: np.ndarray, rgb: bool | None = None) -> np.ndarray:
     TIFF) lifts it to ``[h][w][1][3]`` for ANY dtype (8- and 16-bit
     color); ``rgb=False`` (stack producers: multi-page TIFF, AVI,
     createEmptyImages/assemble/op outputs) keeps it a 3-slice stack;
-    ``rgb=None`` applies the legacy uint8/uint16 heuristic — only for
+    ``rgb=None`` applies the legacy uint8-ONLY heuristic — only for
     arrays whose provenance is unknown (``.npy`` blobs, bare user
-    arrays), where a color guess is the lesser evil."""
+    arrays), where a color guess is the lesser evil. The heuristic
+    must never grow dtype cases (a uint16 case would flip existing
+    3-slice uint16 .npy stacks into RGB): 16-bit color from the real
+    decoders arrives with an explicit rgb=True."""
     if arr.ndim == 2:
         return arr[:, :, np.newaxis]
     if (
         arr.ndim == 3
         and arr.shape[-1] == 3
-        and (
-            rgb is True
-            or (rgb is None and arr.dtype in (np.uint8, np.uint16))
-        )
+        and (rgb is True or (rgb is None and arr.dtype == np.uint8))
     ):
         return arr[:, :, np.newaxis, :]
     if arr.ndim in (3, 4):

@@ -84,7 +84,11 @@ def parse_args(args: str | None) -> dict[str, Any]:
     out: dict[str, Any] = {}
     if not args:
         return out
-    args = re.sub(r'=\[([^\]]*)\]', lambda m: '="' + m.group(1) + '"', args)
+    args = re.sub(
+        r'=\[([^\]]*)\]',
+        lambda m: '="' + m.group(1).replace('"', '\\"') + '"',
+        args,
+    )
     try:
         tokens = shlex.split(args)
     except ValueError:

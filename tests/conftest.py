@@ -58,21 +58,30 @@ def assert_oracle_match(spark, duck, query_fn, sql, sf_dir=SF_DIR):
     A non-default ``sf_dir`` rebinds the DuckDB views too — the duck
     fixture is session-bound to SF_DIR, and comparing Spark@sf_x
     against DuckDB@SF_DIR would be a guaranteed spurious mismatch."""
-    import math
-
+    own_con = None
     if sf_dir != SF_DIR:
         import duckdb
 
         from spark_ij_spark.session import TABLE_NAMES
 
-        con = duckdb.connect()
+        own_con = duckdb.connect()
         for name in TABLE_NAMES:
             path = os.path.join(sf_dir, f"{name}.parquet")
             if os.path.exists(path):
-                con.execute(
+                own_con.execute(
                     f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{path}'"
                 )
-        duck = con
+        duck = own_con
+
+    try:
+        _assert_oracle_match_inner(spark, duck, query_fn, sql, sf_dir)
+    finally:
+        if own_con is not None:
+            own_con.close()
+
+
+def _assert_oracle_match_inner(spark, duck, query_fn, sql, sf_dir):
+    import math
 
     sdf = query_fn(spark, sf_dir)
     spark_cols = sorted(sdf.columns)

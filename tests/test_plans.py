@@ -664,12 +664,11 @@ def test_skew_profile_single_fact_scan(spark):
     from spark_ij_spark.operators import profile
 
     plan = _plan(profile.q_join_key_skew(spark, SF_DIR))
-    # the key histogram is cache()d: a cold plan scans the fact table
-    # at most twice (counts + totals share the agg); a cache-hit plan
-    # re-prints the InMemoryRelation's child FileScan per reference,
-    # so only count scans when no cache is in play
-    if "InMemoryTableScan" not in plan:
-        assert plan.count("FileScan") <= 2
+    # the key histogram is cache()d — InMemoryTableScan in BOTH the
+    # totals and crossJoin subtrees IS the no-double-fact-scan
+    # guarantee (a FileScan count is unreliable here: the cached
+    # relation re-prints its child FileScan per reference)
+    assert plan.count("InMemoryTableScan") >= 2
     assert "EvalPython" not in plan
     assert "partial_count" in plan or "partial" in plan.lower()
 
