@@ -462,8 +462,104 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus slices: the
+    per-dimension mean shift between two deterministic md5 halves of
+    the embeddings table — the vector-modality sibling of
+    ``q_docs_drift_psi`` (a retrained/re-crawled embedding batch whose
+    per-dim means move against the reference slice signals encoder or
+    corpus drift before it poisons ANN indexes and dedup thresholds).
+
+    Scale shape: ONE map-only scan (hash slice + ×d posexplode are
+    codegen expressions) into a single partial-aggregating groupBy to
+    O(d) rows — the first-moment little sibling of
+    ``clustering.q_embed_covariance``'s Gram pass; no joins, no
+    windows.
+
+    Determinism: sums are EMBED_QUANT-quantized BIGINTs widened
+    internally (DECIMAL(38,0) / DuckDB HUGEINT — per-dim totals grow
+    with corpus rows); each mean is ONE exact-integer-operand IEEE
+    division, so both engines round identical doubles."""
+    from spark_ij_spark.operators.dedup import quantized_embeddings
+    from spark_ij_spark.operators.text import hash60_spark
+
+    h = hash60_spark("concat('ed:', CAST(vec_id AS STRING))")
+    return (
+        quantized_embeddings(spark, sf_dir)
+        .select(F.expr(f"({h}) % 2").alias("slice"), F.posexplode("qv"))
+        .groupBy(F.expr("CAST(pos + 1 AS BIGINT)").alias("dim"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_a"),
+            F.expr(
+                "CAST(SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_b"),
+            F.expr(
+                "CAST(SUM(CAST(CASE WHEN slice = 0 THEN col ELSE 0 END"
+                " AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("s_a"),
+            F.expr(
+                "CAST(SUM(CAST(CASE WHEN slice = 1 THEN col ELSE 0 END"
+                " AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("s_b"),
+        )
+        .select(
+            "dim",
+            "n_a",
+            "n_b",
+            # -1e12 sentinel (outside any quantized mean's range) for an
+            # empty slice: NULL would come back NaN from the driver's
+            # pandas fetch on the DuckDB side only
+            F.expr(
+                "CASE WHEN n_a = 0 THEN CAST(-1e12 AS DOUBLE)"
+                " ELSE round(s_a / n_a, 6) END"
+            ).alias("mean_a"),
+            F.expr(
+                "CASE WHEN n_b = 0 THEN CAST(-1e12 AS DOUBLE)"
+                " ELSE round(s_b / n_b, 6) END"
+            ).alias("mean_b"),
+            F.expr(
+                "CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(-1e12 AS DOUBLE)"
+                " ELSE round(s_b / n_b - s_a / n_a, 6) END"
+            ).alias("mean_shift"),
+        )
+    )
+
+
+Q_EMBED_DRIFT_SQL = f"""
+WITH q AS (
+  SELECT {hash60_duck("'ed:' || CAST(vec_id AS VARCHAR)")} % 2 AS slice,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {{EMBED_QUANT}}) AS BIGINT)) AS qv
+  FROM embeddings),
+e AS (
+  SELECT slice, generate_subscripts(qv, 1) AS dim, unnest(qv) AS v FROM q),
+a AS (
+  SELECT CAST(dim AS BIGINT) AS dim,
+         CAST(SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN slice = 0 THEN CAST(v AS HUGEINT) ELSE 0 END)
+              AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN slice = 1 THEN CAST(v AS HUGEINT) ELSE 0 END)
+              AS BIGINT) AS s_b
+  FROM e GROUP BY dim)
+SELECT dim, n_a, n_b,
+       CASE WHEN n_a = 0 THEN CAST(-1e12 AS DOUBLE)
+            ELSE round(s_a / n_a, 6) END AS mean_a,
+       CASE WHEN n_b = 0 THEN CAST(-1e12 AS DOUBLE)
+            ELSE round(s_b / n_b, 6) END AS mean_b,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(-1e12 AS DOUBLE)
+            ELSE round(s_b / n_b - s_a / n_a, 6) END AS mean_shift
+FROM a
+"""
+
+
 QUERIES = {
     "docs_k_anonymity": q_docs_k_anonymity,
+    "embed_drift": q_embed_drift,
     "profile_orders": q_profile_orders,
     "events_anomalies": q_events_anomalies,
     "docs_drift_psi": q_docs_drift_psi,
