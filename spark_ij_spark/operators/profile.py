@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_ij_spark.operators.dedup import EMBED_QUANT
+from spark_ij_spark.operators.text import hash60_duck
 from spark_ij_spark.session import load_tables
 
 # (column, kind) profile targets; timestamps profile numerically via
@@ -533,7 +535,7 @@ Q_EMBED_DRIFT_SQL = f"""
 WITH q AS (
   SELECT {hash60_duck("'ed:' || CAST(vec_id AS VARCHAR)")} % 2 AS slice,
          list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * {{EMBED_QUANT}}) AS BIGINT)) AS qv
+           x -> CAST(round(CAST(x AS DOUBLE) * {EMBED_QUANT}) AS BIGINT)) AS qv
   FROM embeddings),
 e AS (
   SELECT slice, generate_subscripts(qv, 1) AS dim, unnest(qv) AS v FROM q),
@@ -568,6 +570,7 @@ QUERIES = {
 }
 ORACLES = {
     "docs_k_anonymity": Q_DOCS_K_ANONYMITY_SQL,
+    "embed_drift": Q_EMBED_DRIFT_SQL,
     "profile_orders": Q_PROFILE_ORDERS_SQL,
     "events_anomalies": Q_EVENTS_ANOMALIES_SQL,
     "docs_drift_psi": Q_DOCS_DRIFT_PSI_SQL,
