@@ -23,6 +23,30 @@ def test_layout_query_matches_oracle(spark, duck, name):
     )
 
 
+def test_embed_drift_slices_split_evenly_and_cover_corpus(spark, duck):
+    """The md5 slice hash must cut the embeddings table into two
+    near-equal halves (it's a 60-bit uniform hash mod 2, not a data
+    attribute), every dimension of the vector must appear, and the
+    reported means must be consistent: mean_shift == mean_b - mean_a
+    within the 1e-6 rounding grain whenever both slices are non-empty."""
+    rows = profile.QUERIES["embed_drift"](spark, SF_DIR).collect()
+    n_vecs = duck.execute(
+        f"SELECT COUNT(*), MAX(len(embedding)) FROM "
+        f"'{SF_DIR}/embeddings.parquet'"
+    ).fetchone()
+    total, dims = int(n_vecs[0]), int(n_vecs[1])
+    assert len(rows) == dims
+    for r in rows:
+        assert r["n_a"] + r["n_b"] == total
+        # binomial(total, 1/2): allow 5 sigma around the even split
+        sigma = (total * 0.25) ** 0.5
+        assert abs(r["n_a"] - total / 2) < 5 * sigma + 1
+        if r["n_a"] > 0 and r["n_b"] > 0:
+            assert abs(r["mean_shift"] - (r["mean_b"] - r["mean_a"])) < 2e-6
+        else:
+            assert r["mean_shift"] == -1e12
+
+
 def test_zorder_buckets_balanced_and_prune_both_dims(spark, duck):
     """The z-order layout property: buckets are equal-size (ntile),
     cover the table exactly, and a narrow window on EITHER dimension
