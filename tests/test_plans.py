@@ -513,6 +513,19 @@ def test_drift_psi_single_scan_no_join(spark):
     assert plan.count("FileScan") == 1
 
 
+def test_embed_drift_single_scan_no_join(spark):
+    """Embedding drift: one map-only scan (hash slice, quantize, and
+    posexplode are codegen exprs) into a single partial-aggregating
+    groupBy to O(dims) rows — no join, no Python, no rescans. The
+    vector sibling of the PSI guard above."""
+    from spark_ij_spark.operators import profile
+
+    plan = _plan(profile.q_embed_drift(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("FileScan") == 1
+
+
 def test_bpe_pairs_map_only_partial_agg(spark):
     """BPE pair counts: double explode stays codegen (no Python, no
     join); the groupBy partial-aggregates map-side before exchange."""
