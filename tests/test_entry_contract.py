@@ -88,6 +88,21 @@ def test_grading_order_breaks_never_graded_ties_by_declared_round():
     assert seq == sorted(seq), "never-graded tie-break not oldest-first"
 
 
+def test_bench_and_tools_compile():
+    """bench.py crashing means BENCH_r{N}.json records rc!=0 and the
+    round loses its perf evidence (it happened twice: r6 line overflow,
+    r7 import crash). Full-run coverage needs Spark; what CAN be locked
+    in for free is that every driver-facing script byte-compiles and
+    bench.py's main() guards exist."""
+    import py_compile
+
+    for rel in ("bench.py", "__spark_entry__.py", "tools/check_queries.py"):
+        py_compile.compile(os.path.join(REPO, rel), doraise=True)
+    src = open(os.path.join(REPO, "bench.py")).read()
+    assert "BENCH_FULL.json" in src, "full per-query map sidecar missing"
+    assert "json.dumps" in src
+
+
 def test_no_duplicate_query_names_across_modules():
     """queries() and oracle_sql() merge module dicts with identical
     precedence; a name declared in TWO modules would let the grader
