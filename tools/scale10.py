@@ -132,9 +132,16 @@ def build_dataset(spark, out_dir: str, k: int) -> None:
         "embeddings": lambda df: replicate(
             df, lambda i: [
                 off("vec_id", i),
+                # rotate by i (mod dims); past one full cycle (K > 64)
+                # also negate so replicas stay pairwise distinct — a
+                # repeat rotation would clone vectors across replicas
+                # and double ANN bucket collision depth artificially
                 (F.col("embedding") if i == 0 else F.expr(
-                    f"concat(slice(embedding, {i % 64} + 1, 64 - {i % 64}),"
-                    f" slice(embedding, 1, {i % 64}))")).alias("embedding"),
+                    ("transform({0}, x -> -x)" if (i // 64) % 2 else "{0}")
+                    .format(
+                        f"concat(slice(embedding, {i % 64} + 1, 64 - {i % 64}),"
+                        f" slice(embedding, 1, {i % 64}))"
+                    ))).alias("embedding"),
                 "label"]),
     }
     for name, fn in plans.items():
