@@ -112,7 +112,10 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign_h = hash60_spark("concat(p, ',', d)")
     planes = (
         spark.range(LSH_NBITS).withColumnRenamed("id", "p")
-        .crossJoin(spark.range(DIM).withColumnRenamed("id", "d"))
+        # explicit broadcast: NBITS x DIM constant rows (provably
+        # bounded). Static auto-broadcast is off session-wide, so a
+        # bare crossJoin would plan as CartesianProduct.
+        .crossJoin(F.broadcast(spark.range(DIM).withColumnRenamed("id", "d")))
         .withColumn("sign", F.expr(f"CASE WHEN ({sign_h} & 1) = 1 THEN 1 ELSE -1 END"))
     )
     bits = (

@@ -48,7 +48,21 @@ def get_spark(app_name: str = "spark_ij_spark", cpus: int | None = None) -> Spar
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark's reader
         # rejects it unless read as long (converted back in load_tables)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast policy (the 100 TB rule): static auto-broadcast is
+        # OFF because Catalyst's plan-time size estimates of derived
+        # frames (aggregated signatures, cached postings) are fiction —
+        # at sf~10 they underestimated corpus-sized band/postings
+        # frames >10x and the "broadcast" OOMed the driver (measured,
+        # SCALING.md round 8). Broadcasts now happen only when (a) the
+        # code marks a PROVABLY bounded side with an explicit
+        # F.broadcast() hint, or (b) AQE measures the side's TRUE
+        # runtime size under the adaptive threshold — so toy-SF plans
+        # keep their broadcast speed and scale plans keep their lives.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

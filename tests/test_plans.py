@@ -373,7 +373,13 @@ def test_q2_q12_q16_q20_shapes(spark):
         relational.q16_supplier_part_count,
         relational.q20_dominant_supplier,
     ):
-        plan = _plan(q(spark, SF_DIR))
+        df = q(spark, SF_DIR)
+        # static auto-broadcast is off session-wide (plan-time size
+        # estimates lie at scale — see session.get_spark); the
+        # broadcast decision is AQE's from TRUE runtime sizes, so
+        # finalize the plan by executing before asserting it.
+        df.collect()
+        plan = _plan(df)
         assert "BroadcastHashJoin" in plan, q.__name__
         assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan, (
             q.__name__
