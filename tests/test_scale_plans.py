@@ -13,6 +13,21 @@ from spark_ij_spark.session import load_tables
 from .conftest import SF_DIR
 
 
+def test_broadcast_policy_is_runtime_size_only(spark):
+    """The round-8 scale rule: no static auto-broadcast (plan-time
+    size estimates of derived frames lie — a corpus-sized postings
+    frame was estimated broadcastable at sf~10 and OOMed the driver),
+    broadcasts come only from explicit hints or AQE's runtime-measured
+    sizes. A refactor of get_spark that restores static auto-broadcast
+    reintroduces the OOM class silently — fail here instead."""
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    assert (
+        int(spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+        > 0
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
 def test_bucketed_join_has_no_exchange(spark):
     t = load_tables(spark, SF_DIR, ["orders", "lineitem"])
     spark.sql("DROP TABLE IF EXISTS b_orders")
