@@ -253,12 +253,22 @@ def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         A = np.asarray(list(pdf["x"]), dtype=np.int64)
         ids = pdf["vec_id"].to_numpy()
-        dots = (A @ A.T).astype(np.float64)  # exact: |dot| < 2^53
         nrm = np.sqrt((A * A).sum(axis=1).astype(np.float64))
-        cos = dots / (nrm[:, None] * nrm[None, :])
-        # dropped = has ANY smaller-id neighbor with cos >= tau
-        mask = (cos >= tau) & (ids[:, None] < ids[None, :])
-        dropped = mask.any(axis=0)
+        # Row-chunked matmul: the full n×n score matrix of a hot cell
+        # is the memory hazard (a 50k-vector cell would be a 20 GB
+        # dense tile — the sf~10 OOM class), while the cell's VECTORS
+        # are only n×dims ints. Each chunk scores CHUNK×n cells and is
+        # released before the next; results are bit-identical (same
+        # int64 dots, same IEEE divisions), just computed in slabs.
+        chunk = 1024
+        dropped = np.zeros(len(ids), dtype=bool)
+        for s in range(0, len(ids), chunk):
+            e = min(s + chunk, len(ids))
+            dots = (A[s:e] @ A.T).astype(np.float64)  # exact: |dot| < 2^53
+            cos = dots / (nrm[s:e, None] * nrm[None, :])
+            # dropped = has ANY smaller-id neighbor with cos >= tau
+            mask = (cos >= tau) & (ids[s:e, None] < ids[None, :])
+            dropped |= mask.any(axis=0)
         return pd.DataFrame(
             {
                 "vec_id": ids[dropped],

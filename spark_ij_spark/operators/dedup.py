@@ -514,7 +514,23 @@ COS_DUCK = (
 
 
 EMBED_BLOCKS = 8
+# Block-matmul tile bound: each cogroup tile holds ~(2·TARGET)² score
+# cells in one numpy matmul, so the block count must GROW with the
+# vector count — a static 8 blocks put 25k vectors/block at the sf~10
+# replica sweep and the ~5 GB dense tile killed the JVM (measured,
+# round 8). embed_blocks() keeps tiles bounded; at the oracle SFs it
+# returns EMBED_BLOCKS unchanged (plans and outputs identical — the
+# tiling is a Spark-side cover, never visible in the pair set).
+EMBED_BLOCK_TARGET_ROWS = 4000
 EMBED_QUANT = 1000000.0
+
+
+def embed_blocks(n_vecs: int) -> int:
+    """Block count for the dense-similarity tile cover of ``n_vecs``
+    vectors — bounds any single tile's matmul at ~TARGET² cells."""
+    import math
+
+    return max(EMBED_BLOCKS, math.ceil(n_vecs / EMBED_BLOCK_TARGET_ROWS))
 
 
 def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,20 +550,26 @@ def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ threshold) via block
-    nested-loop matmul: vectors are hashed into EMBED_BLOCKS blocks,
-    each block-pair is cogrouped once, and a numpy int64 matmul scores
-    the whole tile. Replication factor is EMBED_BLOCKS per side (tune
-    to executor memory at scale); no all-pairs row join ever
+    nested-loop matmul: vectors are hashed into ``embed_blocks(n)``
+    blocks (data-derived so a tile's dense score matrix stays bounded
+    — see EMBED_BLOCK_TARGET_ROWS), each block-pair is cogrouped once,
+    and a numpy int64 matmul scores the whole tile. Replication factor
+    is the block count per side; no all-pairs row join ever
     materializes. This is the 100 TB-shaped exact baseline; the LSH
     bucketed variant in similarity.py trades recall for candidate
     pruning."""
     import numpy as np
     import pandas as pd
 
+    # O(1) driver scalar from parquet footers (same role as the edge
+    # count in cc_partitions); tiling is output-invariant, so the
+    # oracle needs no mirror of it.
+    n_vecs = _emb(spark, sf_dir).count()
+    n_blocks = embed_blocks(n_vecs)
     q = quantized_embeddings(spark, sf_dir).withColumn(
-        "blk", F.expr(f"CAST(vec_id % {EMBED_BLOCKS} AS INT)")
+        "blk", F.expr(f"CAST(vec_id % {n_blocks} AS INT)")
     )
-    other = spark.range(EMBED_BLOCKS).select(F.col("id").cast("int").alias("ob"))
+    other = spark.range(n_blocks).select(F.col("id").cast("int").alias("ob"))
     left = (
         q.crossJoin(F.broadcast(other))
         .filter(F.col("blk") <= F.col("ob"))
@@ -558,7 +580,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and Spark's ambiguous-self-join analyzer rejects one shared
     # DataFrame object there (AMBIGUOUS_SELF_JOIN on qv/vec_id).
     q2 = quantized_embeddings(spark, sf_dir).withColumn(
-        "blk", F.expr(f"CAST(vec_id % {EMBED_BLOCKS} AS INT)")
+        "blk", F.expr(f"CAST(vec_id % {n_blocks} AS INT)")
     )
     right = (
         q2.crossJoin(F.broadcast(other))
@@ -1489,8 +1511,12 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead.
 
     Shape: postings cached (one tokenize+explode); document frequency
-    is a |vocab|-row aggregate broadcast back onto the postings (never
-    a window over the full postings — CLAUDE.md posting-cap rule);
+    is a |vocab|-row aggregate equi-joined back onto the postings with
+    NO broadcast hint — |vocab| grows with the corpus (measured x100
+    at the sf~10 replica sweep; billions of shingles at 100 TB), so
+    the join strategy is AQE's call from true runtime sizes: broadcast
+    at test SF, co-partitioned shuffle join at scale (round-8
+    broadcast policy, session.get_spark);
     ranks and set sizes are one doc-keyed window pass; candidates =
     prefix ⋈ prefix equi-join on the shingle with the two integer
     prunes as join residuals; verification SEMI-FILTERS the postings
@@ -1506,7 +1532,9 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
     wdoc = Window.partitionBy("doc_id")
     ranked = (
-        sh.join(F.broadcast(dfreq), "s")
+        # no broadcast hint: dfreq is |vocab|-sized (unbounded) — AQE
+        # broadcasts it at toy SF and shuffle-joins it at scale
+        sh.join(dfreq, "s")
         .withColumn("rn", F.row_number().over(wdoc.orderBy("df", "s")))
         .withColumn("sz", F.count("*").over(wdoc))
     )

@@ -400,7 +400,7 @@ def q_supplier_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("supplier_revenue") > 1000.0)
     )
     return (
-        rev.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        rev.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "supplier_revenue")
         .orderBy("s_suppkey")
     )
@@ -885,7 +885,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_revenue"
     )
     return (
-        rev.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        rev.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -918,7 +918,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     joined = t["lineitem"].join(
-        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+        t["part"], F.col("l_partkey") == F.col("p_partkey")
     )
     branch = (
         "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
@@ -1196,7 +1196,7 @@ def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         r.join(multi, "l_orderkey", "left_semi")
         .join(solo, "l_orderkey", "left_semi")
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -1489,7 +1489,7 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .select("l_partkey", "l_suppkey")
         .join(
-            F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+            excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
         )
         .join(wanted, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
@@ -1531,7 +1531,7 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey"))
+        .join(widget, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_suppkey", "l_quantity")
         # cache: li feeds BOTH decorrelated aggregates — uncached, the
         # filtered lineitem scan + widget broadcast join run twice

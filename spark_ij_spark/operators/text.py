@@ -248,9 +248,11 @@ def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality score from a corpus bigram LM: mean
     −ln P(w2|w1) over each doc's bigrams, with P = bigram_count /
     unigram_count (MLE over the whole corpus). Two aggregations build
-    the LM (both partial-aggregating); scoring is a broadcast-sized
-    join at this vocab (31 words → ≤961 bigrams; at web scale the LM
-    tables shuffle-join on the bigram key instead).
+    the LM (both partial-aggregating); the scoring joins carry NO
+    broadcast hint — the LM tables are vocabulary-sized (unbounded at
+    web scale), so AQE broadcasts them while they measure small (31
+    words → ≤961 bigrams here) and shuffle-joins on the bigram key at
+    scale (round-8 broadcast policy, session.get_spark).
 
     Determinism: per-bigram surprisal is rounded to 6 digits, so the
     per-doc mean is an exact decimal sum / count — order-independent
@@ -268,9 +270,9 @@ def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c_w1"))
     )
     scored = (
-        doc_bigrams.join(F.broadcast(bg_counts), "bg")
+        doc_bigrams.join(bg_counts, "bg")
         .withColumn("w1", F.expr("split(bg, ' ')[0]"))
-        .join(F.broadcast(w1_counts), "w1")
+        .join(w1_counts, "w1")
         .withColumn(
             "surprisal",
             F.expr("round(-ln(CAST(c_bg AS DOUBLE) / c_w1), 6)"),
