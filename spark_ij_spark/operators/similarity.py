@@ -73,7 +73,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id < N_QUERIES), brute force. The window ranks within each
     query's candidate set (shuffle keyed on query id)."""
     e = emb_with_norm(spark, sf_dir)
-    a = e.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    # explicit broadcast: the probe set is a CONSTANT N_QUERIES rows
+    # (provably bounded), so the brute-force scan is a broadcast
+    # nested-loop over the corpus — one corpus pass, no shuffle. A
+    # bare non-equi join would plan as CartesianProduct under the
+    # runtime-size-only broadcast policy.
+    a = F.broadcast(e.filter(F.col("vec_id") < N_QUERIES)).alias("a")
     b = e.alias("b")
     scored = (
         a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))

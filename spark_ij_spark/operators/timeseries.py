@@ -447,12 +447,16 @@ def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = samp.select(F.col("event_type").alias("ta"), "h")
     sb = samp.select(F.col("event_type").alias("tb"), "h")
     # union sketch per ordered type pair: k smallest of merged samples
+    # explicit broadcasts: the distinct type list is O(types) rows
+    # (provably bounded), so the pair fan-out is a broadcast
+    # nested-loop, not a CartesianProduct, under the runtime-size-only
+    # broadcast policy.
     merged = (
-        sa.crossJoin(sb.select("tb").distinct())
+        sa.crossJoin(F.broadcast(sb.select("tb").distinct()))
         .where(F.col("ta") < F.col("tb"))
         .select("ta", "tb", "h")
         .union(
-            sb.crossJoin(sa.select("ta").distinct())
+            sb.crossJoin(F.broadcast(sa.select("ta").distinct()))
             .where(F.col("ta") < F.col("tb"))
             .select("ta", "tb", "h")
         )
