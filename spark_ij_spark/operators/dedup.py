@@ -977,8 +977,14 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate (centrality-based canonicalization), a finer signal than
     the min-label rule ``q_dedup_clusters`` uses.
 
-    Scale shape: the edge graph comes from the bucketed pair op (never
-    all-pairs); each iteration is one src-keyed equi-join + one
+    Scale shape: the edge graph here comes from the EXACT block-matmul
+    generator (``q_dedup_embedding`` — bounded memory via
+    ``embed_blocks``, but quadratic compute: 232x for 100x data in the
+    round-8 K=100 sweep, the one deliberate super-linear query). At
+    100 TB the identical loop runs off ``lsh_candidate_pairs``
+    verified pairs instead (46x at the same sweep); the exact
+    generator is the labeled baseline the LSH graph is audited
+    against. Each iteration is one src-keyed equi-join + one
     dst-keyed partial aggregate — the canonical distributed PageRank
     step, O(E) per round with no driver state beyond the node count.
     Same loop hygiene as the CC op: partition count derived from the
