@@ -113,6 +113,47 @@ def test_processor_for_each_per_slice(spark):
         assert r.image.log[-1].opval == "add2"
 
 
+def test_embed_blocks_bounds_tile_size():
+    """The dense-matmul tile cover must GROW with the vector count so
+    no single cogroup tile's score matrix outruns memory (the sf~10
+    JVM-death class). Floor at the oracle SFs (plans unchanged),
+    proportional above the per-block target."""
+    from spark_ij_spark.operators import dedup
+
+    assert dedup.embed_blocks(0) == dedup.EMBED_BLOCKS
+    assert dedup.embed_blocks(2_000) == dedup.EMBED_BLOCKS  # sf0.1
+    big = dedup.embed_blocks(200_000)  # the sf~10 replica corpus
+    assert big * dedup.EMBED_BLOCK_TARGET_ROWS >= 200_000
+    # 10x the vectors -> ~10x the blocks (tile row-count stays bounded)
+    assert dedup.embed_blocks(2_000_000) >= 10 * big * 0.9
+
+
+def test_semdedup_chunked_matmul_matches_full():
+    """The row-chunked within-cell matmul (bounded-memory slab path,
+    only exercised above 1024 rows — cells at test SF are ~50) must
+    produce the exact kill set the full n x n matrix does."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, dims, tau = 2500, 16, 0.35
+    A = rng.randint(-1000, 1000, size=(n, dims)).astype(np.int64)
+    ids = rng.permutation(n).astype(np.int64)
+    nrm = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+    # full-matrix reference
+    cos_full = (A @ A.T).astype(np.float64) / (nrm[:, None] * nrm[None, :])
+    ref = ((cos_full >= tau) & (ids[:, None] < ids[None, :])).any(axis=0)
+    # slab path, identical to clustering.cell_kill's loop
+    chunk = 1024
+    got = np.zeros(n, dtype=bool)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        cos = (A[s:e] @ A.T).astype(np.float64) / (
+            nrm[s:e, None] * nrm[None, :]
+        )
+        got |= ((cos >= tau) & (ids[s:e, None] < ids[None, :])).any(axis=0)
+    assert (got == ref).all()
+
+
 def test_cc_partitions_scale_with_edge_count(spark):
     """Connected-components loop frames must be sized from the measured
     edge count (1-10M edges/partition band), not a fixed constant —
