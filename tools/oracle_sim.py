@@ -73,7 +73,11 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLE_NAMES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table = a DIRECTORY of part files; DuckDB
+            # needs the glob (testdata ships single files instead)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, osql = mod.queries(), mod.oracle_sql()
