@@ -22,21 +22,29 @@ the SAME skewed parquet, so `tools/oracle_sim.py --sf .scratch/skew0.01`
 hash-verifies every oracle-backed query with the caps and skew guards
 ACTIVE on both engines.
 
-Usage: python tools/make_skew.py  &&  python tools/oracle_sim.py --sf .scratch/skew0.01
+Usage:
+  python tools/make_skew.py                 # skew0.01 (correctness sweep)
+  python tools/make_skew.py --src sf0.1     # skew0.1  (skew PERF testing)
+Then: python tools/oracle_sim.py --sf .scratch/skew<sf>
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SRC = "/root/testdata/sf0.01"
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--src", default="sf0.01")
+_ARGS = _ap.parse_args()
+
+SRC = f"/root/testdata/{_ARGS.src}"
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".scratch",
-    "skew0.01",
+    _ARGS.src.replace("sf", "skew"),
 )
 
 BOILER = (
