@@ -26,6 +26,13 @@ def test_broadcast_policy_is_runtime_size_only(spark):
         > 0
     )
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # runtime skew-join splitting is the other half of the runtime-
+    # truth story (hot keys split into subpartitions at shuffle time)
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == "true"
+    )
 
 
 def test_bucketed_join_has_no_exchange(spark):
