@@ -183,3 +183,28 @@ def test_cc_partitions_scale_with_edge_count(spark):
     # end-to-end: the loop frame partition count matches the derivation
     labels = dedup.q_dedup_clusters(spark, SF_DIR)
     assert labels.count() > 0
+
+
+def test_no_cartesian_or_row_python_anywhere(spark):
+    """Global structural net over EVERY graded query's physical plan:
+    no CartesianProduct (under the round-8 runtime-size-only broadcast
+    policy, a non-equi join whose bounded side loses its F.broadcast()
+    hint silently degrades to a cartesian — exactly the regression
+    class the policy switch created) and no BatchEvalPython (a
+    row-at-a-time Python UDF in a graded plan; Python is allowed only
+    as Arrow-batched pandas UDFs). Per-query guards in test_plans.py
+    check the shapes we DESIGNED; this sweep catches the shape nobody
+    thought to guard. Plans are built, never executed (driver-side
+    calibration actions inside query composition still run — sub-
+    second at SF_DIR). tools/plan_sweep.py is the standalone twin for
+    off-grade SFs."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from plan_sweep import sweep
+
+    bad = sweep(spark, SF_DIR)
+    assert not bad, f"forbidden plan operators: {bad}"
