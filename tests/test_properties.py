@@ -22,7 +22,15 @@ from spark_ij_spark.kernels.histogram import hist_distance, histogram
 from spark_ij_spark.kernels.roi import roi_mask
 from spark_ij_spark.operators.sweep import macro_steps_to_sweep
 
-SMALL = {"max_examples": 50, "deadline": None}
+# suite default 50 examples; SPARK_GRAFT_HYP_EXAMPLES cranks it for
+# on-demand deep-fuzz passes (e.g. 2000 in an idle round) without
+# slowing every CI run
+import os
+
+SMALL = {
+    "max_examples": int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "50")),
+    "deadline": None,
+}
 
 
 @given(

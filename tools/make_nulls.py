@@ -1,0 +1,131 @@
+"""Build a NULL/empty-injected variant of sf0.01 under .scratch/ —
+the third adversarial axis after scale (scale10.py) and skew
+(make_skew.py). The driver's testdata contains ZERO nulls and zero
+empty strings/arrays in any table (verified round 8), so every
+null-handling branch in all graded queries is dormant at the graded
+SFs — while a real 100 TB corpus is full of null/empty text, missing
+metric values, and empty embedding rows.
+
+Injection rules (DETERMINISTIC modular rules on ids, no RNG; VALUE
+columns only — join/group keys stay non-null, matching the documented
+ingest stance that keys are enforced NOT NULL at the boundary):
+
+- documents.text: ``doc_id % 23 = 5`` → NULL, ``% 23 = 9`` → '' (empty
+  string), ``% 23 = 13`` → whitespace-only; n_chars re-derived from
+  the new text (NULL when text is NULL — a missing doc has no length).
+- events.value: ``event_id % 31 = 11`` → NULL (missing metric sample).
+- events.props: ``event_id % 31 = 17`` → NULL (absent JSON payload).
+- embeddings.embedding: ``vec_id % 37 = 12`` → empty array,
+  ``vec_id % 37 = 25`` → NULL (failed embedder rows).
+
+Spark and DuckDB read the SAME injected parquet, so
+``tools/oracle_sim.py --sf .scratch/null0.01`` hash-verifies that the
+two engines AGREE on every query's null semantics — and that no Spark
+path (numpy kernels, pandas UDFs, array expressions) crashes on a
+null/empty input.
+
+Usage:
+  python tools/make_nulls.py                # null0.01 (correctness sweep)
+Then: python tools/oracle_sim.py --sf .scratch/null0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--src", default="sf0.01")
+_ARGS = _ap.parse_args()
+
+SRC = f"/root/testdata/{_ARGS.src}"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch",
+    _ARGS.src.replace("sf", "null"),
+)
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from spark_ij_spark.session import get_spark, load_tables
+
+    spark = get_spark("make-nulls", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUT, exist_ok=True)
+    t = load_tables(spark, SRC)
+
+    # --- documents ------------------------------------------------------
+    docs = t["documents"].select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 23 = 5 THEN CAST(NULL AS STRING)"
+            " WHEN doc_id % 23 = 9 THEN ''"
+            " WHEN doc_id % 23 = 13 THEN '   '"
+            " ELSE text END"
+        ).alias("text"),
+        "lang",
+        "source",
+    )
+    docs = docs.withColumn("n_chars", F.expr("CAST(length(text) AS BIGINT)"))
+    docs.repartition(2).write.mode("overwrite").parquet(
+        os.path.join(OUT, "documents.parquet")
+    )
+
+    # --- events ---------------------------------------------------------
+    ev = t["events"].select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.expr(
+            "CASE WHEN event_id % 31 = 11 THEN CAST(NULL AS DOUBLE)"
+            " ELSE value END"
+        ).alias("value"),
+        F.expr(
+            "CASE WHEN event_id % 31 = 17 THEN CAST(NULL AS STRING)"
+            " ELSE props END"
+        ).alias("props"),
+    )
+    ev.repartition(2).write.mode("overwrite").parquet(
+        os.path.join(OUT, "events.parquet")
+    )
+
+    # --- embeddings -----------------------------------------------------
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.expr(
+            "CASE WHEN vec_id % 37 = 12 THEN CAST(array() AS ARRAY<FLOAT>)"
+            " WHEN vec_id % 37 = 25 THEN CAST(NULL AS ARRAY<FLOAT>)"
+            " ELSE embedding END"
+        ).alias("embedding"),
+        "label",
+    )
+    emb.repartition(2).write.mode("overwrite").parquet(
+        os.path.join(OUT, "embeddings.parquet")
+    )
+
+    # --- unchanged tables: copy through ----------------------------------
+    for name in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ):
+        t[name].write.mode("overwrite").parquet(
+            os.path.join(OUT, f"{name}.parquet")
+        )
+    print(f"null-injected dataset written to {OUT}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
