@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_ij_spark.operators.dedup import EMBED_QUANT, quantized_embeddings
+from spark_ij_spark.operators.dedup import (
+    EMB_CLEAN_DUCK,
+    EMBED_QUANT,
+    _emb,
+    quantized_embeddings,
+)
 
 KMEANS_K = 8
 KMEANS_ITERS = 3
@@ -107,7 +112,7 @@ _Q_QUANT_DUCK = f"""q AS (
   SELECT vec_id,
          list_transform(embedding,
            v -> CAST(CAST(round(CAST(v AS DOUBLE) * {EMBED_QUANT}) AS BIGINT) AS DOUBLE)) AS x
-  FROM embeddings)"""
+  FROM {EMB_CLEAN_DUCK} embeddings)"""
 _SEEDS_DUCK = f"""s AS (
   SELECT vec_id AS cid, x AS c, list_dot_product(x, x) AS cnorm
   FROM q WHERE vec_id < {KMEANS_K})"""
@@ -463,7 +468,7 @@ Q_EMBED_COVARIANCE_SQL = f"""
 WITH q AS (
   SELECT list_transform(embedding,
          x -> CAST(round(CAST(x AS DOUBLE) * {EMBED_QUANT}) AS BIGINT)) AS qv
-  FROM embeddings),
+  FROM {EMB_CLEAN_DUCK} embeddings),
 p AS (
   SELECT unnest(flatten(list_transform(range(1, {COV_DIM + 1}),
            i -> list_transform(range(i, {COV_DIM + 1}),
@@ -526,7 +531,7 @@ def q_embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    qe = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    qe = _emb(spark, sf_dir).select(
         F.expr(
             f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {PI_QUANT}) AS BIGINT))"
         ).alias("qv")
@@ -610,7 +615,7 @@ v{t} AS MATERIALIZED (
 WITH q AS (
   SELECT list_transform(embedding,
          x -> CAST(round(CAST(x AS DOUBLE) * {PI_QUANT}) AS BIGINT)) AS qv
-  FROM embeddings),
+  FROM {EMB_CLEAN_DUCK} embeddings),
 p AS (
   SELECT unnest(flatten(list_transform(range(1, {COV_DIM + 1}),
            i -> list_transform(range(i, {COV_DIM + 1}),

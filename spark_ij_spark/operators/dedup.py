@@ -48,8 +48,42 @@ SIMHASH_MAX_HAMMING = 8
 EMBED_COS_THRESHOLD = 0.4
 
 
+#: declared embedding dimensionality (the table contract; FIXTURES.md)
+EMB_DIM = 64
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    """Analytics-grade embeddings scan: rows whose vector is NULL or
+    not EMB_DIM wide are dropped AT THE SCAN. A real corpus carries
+    failed-embedder rows (null/empty arrays) and they crash every
+    downstream path differently (zero-norm cosine → division by zero,
+    ragged np.stack in the block matmul, DuckDB list_dot_product
+    dimension errors — all observed in the round-8 null-injection
+    sweep, tools/make_nulls.py), so integrity filtering happens once,
+    here, for EVERY embedding analytics op on both engines
+    (EMB_CLEAN_DUCK is the oracle mirror). Audit queries
+    (integrity_docs_embeddings) deliberately read the raw table."""
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.expr(f"embedding IS NOT NULL AND size(embedding) = {EMB_DIM}")
+    )
+
+
+#: DuckDB mirror of the _emb integrity filter — use as
+#: `FROM {EMB_CLEAN_DUCK} embeddings` in every analytics oracle.
+#: The value-identity list_transform is a deliberate materialization
+#: barrier: DuckDB's list_inner_product null-check scans the list
+#: vector's RAW child buffer, so when the filtered rows are dictionary
+#: slices over a buffer that still holds a dropped NULL row's entries,
+#: a downstream cross/equi join errors with "argument can not contain
+#: NULL values" even though every SELECTED row is clean (reproduced
+#: round 8 on the make_nulls.py dataset; the rebuilt buffer is flat
+#: and the error disappears). Identity on values — null-free grades
+#: are bit-identical with or without it.
+EMB_CLEAN_DUCK = (
+    "(SELECT vec_id, list_transform(embedding, x -> x) AS embedding, "
+    "label FROM embeddings "
+    f"WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM})"
+)
 
 
 def emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,7 +665,7 @@ Q_DEDUP_EMBEDDING_SQL = f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {EMBED_QUANT}) AS BIGINT)) AS qv
-  FROM embeddings),
+  FROM {EMB_CLEAN_DUCK} embeddings),
 n AS (
   SELECT vec_id, qv,
          sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) AS nrm
@@ -1057,7 +1091,7 @@ p{k} AS (
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {EMBED_QUANT}) AS BIGINT)) AS qv
-  FROM embeddings),
+  FROM {EMB_CLEAN_DUCK} embeddings),
 n AS (
   SELECT vec_id, qv,
          sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) AS nrm

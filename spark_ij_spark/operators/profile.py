@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_ij_spark.operators.dedup import EMBED_QUANT
+from spark_ij_spark.operators.dedup import EMB_CLEAN_DUCK, EMBED_QUANT
 from spark_ij_spark.operators.text import hash60_duck
 from spark_ij_spark.session import load_tables
 
@@ -536,7 +536,7 @@ WITH q AS (
   SELECT {hash60_duck("'ed:' || CAST(vec_id AS VARCHAR)")} % 2 AS slice,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * {EMBED_QUANT}) AS BIGINT)) AS qv
-  FROM embeddings),
+  FROM {EMB_CLEAN_DUCK} embeddings),
 e AS (
   SELECT slice, generate_subscripts(qv, 1) AS dim, unnest(qv) AS v FROM q),
 a AS (

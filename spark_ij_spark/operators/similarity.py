@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 from spark_ij_spark.operators.dedup import (
     COS_DUCK,
     COS_SPARK,
+    EMB_CLEAN_DUCK,
+    EMB_DIM,
     EMBED_QUANT,
+    _emb,
     emb_with_norm,
 )
 from spark_ij_spark.operators.text import hash60_duck, hash60_spark
@@ -40,17 +43,17 @@ TOPK = 5
 LSH_TOPK = 3
 N_QUERIES = 20      # query set = vec_id < N_QUERIES
 LSH_NBITS = 8
-DIM = 64
+# plane/slice width IS the table's declared dimension — one source
+# (dedup.EMB_DIM, which the _emb integrity scan also enforces)
+DIM = EMB_DIM
 # float → integer quantization scale for projections/PQ — DEFINED AS
 # dedup.EMBED_QUANT (not a lookalike literal): the PQ Spark path
 # quantizes via dedup.quantized_embeddings, so an independent constant
 # here would let one retune silently desync codebooks/codes/LUT
 # between the Spark queries and the DuckDB oracles built from QUANT.
 QUANT = EMBED_QUANT
-
-
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+# _emb is dedup's integrity-filtered scan (null/wrong-dim vectors
+# dropped); ALL similarity paths read through it — see dedup._emb.
 
 
 def _topk_rerank(scored: DataFrame, k: int) -> DataFrame:
@@ -94,7 +97,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_ANN_TOPK_SQL = f"""
 WITH scored AS (
   SELECT a.vec_id AS ia, b.vec_id AS ib, {COS_DUCK} AS cos
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  FROM {EMB_CLEAN_DUCK} a JOIN {EMB_CLEAN_DUCK} b ON a.vec_id <> b.vec_id
   WHERE a.vec_id < {N_QUERIES}),
 ranked AS (
   SELECT ia, ib, cos,
@@ -138,7 +141,7 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_BUCKETS_DUCK = f"""
 dims AS (
   SELECT vec_id, d, CAST(round(CAST(embedding[d + 1] AS DOUBLE) * {QUANT}) AS BIGINT) AS q
-  FROM embeddings, (SELECT unnest(range(0, {DIM})) AS d)),
+  FROM {EMB_CLEAN_DUCK} embeddings, (SELECT unnest(range(0, {DIM})) AS d)),
 planes AS (
   SELECT p, d,
          CASE WHEN ({hash60_duck("p || ',' || d")} & 1) = 1 THEN 1 ELSE -1 END AS sign
@@ -185,8 +188,8 @@ cand AS (
 scored AS (
   SELECT ia, ib, {COS_DUCK} AS cos
   FROM cand
-  JOIN embeddings a ON cand.ia = a.vec_id
-  JOIN embeddings b ON cand.ib = b.vec_id),
+  JOIN {EMB_CLEAN_DUCK} a ON cand.ia = a.vec_id
+  JOIN {EMB_CLEAN_DUCK} b ON cand.ib = b.vec_id),
 ranked AS (
   SELECT ia, ib, cos,
          row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
@@ -247,8 +250,8 @@ cand AS (
 scored AS (
   SELECT ia, ib, {COS_DUCK} AS cos
   FROM cand
-  JOIN embeddings a ON cand.ia = a.vec_id
-  JOIN embeddings b ON cand.ib = b.vec_id),
+  JOIN {EMB_CLEAN_DUCK} a ON cand.ia = a.vec_id
+  JOIN {EMB_CLEAN_DUCK} b ON cand.ib = b.vec_id),
 ranked AS (
   SELECT ia, ib, cos,
          row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
@@ -311,7 +314,7 @@ _IVF_SCORED_DUCK = f"""
 n AS (
   SELECT vec_id, embedding,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-  FROM embeddings),
+  FROM {EMB_CLEAN_DUCK} embeddings),
 seeds AS (
   SELECT vec_id AS seed_id, embedding AS s_emb, nrm AS s_nrm
   FROM n WHERE vec_id < {IVF_NLIST}),
@@ -396,8 +399,8 @@ cand AS (
 rescored AS (
   SELECT ia, ib, {COS_DUCK} AS cos
   FROM cand
-  JOIN embeddings a ON cand.ia = a.vec_id
-  JOIN embeddings b ON cand.ib = b.vec_id)
+  JOIN {EMB_CLEAN_DUCK} a ON cand.ia = a.vec_id
+  JOIN {EMB_CLEAN_DUCK} b ON cand.ib = b.vec_id)
 """
 
 Q_ANN_IVF_SQL = f"""
@@ -668,7 +671,7 @@ q AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT) AS DOUBLE)) AS qv
-  FROM embeddings),
+  FROM {EMB_CLEAN_DUCK} embeddings),
 sub AS (
   SELECT vec_id, m,
          list_slice(qv, m * {PQ_DSUB} + 1, (m + 1) * {PQ_DSUB}) AS sv
