@@ -265,7 +265,16 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and no join at all. The naive equi-join + max-ts form shuffles both
     sides and explodes on active users; this form is how an as-of join
     survives 100 TB. Ties break on event_id, so the order (and the
-    result) is engine-independent."""
+    result) is engine-independent.
+
+    Null metric samples (round-8 null sweep): the click-value branch
+    coalesces to the -1.0 sentinel BEFORE the window, so it is non-NULL
+    for every click row and the ts/value last() pairs pick the SAME
+    click — with a bare `value` there, a null-valued latest click made
+    last_click_ts come from click A but last_click_value from an older
+    click B. The purchase's own `value` coalesces to -1.0 at output
+    (None from Spark vs NaN through the driver's pandas fetch never
+    hash-equal)."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -273,7 +282,10 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = _events(spark, sf_dir)
     click_ts = F.expr("CASE WHEN event_type = 'click' THEN ts END")
-    click_val = F.expr("CASE WHEN event_type = 'click' THEN value END")
+    click_val = F.expr(
+        "CASE WHEN event_type = 'click'"
+        " THEN coalesce(value, CAST(-1.0 AS DOUBLE)) END"
+    )
     return (
         ev.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
         .withColumn("last_click_value", F.last(click_val, ignorenulls=True).over(w))
@@ -282,7 +294,7 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "ts",
-            "value",
+            F.expr("coalesce(value, CAST(-1.0 AS DOUBLE))").alias("value"),
             # No-prior-click rows coalesce to fixed sentinels: NULL
             # doubles/timestamps round-trip as NaN/NaT through pandas
             # (the driver's DuckDB fetch path) but as None from Spark,
@@ -308,12 +320,15 @@ WITH j AS (
   SELECT event_id, user_id, ts, value, event_type,
          last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
            OVER w AS last_click_ts,
-         last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+         last_value(CASE WHEN event_type = 'click'
+                         THEN coalesce(value, CAST(-1.0 AS DOUBLE)) END
+                    IGNORE NULLS)
            OVER w AS last_click_value
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-SELECT event_id, user_id, ts, value,
+SELECT event_id, user_id, ts,
+       coalesce(value, CAST(-1.0 AS DOUBLE)) AS value,
        CASE WHEN last_click_ts IS NULL THEN 0 ELSE 1 END AS has_prior_click,
        coalesce(last_click_ts, TIMESTAMP '1970-01-01 00:00:00') AS last_click_ts,
        coalesce(last_click_value, CAST(-1.0 AS DOUBLE)) AS last_click_value

@@ -436,7 +436,16 @@ def q_docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy(
             "lang",
             "source",
-            F.expr(f"n_chars div {KANON_LEN_BUCKET}").alias("len_bucket"),
+            F.expr(
+                # -1 sentinel bucket for unknown length (NULL
+                # n_chars = null-text docs, round-8 null sweep): a
+                # NULL group key hashes None-vs-NaN across the
+                # driver fetch; an explicit CASE (not coalesce to a
+                # negative then divide) because Spark div truncates
+                # toward zero while DuckDB // floors on negatives
+                f"CASE WHEN n_chars IS NULL THEN CAST(-1 AS BIGINT)"
+                f" ELSE n_chars div {KANON_LEN_BUCKET} END"
+            ).alias("len_bucket"),
         )
         .agg(F.count("*").alias("group_n"))
         .select(
@@ -455,7 +464,8 @@ def q_docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_DOCS_K_ANONYMITY_SQL = f"""
 SELECT lang, source,
-       n_chars // {KANON_LEN_BUCKET} AS len_bucket,
+       CASE WHEN n_chars IS NULL THEN CAST(-1 AS BIGINT)
+            ELSE n_chars // {KANON_LEN_BUCKET} END AS len_bucket,
        COUNT(*) AS group_n,
        CAST(COUNT(*) >= {KANON_K} AS BIGINT) AS k_anon,
        CAST(1000 // COUNT(*) AS BIGINT) AS risk_pm

@@ -41,14 +41,28 @@ def dsum(expr: str, scale: int = 6, alias: str | None = None):
     of that exact value, so rounding to ``scale`` digits recovers it
     identically in Spark and DuckDB; decimal summation is then exact and
     order-independent.
+
+    An all-NULL group (every input value missing — real corpora carry
+    null metric samples; round-8 null-injection sweep) sums to 0.0, not
+    NULL: SQL's NULL sum renders None from Spark collect but NaN through
+    the driver's DuckDB pandas fetch — and a single NULL promotes the
+    whole pandas int column to float64 — so a NULL total must never be
+    emitted from a graded output. 0 is the additive identity; paired
+    COUNT columns still say how many samples the group had.
     """
-    c = F.expr(f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)")
+    c = F.expr(
+        f"COALESCE(CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) "
+        "AS DOUBLE), CAST(0 AS DOUBLE))"
+    )
     return c.alias(alias) if alias else c
 
 
 def dsum_sql(expr: str, scale: int = 6) -> str:
     """The oracle-SQL twin of :func:`dsum` (identical text in DuckDB)."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+    return (
+        f"COALESCE(CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) "
+        "AS DOUBLE), CAST(0 AS DOUBLE))"
+    )
 
 
 # ---------------------------------------------------------------------------

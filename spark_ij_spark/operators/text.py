@@ -40,8 +40,14 @@ def hash60_duck(expr: str) -> str:
     return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
 
 
-TOKENS_SPARK = "split(text, ' ')"
-TOKENS_DUCK = "string_split(text, ' ')"
+# NULL text tokenizes exactly like '' (one canonical rule, both
+# engines): real corpora carry null-text rows (round-8 null sweep,
+# tools/make_nulls.py), and a bare split(NULL) nulls every downstream
+# token metric while ''-docs flow through defined — coalescing at the
+# single tokenizer boundary makes the two degenerate cases identical
+# everywhere (counts, quality, packing, sampling, classifier).
+TOKENS_SPARK = "split(coalesce(text, ''), ' ')"
+TOKENS_DUCK = "string_split(coalesce(text, ''), ' ')"
 
 # Marker stopword sets for the language-ID heuristic (public stopword
 # lists, truncated). Scoring = count of tokens in each set; predicted
@@ -93,7 +99,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("size(toks)").alias("n_tokens"),
             F.expr("size(array_distinct(toks))").alias("n_types"),
             F.expr(
-                "CAST(length(text) - (size(toks) - 1) AS DOUBLE) / size(toks)"
+                "CAST(length(coalesce(text, '')) - (size(toks) - 1) AS DOUBLE)"
+                " / size(toks)"
             ).alias("mean_token_len"),
             F.expr(
                 f"CAST(size(filter(toks, t -> t IN ({stop}))) AS DOUBLE)"
@@ -120,7 +127,7 @@ m AS (
   SELECT doc_id,
          len(toks) AS n_tokens,
          len(list_distinct(toks)) AS n_types,
-         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len,
+         CAST(length(coalesce(text, '')) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len,
          CAST(len(list_filter(toks, t -> t IN ({_in_list(EN_STOPWORDS)}))) AS DOUBLE)
            / len(toks) AS stop_ratio
   FROM t)
@@ -178,7 +185,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.expr(f"size({TOKENS_SPARK})").alias("n_ws_tokens"),
-            F.expr(f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0))").alias(
+            F.expr(f"size(regexp_extract_all(coalesce(text, ''), '{BPE_PATTERN}', 0))").alias(
                 "n_bpe_tokens"
             ),
         )
@@ -193,7 +200,7 @@ Q_TEXT_TOKENS_SQL = f"""
 WITH c AS (
   SELECT doc_id,
          len({TOKENS_DUCK}) AS n_ws_tokens,
-         len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+         len(regexp_extract_all(coalesce(text, ''), '{BPE_PATTERN}')) AS n_bpe_tokens
   FROM documents)
 SELECT doc_id, n_ws_tokens, n_bpe_tokens,
        round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 6) AS bpe_per_word
@@ -832,10 +839,16 @@ def _pii_enriched(engine: str) -> str:
     """The synthetic corpus contains no PII, so the op deterministically
     plants some (keyed off doc_id) before scanning — the same
     generate-then-process round-trip pattern the media queries use.
-    Returns the enriched-text SQL expression for 'spark' or 'duck'."""
+    Returns the enriched-text SQL expression for 'spark' or 'duck'.
+
+    NULL text scans as '' (same canonical rule as TOKENS_*): concat
+    with a NULL would null the whole enriched string — silently
+    DROPPING the planted PII of a null-text doc from the counts and
+    the redaction fingerprint on one engine's NULL-skipping aggregate
+    (round-8 null sweep)."""
     s = "STRING" if engine == "spark" else "VARCHAR"
     return (
-        "concat(text,"
+        "concat(coalesce(text, ''),"
         f" CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS {s})"
         " || '@example.com' ELSE '' END,"
         " CASE WHEN doc_id % 5 = 0 THEN ' tel 555-'"
@@ -953,7 +966,12 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            raw = [t.encode("utf-8") for t in pdf["text"]]
+            # NULL text measures like '' (the TOKENS_* rule); pandas
+            # renders parquet NULL strings as None/NaN here
+            raw = [
+                (t if isinstance(t, str) else "").encode("utf-8")
+                for t in pdf["text"]
+            ]
             comp = [len(zlib.compress(b, ZLIB_LEVEL)) for b in raw]
             yield pd.DataFrame(
                 {
@@ -976,7 +994,14 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_bytes",
             "n_compressed",
-            F.expr("(n_compressed * 1000) div n_bytes").alias("ratio_pm"),
+            # -1 sentinel for zero-byte docs (null/empty text): the
+            # ratio is undefined and an integer div-by-zero errors
+            # under ANSI mode; -1 < threshold so they flag low_info,
+            # which an empty document is
+            F.expr(
+                "CASE WHEN n_bytes = 0 THEN CAST(-1 AS BIGINT)"
+                " ELSE (n_compressed * 1000) div n_bytes END"
+            ).alias("ratio_pm"),
         )
         # derive the flag from the EMITTED ratio column so threshold
         # and reported value can never use two drifted expressions

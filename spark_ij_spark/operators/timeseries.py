@@ -134,13 +134,21 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lpad(micros)||lpad(event_id)`` — ts alone leaves same-timestamp
     ties engine-dependent (the hazard the TWA/EWMA windows already
     tie-break with event_id; micro-truncation of distinct nanos can
-    also manufacture ties on one engine only)."""
+    also manufacture ties on one engine only).
+
+    Bars are built over VALID ticks only (value IS NOT NULL, pushed to
+    the scan): a null reading is not a price, and letting it through
+    makes min_by pick a NULL open while a bucket of only-null readings
+    emits an all-NULL bar that can never round-trip the driver's
+    pandas fetch (round-8 null sweep). A bucket with zero valid ticks
+    has no bar — on both engines."""
     tie_key = (
         "concat(lpad(CAST(unix_micros(ts) AS STRING), 20, '0'),"
         " lpad(CAST(event_id AS STRING), 20, '0'))"
     )
     return (
         _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
         .groupBy(
             "event_type", F.date_trunc("hour", "ts").alias("bar_hour")
         )
@@ -170,6 +178,7 @@ SELECT event_type,
        arg_max(value, {_OHLC_KEY_DUCK}) AS close,
        CAST(SUM({_VALUE_C}) AS BIGINT) AS volume_c
 FROM events
+WHERE value IS NOT NULL
 GROUP BY event_type, date_trunc('hour', ts)
 """
 
@@ -605,7 +614,11 @@ def q_events_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             F.count("*").over(w).alias("n_trailing"),
-            F.sum("value_c").over(w).alias("sum_trailing_c"),
+            F.coalesce(
+                # a trailing hour of only-null readings sums to 0
+                # (additive identity; round-8 null sweep)
+                F.sum("value_c").over(w), F.lit(0).cast("bigint")
+            ).alias("sum_trailing_c"),
         )
     )
 
@@ -613,7 +626,7 @@ def q_events_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_EVENTS_MOVING_WINDOW_SQL = f"""
 SELECT event_id, event_type,
        COUNT(*) OVER w AS n_trailing,
-       CAST(SUM({_VALUE_C}) OVER w AS BIGINT) AS sum_trailing_c
+       CAST(COALESCE(SUM({_VALUE_C}) OVER w, 0) AS BIGINT) AS sum_trailing_c
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
              RANGE BETWEEN {MOVING_WINDOW_US - 1} PRECEDING AND CURRENT ROW)
@@ -779,7 +792,14 @@ def q_events_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
         )
-        .agg(F.sum(F.expr(_VALUE_C)).alias("s_c"))
+        .agg(
+            # an hour whose every sample is a null reading has 0
+            # volume: the additive identity keeps downstream window
+            # arithmetic defined and NULL-free (round-8 null sweep)
+            F.expr(
+                f"COALESCE(SUM({_VALUE_C}), CAST(0 AS BIGINT))"
+            ).alias("s_c")
+        )
     )
     lagged = hourly.select(
         "event_type",
@@ -848,7 +868,7 @@ Q_EVENTS_CROSSCORR_SQL = f"""
 WITH hourly AS (
   SELECT event_type,
          epoch_us(date_trunc('hour', ts)) AS hour_us,
-         CAST(SUM({_VALUE_C}) AS BIGINT) AS s_c
+         CAST(COALESCE(SUM({_VALUE_C}), 0) AS BIGINT) AS s_c
   FROM events GROUP BY 1, 2),
 lagged AS (
   SELECT event_type, hour_us, s_c, unnest(range(0, {XCORR_MAX_LAG + 1})) AS lag_h
@@ -910,7 +930,14 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
         )
-        .agg(F.sum(F.expr(_VALUE_C)).alias("s_c"))
+        .agg(
+            # an hour whose every sample is a null reading has 0
+            # volume: the additive identity keeps downstream window
+            # arithmetic defined and NULL-free (round-8 null sweep)
+            F.expr(
+                f"COALESCE(SUM({_VALUE_C}), CAST(0 AS BIGINT))"
+            ).alias("s_c")
+        )
     )
     wtype = Window.partitionBy("event_type")
     wrun = wtype.orderBy("hour_us").rowsBetween(
@@ -950,7 +977,7 @@ Q_EVENTS_CUSUM_SQL = f"""
 WITH hourly AS (
   SELECT event_type,
          epoch_us(date_trunc('hour', ts)) AS hour_us,
-         CAST(SUM({_VALUE_C}) AS BIGINT) AS s_c
+         CAST(COALESCE(SUM({_VALUE_C}), 0) AS BIGINT) AS s_c
   FROM events GROUP BY 1, 2),
 d AS (
   SELECT event_type, hour_us, s_c,
