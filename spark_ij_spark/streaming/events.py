@@ -93,7 +93,13 @@ def tumbling_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # all-NULL windows sum to 0.0, matching the batch twins'
+            # dsum convention (round-8 null sweep): null readings
+            # count as events but contribute no value
+            F.coalesce(F.sum("value"), F.lit(0.0)).alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -115,7 +121,13 @@ def sliding_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # all-NULL windows sum to 0.0, matching the batch twins'
+            # dsum convention (round-8 null sweep): null readings
+            # count as events but contribute no value
+            F.coalesce(F.sum("value"), F.lit(0.0)).alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -134,7 +146,13 @@ def session_stats(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # all-NULL windows sum to 0.0, matching the batch twins'
+            # dsum convention (round-8 null sweep): null readings
+            # count as events but contribute no value
+            F.coalesce(F.sum("value"), F.lit(0.0)).alias("sum_value"),
+        )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
