@@ -140,3 +140,27 @@ def test_no_duplicate_query_names_across_modules():
     for m in modules:
         omerged.update(m.ORACLES)
     assert len(omerged) == ototal, "duplicate oracle name across modules"
+
+
+def test_null_semantics_rules_are_in_place():
+    """The round-8 null-sweep rules are one-line-refactor fragile —
+    each is a tiny coalesce/filter a cleanup could drop without any
+    null-free test noticing (the driver testdata has ZERO nulls, so
+    every one of these branches is dormant there; see SCALING.md
+    "Null/empty-injection sweep"). Pin the canonical rule sites:
+
+    - NULL text tokenizes as '' (single tokenizer boundary),
+    - dsum/dsum_sql coalesce an all-NULL group to the 0.0 identity,
+    - the embeddings scan integrity-filters null/wrong-dim vectors and
+      its DuckDB mirror keeps the list_transform materialization
+      barrier (DuckDB list_inner_product reads the raw child buffer of
+      filtered dictionary vectors).
+    """
+    from spark_ij_spark.operators import dedup, relational, text
+
+    assert "coalesce(text, '')" in text.TOKENS_SPARK
+    assert "coalesce(text, '')" in text.TOKENS_DUCK
+    assert "COALESCE" in relational.dsum_sql("x")
+    assert "embedding IS NOT NULL" in dedup.EMB_CLEAN_DUCK
+    assert f"len(embedding) = {dedup.EMB_DIM}" in dedup.EMB_CLEAN_DUCK
+    assert "list_transform(embedding, x -> x)" in dedup.EMB_CLEAN_DUCK
