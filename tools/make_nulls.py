@@ -7,8 +7,13 @@ SFs — while a real 100 TB corpus is full of null/empty text, missing
 metric values, and empty embedding rows.
 
 Injection rules (DETERMINISTIC modular rules on ids, no RNG; VALUE
-columns only — join/group keys stay non-null, matching the documented
-ingest stance that keys are enforced NOT NULL at the boundary):
+columns only). Keys AND dimension columns (doc_id/vec_id/user_id/
+event_id, lang, source, event_type, ts, label) stay non-null — that is
+the documented ingest contract, not an oversight: a grouping dimension
+with NULLs would force an '<unknown>' coalesce into every group key of
+~100 queries for no analytic gain, so the ingest boundary (the
+split_corrupt path for malformed rows) enforces them NOT NULL and the
+nullable surface is exactly the measurement columns injected here:
 
 - documents.text: ``doc_id % 23 = 5`` → NULL, ``% 23 = 9`` → '' (empty
   string), ``% 23 = 13`` → whitespace-only; n_chars re-derived from
