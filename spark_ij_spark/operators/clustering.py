@@ -533,7 +533,7 @@ def q_embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qe = _emb(spark, sf_dir).select(
         F.expr(
-            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {PI_QUANT}) AS BIGINT))"
+            f"transform(embedding, x -> TRY_CAST(round(CAST(x AS DOUBLE) * {PI_QUANT}) AS BIGINT))"
         ).alias("qv")
     )
     iu, ju = np.triu_indices(COV_DIM)

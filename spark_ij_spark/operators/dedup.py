@@ -64,7 +64,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     (EMB_CLEAN_DUCK is the oracle mirror). Audit queries
     (integrity_docs_embeddings) deliberately read the raw table."""
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
-        F.expr(f"embedding IS NOT NULL AND size(embedding) = {EMB_DIM}")
+        F.expr(
+            f"embedding IS NOT NULL AND size(embedding) = {EMB_DIM}"
+            " AND NOT exists(embedding, x -> x IS NULL OR isnan(x))"
+        )
     )
 
 
@@ -82,7 +85,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_CLEAN_DUCK = (
     "(SELECT vec_id, list_transform(embedding, x -> x) AS embedding, "
     "label FROM embeddings "
-    f"WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM})"
+    f"WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM}"
+    " AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0)"
 )
 
 
@@ -577,7 +581,7 @@ def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb(spark, sf_dir).select(
         "vec_id",
         F.expr(
-            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {EMBED_QUANT}) AS BIGINT))"
+            f"transform(embedding, x -> TRY_CAST(round(CAST(x AS DOUBLE) * {EMBED_QUANT}) AS BIGINT))"
         ).alias("qv"),
     )
 

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_ij_spark.operators.relational import dsum, dsum_sql
+from spark_ij_spark.operators.relational import dsum, dsum_sql, finite_or_null
 from spark_ij_spark.session import load_tables
 
 SESSION_GAP_MIN = 30
@@ -132,6 +132,10 @@ def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline for that tradeoff."""
     return (
         _events(spark, sf_dir)
+        # order statistics are over VALID readings only: engines
+        # disagree on where NULL/NaN sort in percentile interpolation
+        # (round-8 NaN sweep), and a NaN quantile is meaningless
+        .filter("value IS NOT NULL AND NOT isnan(value)")
         .groupBy("event_type")
         .agg(
             F.expr("percentile(value, 0.5)").alias("p50"),
@@ -148,7 +152,9 @@ SELECT event_type,
        quantile_cont(value, 0.95) AS p95,
        quantile_cont(value, 0.99) AS p99,
        COUNT(*) AS n_events
-FROM events GROUP BY event_type
+FROM events
+WHERE value IS NOT NULL AND NOT isnan(value)
+GROUP BY event_type
 """
 
 # approx_percentile rank-error bound: |rank(approx) - q*n| <= n / ACCURACY
@@ -168,6 +174,9 @@ def q_events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check."""
     return (
         _events(spark, sf_dir)
+        # same valid-readings filter as the exact twin (the tolerance
+        # pytest compares the two — they must see identical inputs)
+        .filter("value IS NOT NULL AND NOT isnan(value)")
         .groupBy("event_type")
         .agg(
             F.expr(
@@ -204,7 +213,11 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: Spark ``percentile`` and DuckDB ``quantile_cont``
     share linear interpolation bit-for-bit; |value − med| and
     3.5·MAD are single IEEE ops on identical operands."""
-    ev = _events(spark, sf_dir)
+    # valid readings only, same rule as events_quantiles: median/MAD
+    # over NULL/NaN is engine-dependent and meaningless
+    ev = _events(spark, sf_dir).filter(
+        "value IS NOT NULL AND NOT isnan(value)"
+    )
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
@@ -237,12 +250,15 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_EVENTS_MAD_SQL = """
-WITH med AS (
+WITH ve AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)),
+med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med
-  FROM events GROUP BY event_type),
+  FROM ve GROUP BY event_type),
 dev AS (
   SELECT e.event_type, m.med, e.value
-  FROM events e JOIN med m ON e.event_type = m.event_type),
+  FROM ve e JOIN med m ON e.event_type = m.event_type),
 mad AS (
   SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
   FROM dev GROUP BY event_type)
@@ -471,14 +487,14 @@ def q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "salt")
         .agg(
             F.count(F.lit(1)).alias("pn"),
-            F.expr("SUM(CAST(value AS DECIMAL(28,6)))").alias("pv"),
+            F.expr(f"SUM(TRY_CAST({finite_or_null('value')} AS DECIMAL(28,6)))").alias("pv"),
         )
     )
     return (
         stage1.groupBy("event_type")
         .agg(
             F.expr("CAST(SUM(pn) AS BIGINT)").alias("n_events"),
-            F.expr("CAST(SUM(pv) AS DOUBLE)").alias("sum_value"),
+            F.expr("CAST(COALESCE(SUM(pv), 0) AS DOUBLE)").alias("sum_value"),
         )
         .withColumn(
             "avg_value", F.expr("round(sum_value / n_events, 6)")
@@ -487,11 +503,11 @@ def q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_EVENTS_SALTED_AGG_SQL = """
+Q_EVENTS_SALTED_AGG_SQL = f"""
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
-       round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+       CAST(COALESCE(SUM(TRY_CAST({finite_or_null('value')} AS DECIMAL(28,6))), 0) AS DOUBLE) AS sum_value,
+       round(CAST(COALESCE(SUM(TRY_CAST({finite_or_null('value')} AS DECIMAL(28,6))), 0) AS DOUBLE) / COUNT(*), 6)
          AS avg_value
 FROM events
 GROUP BY event_type
@@ -517,7 +533,7 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.expr("SUM(CAST(value AS DECIMAL(28,6)))").alias("pv"),
+            F.expr(f"SUM(TRY_CAST({finite_or_null('value')} AS DECIMAL(28,6)))").alias("pv"),
         )
         .persist()
     )
@@ -533,7 +549,7 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(level).alias("level"),
             "bucket",
             F.expr("CAST(n AS BIGINT)").alias("n_events"),
-            F.expr("CAST(pv AS DOUBLE)").alias("sum_value"),
+            F.expr("CAST(COALESCE(pv, 0) AS DOUBLE)").alias("sum_value"),
         )
 
     return _emit(hourly, "hour").union(_emit(daily, "day")).union(
@@ -541,10 +557,10 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_EVENTS_ROLLUP_SQL = """
+Q_EVENTS_ROLLUP_SQL = f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
-         SUM(CAST(value AS DECIMAL(28,6))) AS pv
+         SUM(TRY_CAST({finite_or_null('value')} AS DECIMAL(28,6))) AS pv
   FROM events GROUP BY 1),
 daily AS (
   SELECT date_trunc('day', bucket) AS bucket, CAST(SUM(n) AS BIGINT) AS n,

@@ -32,6 +32,22 @@ from spark_ij_spark.session import load_tables
 # ---------------------------------------------------------------------------
 
 
+def finite_or_null(expr: str) -> str:
+    """``expr`` if it is a finite double, else NULL — identical text on
+    Spark SQL and DuckDB. The guard every decimal-cast boundary needs:
+    DuckDB errors casting NaN to DECIMAL even through TRY_CAST, Spark's
+    ANSI BIGINT cast of NaN crashes, and Spark's decimal cast silently
+    NULLs — so without this one engine crashes where the other
+    answers. A NaN/Inf reading is *missing*, not a poison pill
+    (round-8 NaN sweep)."""
+    d = f"CAST(({expr}) AS DOUBLE)"
+    return (
+        f"(CASE WHEN isnan({d})"
+        f" OR abs({d}) = CAST('Infinity' AS DOUBLE)"
+        f" THEN NULL ELSE ({expr}) END)"
+    )
+
+
 def dsum(expr: str, scale: int = 6, alias: str | None = None):
     """Exact decimal SUM of a double expression, returned as DOUBLE.
 
@@ -49,10 +65,17 @@ def dsum(expr: str, scale: int = 6, alias: str | None = None):
     whole pandas int column to float64 — so a NULL total must never be
     emitted from a graded output. 0 is the additive identity; paired
     COUNT columns still say how many samples the group had.
+
+    TRY_CAST, not CAST (identical syntax+semantics on both engines): a
+    NaN double sample makes the plain decimal cast silently NULL on
+    Spark but CRASH DuckDB ("nan out of range for INT128") — one bad
+    reading would kill every money sum on exactly one engine. TRY_CAST
+    maps NaN/Inf/overflow to NULL on both, i.e. NaN ≡ missing at the
+    measurement boundary (round-8 NaN sweep).
     """
     c = F.expr(
-        f"COALESCE(CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) "
-        "AS DOUBLE), CAST(0 AS DOUBLE))"
+        f"COALESCE(CAST(SUM(TRY_CAST({finite_or_null(expr)} "
+        f"AS DECIMAL(28,{scale}))) AS DOUBLE), CAST(0 AS DOUBLE))"
     )
     return c.alias(alias) if alias else c
 
@@ -60,8 +83,8 @@ def dsum(expr: str, scale: int = 6, alias: str | None = None):
 def dsum_sql(expr: str, scale: int = 6) -> str:
     """The oracle-SQL twin of :func:`dsum` (identical text in DuckDB)."""
     return (
-        f"COALESCE(CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) "
-        "AS DOUBLE), CAST(0 AS DOUBLE))"
+        f"COALESCE(CAST(SUM(TRY_CAST({finite_or_null(expr)} "
+        f"AS DECIMAL(28,{scale}))) AS DOUBLE), CAST(0 AS DOUBLE))"
     )
 
 

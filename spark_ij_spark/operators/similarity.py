@@ -116,7 +116,7 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; vectors never shuffle until the (vec, plane) groupBy."""
     dims = _emb(spark, sf_dir).select(
         "vec_id", F.posexplode("embedding").alias("d", "val")
-    ).withColumn("q", F.expr(f"CAST(round(CAST(val AS DOUBLE) * {QUANT}) AS BIGINT)"))
+    ).withColumn("q", F.expr(f"TRY_CAST(round(CAST(val AS DOUBLE) * {QUANT}) AS BIGINT)"))
     sign_h = hash60_spark("concat(p, ',', d)")
     planes = (
         spark.range(LSH_NBITS).withColumnRenamed("id", "p")

@@ -45,7 +45,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ["events"])["events"]
 
 
-_VALUE_C = "CAST(ROUND(value * 100) AS BIGINT)"
+# TRY_CAST: ROUND(NaN)=NaN and a plain cast of NaN to BIGINT crashes
+# BOTH engines (Spark ANSI CAST_OVERFLOW, DuckDB conversion error) —
+# a NaN reading is "missing", not a crash (round-8 NaN sweep). Same
+# text works identically in Spark SQL and DuckDB.
+_VALUE_C = "TRY_CAST(ROUND(value * 100) AS BIGINT)"
 
 
 def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,7 +152,7 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _events(spark, sf_dir)
-        .filter(F.col("value").isNotNull())
+        .filter("value IS NOT NULL AND NOT isnan(value)")
         .groupBy(
             "event_type", F.date_trunc("hour", "ts").alias("bar_hour")
         )
@@ -178,7 +182,7 @@ SELECT event_type,
        arg_max(value, {_OHLC_KEY_DUCK}) AS close,
        CAST(SUM({_VALUE_C}) AS BIGINT) AS volume_c
 FROM events
-WHERE value IS NOT NULL
+WHERE value IS NOT NULL AND NOT isnan(value)
 GROUP BY event_type, date_trunc('hour', ts)
 """
 

@@ -156,7 +156,7 @@ def test_null_semantics_rules_are_in_place():
       barrier (DuckDB list_inner_product reads the raw child buffer of
       filtered dictionary vectors).
     """
-    from spark_ij_spark.operators import dedup, relational, text
+    from spark_ij_spark.operators import dedup, relational, text, timeseries
 
     assert "coalesce(text, '')" in text.TOKENS_SPARK
     assert "coalesce(text, '')" in text.TOKENS_DUCK
@@ -164,3 +164,13 @@ def test_null_semantics_rules_are_in_place():
     assert "embedding IS NOT NULL" in dedup.EMB_CLEAN_DUCK
     assert f"len(embedding) = {dedup.EMB_DIM}" in dedup.EMB_CLEAN_DUCK
     assert "list_transform(embedding, x -> x)" in dedup.EMB_CLEAN_DUCK
+    # NaN ≡ missing at the measurement boundary: a plain decimal/BIGINT
+    # cast of NaN crashes DuckDB (and ANSI Spark for BIGINT) while
+    # Spark's decimal cast silently NULLs — TRY_CAST is the one form
+    # with identical semantics on both engines.
+    assert "TRY_CAST" in relational.dsum_sql("x")
+    assert timeseries._VALUE_C.startswith("TRY_CAST")
+    # partially-corrupt vectors (NULL/NaN ELEMENTS) must fail the
+    # integrity scan too — they pass the length check but poison
+    # quantization casts and cosine.
+    assert "isnan(x)" in dedup.EMB_CLEAN_DUCK

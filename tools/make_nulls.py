@@ -18,10 +18,17 @@ nullable surface is exactly the measurement columns injected here:
 - documents.text: ``doc_id % 23 = 5`` → NULL, ``% 23 = 9`` → '' (empty
   string), ``% 23 = 13`` → whitespace-only; n_chars re-derived from
   the new text (NULL when text is NULL — a missing doc has no length).
-- events.value: ``event_id % 31 = 11`` → NULL (missing metric sample).
+- events.value: ``event_id % 31 = 11`` → NULL (missing metric sample),
+  ``event_id % 31 = 23`` → NaN (a bad reading: NaN through a plain
+  decimal/BIGINT cast crashes DuckDB and ANSI Spark — the TRY_CAST
+  measurement boundary maps it to missing).
 - events.props: ``event_id % 31 = 17`` → NULL (absent JSON payload).
 - embeddings.embedding: ``vec_id % 37 = 12`` → empty array,
-  ``vec_id % 37 = 25`` → NULL (failed embedder rows).
+  ``vec_id % 37 = 25`` → NULL (failed embedder rows),
+  ``vec_id % 37 = 7`` → NULL element at position 0,
+  ``vec_id % 37 = 31`` → NaN element at position 0 (partially-corrupt
+  vectors — the _emb integrity filter must reject these too: a NaN
+  element poisons quantization casts and cosine on both engines).
 
 Spark and DuckDB read the SAME injected parquet, so
 ``tools/oracle_sim.py --sf .scratch/null0.01`` hash-verifies that the
@@ -89,6 +96,7 @@ def main() -> int:
         "event_type",
         F.expr(
             "CASE WHEN event_id % 31 = 11 THEN CAST(NULL AS DOUBLE)"
+            " WHEN event_id % 31 = 23 THEN CAST('NaN' AS DOUBLE)"
             " ELSE value END"
         ).alias("value"),
         F.expr(
@@ -106,6 +114,10 @@ def main() -> int:
         F.expr(
             "CASE WHEN vec_id % 37 = 12 THEN CAST(array() AS ARRAY<FLOAT>)"
             " WHEN vec_id % 37 = 25 THEN CAST(NULL AS ARRAY<FLOAT>)"
+            " WHEN vec_id % 37 = 7 THEN concat("
+            "array(CAST(NULL AS FLOAT)), slice(embedding, 2, size(embedding) - 1))"
+            " WHEN vec_id % 37 = 31 THEN concat("
+            "array(CAST('NaN' AS FLOAT)), slice(embedding, 2, size(embedding) - 1))"
             " ELSE embedding END"
         ).alias("embedding"),
         "label",
