@@ -174,3 +174,29 @@ def test_null_semantics_rules_are_in_place():
     # integrity scan too — they pass the length check but poison
     # quantization casts and cosine.
     assert "isnan(x)" in dedup.EMB_CLEAN_DUCK
+
+
+def test_no_case_folding_in_graded_oracle_sql():
+    """SQL lower()/upper() are banned in graded queries: the engines
+    disagree on Unicode case folding (measured round 8: Spark lowers
+    U+0130 'İ' to 'i'+combining-dot per Unicode, DuckDB to plain 'i'),
+    so a case-folded column would hash-drift on real multilingual
+    text. Allowed ONLY over provably-ASCII columns, where folding is
+    engine-stable — growing the allowlist must be a deliberate act
+    with that proof. Oracles mirror the Spark text, so enforcing here
+    covers both sides."""
+    import re
+
+    import __spark_entry__ as m
+
+    ascii_only = {
+        # upper(p_name): TPC-H part names are ASCII by spec; the query
+        # exists to exercise the scalar-function surface
+        "q_scalar_funcs",
+    }
+    for name, sql in m.oracle_sql().items():
+        if name in ascii_only:
+            continue
+        assert not re.search(r"\b(lower|upper)\s*\(", sql, re.I), (
+            f"{name}: case folding in graded SQL over possibly-unicode text"
+        )
