@@ -1365,6 +1365,146 @@ ORDER BY granularity
 """
 
 
+# --- DSIR importance-resampling data selection -------------------------
+
+# DSIR (Xie 2023, "Data Selection for Language Models via Importance
+# Resampling"): score every raw document by how much its hashed n-gram
+# feature distribution looks like a declared TARGET domain, then keep
+# the highest-importance slice. The weight model is tiny (one count
+# per hash bucket); the corpus pass is a scan.
+DSIR_TARGET_SOURCE = "src0"  # declared reference domain (the "Wikipedia")
+DSIR_BUCKETS = 256  # hashed-unigram feature space (fixed, corpus-independent)
+DSIR_TOP_K = 50  # selected slice size in the graded output
+# Importance weights are clipped (standard importance-sampling variance
+# control) — and the clip also bounds the per-doc BIGINT score sum:
+# sum_w <= n_tokens * 1e9 stays far under 2^63 for any real document.
+DSIR_W_CAP = 1_000_000_000
+
+# Per-bucket weight: rate ratio target/raw with +1 smoothing, quantized
+# to millionths. ONE shared expression string evaluated by BOTH engines
+# over identical BIGINT columns (tf, cf, ttot, ctot): the double ops
+# run in the same order, so the result is bit-identical IEEE before
+# FLOOR makes it integral (the pipeline_padding_waste double-ppm rule;
+# never a BIGINT numerator, which would overflow at corpus scale).
+_DSIR_W_EXPR = (
+    f"least(CAST(FLOOR(1e6 * ((tf + 1.0) / (cf + 1.0))"
+    f" * ((ctot + 1.0) / (ttot + 1.0))) AS BIGINT), {DSIR_W_CAP})"
+)
+
+
+def q_pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampling data selection (DSIR, Xie 2023): pick the
+    raw-corpus documents whose hashed-unigram distribution best matches
+    a declared target domain (``DSIR_TARGET_SOURCE``) — the
+    distribution-matching complement of the rule-based (C4/Gopher) and
+    model-based (``pipeline_quality_classifier``) filters. Per-bucket
+    importance weight = smoothed rate ratio
+    (tf/ttot)/(cf/ctot), clipped and quantized to BIGINT millionths;
+    per-doc score = mean token weight; graded output = top-K docs by
+    (imp_ppm DESC, doc_id ASC).
+
+    Scale shape (two corpus passes, like every calibrate-then-apply
+    op): phase 1 aggregates token buckets to EXACTLY ``DSIR_BUCKETS``
+    rows (map-side partial agg; the shuffle carries O(buckets ×
+    partitions) rows) and collects the O(256) weight table driver-side
+    — the same documented bounded-model-state collect as the k-means
+    centroids and PQ codebooks. Phase 2 scores map-only: the weights
+    inline as a literal array and each doc's score is a pure Catalyst
+    ``aggregate`` over its token array (zero joins, zero shuffles,
+    whole-stage codegen — the ``pipeline_quality_classifier`` shape,
+    but with DATA-DERIVED weights). Selection is orderBy().limit() —
+    Spark plans TakeOrdered (per-partition partial top-K, never a
+    single-reducer global window). The DuckDB oracle recomputes the
+    weights in SQL and scores by unnest + bucket join + per-doc SUM:
+    integer adds are order-independent, and doc_id is unique/non-null
+    by the ingest contract, so per-row array aggregation and per-doc
+    group aggregation are the same numbers.
+    """
+    bucket_t = f"CAST(({hash60_spark('t')}) % {DSIR_BUCKETS} AS INT)"
+    toks_b = (
+        _docs(spark, sf_dir)
+        .select(
+            "source", F.explode(F.expr(TOKENS_SPARK)).alias("t")
+        )
+        .select(
+            F.expr(f"CAST(source = '{DSIR_TARGET_SOURCE}' AS INT)").alias(
+                "is_t"
+            ),
+            F.expr(bucket_t).alias("bucket"),
+        )
+    )
+    counts = toks_b.groupBy("bucket").agg(
+        F.expr("CAST(SUM(is_t) AS BIGINT)").alias("tf"),
+        F.expr("CAST(SUM(1 - is_t) AS BIGINT)").alias("cf"),
+    )
+    # totals via a window over the O(buckets) frame (calibrated_mix
+    # pattern), weights collected as O(256) driver model state.
+    wrows = (
+        counts.withColumn("ttot", F.expr("CAST(SUM(tf) OVER () AS BIGINT)"))
+        .withColumn("ctot", F.expr("CAST(SUM(cf) OVER () AS BIGINT)"))
+        .select("bucket", F.expr(_DSIR_W_EXPR).alias("w"))
+        .collect()
+    )
+    warr = [0] * DSIR_BUCKETS
+    for r in wrows:
+        warr[int(r["bucket"])] = int(r["w"])
+    arr_lit = "array(" + ", ".join(f"{v}L" for v in warr) + ")"
+    score = (
+        f"aggregate({TOKENS_SPARK}, CAST(0 AS BIGINT),"
+        f" (acc, t) -> acc + element_at({arr_lit}, {bucket_t} + 1))"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .where(F.expr(f"source <> '{DSIR_TARGET_SOURCE}'"))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)").alias("n_toks"),
+            F.expr(score).alias("sum_w"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            F.expr("sum_w div n_toks").alias("imp_ppm"),
+        )
+        .orderBy(F.desc("imp_ppm"), F.asc("doc_id"))
+        .limit(DSIR_TOP_K)
+    )
+
+
+Q_PIPELINE_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({TOKENS_DUCK}) AS t FROM documents),
+bk AS (
+  SELECT doc_id, source, ({hash60_duck('t')}) % {DSIR_BUCKETS} AS bucket
+  FROM tok),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tf,
+         CAST(SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS cf
+  FROM bk GROUP BY bucket),
+tot AS (
+  SELECT CAST(SUM(tf) AS BIGINT) AS ttot, CAST(SUM(cf) AS BIGINT) AS ctot
+  FROM counts),
+w AS (
+  SELECT bucket, {_DSIR_W_EXPR} AS w FROM counts, tot),
+sc AS (
+  SELECT bk.doc_id, bk.source,
+         CAST(SUM(w.w) AS BIGINT) AS sum_w,
+         CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM bk JOIN w USING (bucket)
+  WHERE bk.source <> '{DSIR_TARGET_SOURCE}'
+  GROUP BY bk.doc_id, bk.source)
+SELECT doc_id, source, n_toks, sum_w // n_toks AS imp_ppm
+FROM sc
+ORDER BY imp_ppm DESC, doc_id ASC
+LIMIT {DSIR_TOP_K}
+"""
+
+
 QUERIES = {
     "pipeline_hash_split": q_pipeline_hash_split,
     "pipeline_padding_waste": q_pipeline_padding_waste,
@@ -1384,6 +1524,7 @@ QUERIES = {
     "pipeline_redact_terms": q_pipeline_redact_terms,
     "pipeline_curriculum_mix": q_pipeline_curriculum_mix,
     "pipeline_shard_order": q_pipeline_shard_order,
+    "pipeline_dsir_select": q_pipeline_dsir_select,
 }
 
 ORACLES = {
@@ -1405,4 +1546,5 @@ ORACLES = {
     "pipeline_redact_terms": Q_PIPELINE_REDACT_SQL,
     "pipeline_curriculum_mix": _curriculum_sql(),
     "pipeline_shard_order": Q_PIPELINE_SHARD_ORDER_SQL,
+    "pipeline_dsir_select": Q_PIPELINE_DSIR_SQL,
 }

@@ -265,3 +265,20 @@ def test_padding_waste_monotone_tradeoff(spark):
             assert r.padded_tokens >= prev.padded_tokens
             assert r.n_shapes <= prev.n_shapes
         prev = r
+
+
+def test_dsir_select_structure_and_determinism(spark, sf_dir):
+    """DSIR selection: never emits target-domain docs, scores stay in
+    the clipped [0, W_CAP] range, the slice is top-K-bounded, and the
+    two-phase (calibrate → literal-weight apply) pipeline is
+    deterministic across invocations (fresh weight collect each call)."""
+    rows = pipeline.q_pipeline_dsir_select(spark, sf_dir).collect()
+    assert 0 < len(rows) <= pipeline.DSIR_TOP_K
+    for r in rows:
+        assert r.source != pipeline.DSIR_TARGET_SOURCE
+        assert 0 <= r.imp_ppm <= pipeline.DSIR_W_CAP
+        assert r.n_toks >= 1
+    again = pipeline.q_pipeline_dsir_select(spark, sf_dir).collect()
+    assert {(r.doc_id, r.imp_ppm) for r in rows} == {
+        (r.doc_id, r.imp_ppm) for r in again
+    }

@@ -885,3 +885,16 @@ def test_freq_spectrum_partial_agg_jvm_only(spark):
     assert "EvalPython" not in plan
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+
+
+def test_dsir_scoring_map_only_topk(spark):
+    """DSIR phase 2 must compile to scan + literal-weight projection +
+    TakeOrdered: the data-derived weights inline as a literal array
+    (O(256) driver model state, collected in phase 1 before this plan
+    exists), so the scored corpus pass has no join, no shuffle, and no
+    Python — and selection is partial top-K, never a global window."""
+    plan = _plan(pipeline.q_pipeline_dsir_select(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
