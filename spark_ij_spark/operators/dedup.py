@@ -1584,8 +1584,15 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # prefix length for Jaccard t: sz - ceil(t*sz) + 1; ceil(sz/2) is
     # the integer (sz+1) div 2 — no float ceil in either engine
-    prefix = ranked.where(F.expr("rn <= sz - ((sz + 1) div 2) + 1")).select(
-        "doc_id", "s", "rn", "sz"
+    prefix = (
+        ranked.where(F.expr("rn <= sz - ((sz + 1) div 2) + 1"))
+        .select("doc_id", "s", "rn", "sz")
+        # materialized ONCE: this is PPJoin's "build the prefix index"
+        # step. Without it the self-join below evaluates the dfreq
+        # join + rank/size windows twice (measured: no ReusedExchange
+        # fires across the aliased sides), doubling the most expensive
+        # stage at every scale.
+        .persist()
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (
