@@ -53,9 +53,10 @@ EMB_DIM = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytics-grade embeddings scan: rows whose vector is NULL or
-    not EMB_DIM wide are dropped AT THE SCAN. A real corpus carries
-    failed-embedder rows (null/empty arrays) and they crash every
+    """Analytics-grade embeddings scan: rows whose vector is NULL, not
+    EMB_DIM wide, or carrying any non-finite element (NULL/NaN/±Inf —
+    an overflowed embedder) are dropped AT THE SCAN. A real corpus
+    carries failed-embedder rows (null/empty arrays) and they crash every
     downstream path differently (zero-norm cosine → division by zero,
     ragged np.stack in the block matmul, DuckDB list_dot_product
     dimension errors — all observed in the round-8 null-injection
@@ -66,7 +67,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
         F.expr(
             f"embedding IS NOT NULL AND size(embedding) = {EMB_DIM}"
-            " AND NOT exists(embedding, x -> x IS NULL OR isnan(x))"
+            " AND NOT exists(embedding, x -> x IS NULL OR isnan(x)"
+            " OR abs(x) = CAST('Infinity' AS DOUBLE))"
         )
     )
 
@@ -86,7 +88,8 @@ EMB_CLEAN_DUCK = (
     "(SELECT vec_id, list_transform(embedding, x -> x) AS embedding, "
     "label FROM embeddings "
     f"WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM}"
-    " AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0)"
+    " AND len(list_filter(embedding, x -> x IS NULL OR isnan(x)"
+    " OR abs(x) = CAST('Infinity' AS DOUBLE))) = 0)"
 )
 
 
@@ -600,9 +603,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     # O(1) driver scalar from parquet footers (same role as the edge
-    # count in cc_partitions); tiling is output-invariant, so the
-    # oracle needs no mirror of it.
-    n_vecs = _emb(spark, sf_dir).count()
+    # count in cc_partitions); the RAW count deliberately skips the
+    # _emb integrity filter so Spark answers it from row-group
+    # metadata instead of paying a full corpus pass (the filtered
+    # count would need the exists() lambda per row). It upper-bounds
+    # the clean count, and tiling is output-invariant, so the oracle
+    # needs no mirror of it.
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     n_blocks = embed_blocks(n_vecs)
     q = quantized_embeddings(spark, sf_dir).withColumn(
         "blk", F.expr(f"CAST(vec_id % {n_blocks} AS INT)")

@@ -571,11 +571,13 @@ monthly AS (
          SUM(pv) AS pv
   FROM daily GROUP BY 1)
 SELECT 'hour' AS level, bucket, CAST(n AS BIGINT) AS n_events,
-       CAST(pv AS DOUBLE) AS sum_value FROM hourly
+       CAST(COALESCE(pv, 0) AS DOUBLE) AS sum_value FROM hourly
 UNION ALL
-SELECT 'day', bucket, CAST(n AS BIGINT), CAST(pv AS DOUBLE) FROM daily
+SELECT 'day', bucket, CAST(n AS BIGINT), CAST(COALESCE(pv, 0) AS DOUBLE)
+FROM daily
 UNION ALL
-SELECT 'month', bucket, CAST(n AS BIGINT), CAST(pv AS DOUBLE) FROM monthly
+SELECT 'month', bucket, CAST(n AS BIGINT), CAST(COALESCE(pv, 0) AS DOUBLE)
+FROM monthly
 """
 
 

@@ -51,6 +51,19 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text works identically in Spark SQL and DuckDB.
 _VALUE_C = "TRY_CAST(ROUND(value * 100) AS BIGINT)"
 
+# A NULL/NaN/±Inf reading is NOT a measurement: TWA/EWMA/OHLC filter
+# to valid finite readings AT THE SCAN (same rule as OHLC's original
+# null filter and the as-of join). Filtering — rather than letting
+# NULL value_c ride into the aggregates — is what closes the all-null
+# group hazard: a user/bucket whose every reading is invalid would
+# otherwise emit NULL sums that the driver's pandas fetch renders NaN
+# on the DuckDB side only (and promotes the BIGINT numerator column
+# to float64, drifting every row's hash). Identical text both engines.
+_VALID_READING = (
+    "value IS NOT NULL AND NOT isnan(value)"
+    " AND abs(value) <> CAST('Infinity' AS DOUBLE)"
+)
+
 
 def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average value: each event's value is held
@@ -59,6 +72,10 @@ def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The last event of each user has no successor and is excluded (no
     duration to weight it by) — users with a single event drop out.
+    Invalid readings (NULL/NaN/Inf) are filtered at the scan
+    (``_VALID_READING``): a valid reading is held until the user's
+    next VALID reading, and a user with no valid readings has no TWA
+    — on both engines.
 
     Shape: one window (lag/lead by user) + one aggregate on the SAME
     key, so Catalyst plans a single hash exchange on user_id; the
@@ -71,6 +88,7 @@ def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         _events(spark, sf_dir)
+        .filter(_VALID_READING)
         .select(
             "user_id",
             F.expr(_VALUE_C).alias("value_c"),
@@ -108,7 +126,7 @@ WITH spans AS (
          {_VALUE_C} AS value_c,
          epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
            - epoch_us(ts) AS dur_us
-  FROM events)
+  FROM events WHERE {_VALID_READING})
 SELECT user_id,
        COUNT(*) AS n_intervals,
        CAST(SUM(dur_us) AS BIGINT) AS dur_us_total,
@@ -140,8 +158,9 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break with event_id; micro-truncation of distinct nanos can
     also manufacture ties on one engine only).
 
-    Bars are built over VALID ticks only (value IS NOT NULL, pushed to
-    the scan): a null reading is not a price, and letting it through
+    Bars are built over VALID ticks only (``_VALID_READING`` — finite,
+    non-null — pushed to the scan): a null reading is not a price, and
+    letting it through
     makes min_by pick a NULL open while a bucket of only-null readings
     emits an all-NULL bar that can never round-trip the driver's
     pandas fetch (round-8 null sweep). A bucket with zero valid ticks
@@ -152,7 +171,7 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _events(spark, sf_dir)
-        .filter("value IS NOT NULL AND NOT isnan(value)")
+        .filter(_VALID_READING)
         .groupBy(
             "event_type", F.date_trunc("hour", "ts").alias("bar_hour")
         )
@@ -182,7 +201,7 @@ SELECT event_type,
        arg_max(value, {_OHLC_KEY_DUCK}) AS close,
        CAST(SUM({_VALUE_C}) AS BIGINT) AS volume_c
 FROM events
-WHERE value IS NOT NULL AND NOT isnan(value)
+WHERE {_VALID_READING}
 GROUP BY event_type, date_trunc('hour', ts)
 """
 
@@ -210,6 +229,10 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _events(spark, sf_dir)
+        # the EWMA runs over the user's last K VALID readings — an
+        # invalid reading neither consumes a rank slot nor NULLs the
+        # numerator (a user with no valid readings has no EWMA).
+        .filter(_VALID_READING)
         .select(
             "user_id",
             F.expr(_VALUE_C).alias("value_c"),
@@ -244,7 +267,7 @@ WITH ranked AS (
   SELECT user_id,
          {_VALUE_C} AS value_c,
          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events),
+  FROM events WHERE {_VALID_READING}),
 weighted AS (
   SELECT user_id, value_c,
          (CAST(1 AS BIGINT) << ({EWMA_K} - rn)) AS wt

@@ -170,10 +170,18 @@ def test_null_semantics_rules_are_in_place():
     # with identical semantics on both engines.
     assert "TRY_CAST" in relational.dsum_sql("x")
     assert timeseries._VALUE_C.startswith("TRY_CAST")
-    # partially-corrupt vectors (NULL/NaN ELEMENTS) must fail the
+    # partially-corrupt vectors (NULL/NaN/Inf ELEMENTS) must fail the
     # integrity scan too — they pass the length check but poison
-    # quantization casts and cosine.
+    # quantization casts and cosine (and DuckDB's plain CAST errors
+    # on Infinity where Spark's TRY_CAST silently NULLs — the
+    # one-engine-crash class).
     assert "isnan(x)" in dedup.EMB_CLEAN_DUCK
+    assert "Infinity" in dedup.EMB_CLEAN_DUCK
+    # invalid readings (NULL/NaN/Inf) are filtered AT THE SCAN in the
+    # TWA/EWMA/OHLC family — an all-invalid user/bucket must DROP, not
+    # emit NULL sums that pandas renders NaN on one engine only.
+    assert "isnan(value)" in timeseries._VALID_READING
+    assert "Infinity" in timeseries._VALID_READING
 
 
 def test_no_case_folding_in_graded_oracle_sql():

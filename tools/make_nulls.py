@@ -21,14 +21,23 @@ nullable surface is exactly the measurement columns injected here:
 - events.value: ``event_id % 31 = 11`` → NULL (missing metric sample),
   ``event_id % 31 = 23`` → NaN (a bad reading: NaN through a plain
   decimal/BIGINT cast crashes DuckDB and ANSI Spark — the TRY_CAST
-  measurement boundary maps it to missing).
+  measurement boundary maps it to missing), ``event_id % 31 = 29`` →
+  +Infinity (an overflowed reading — same missing-data contract as
+  NaN). Whole-entity rules make the all-null-GROUP branches fire:
+  ``user_id % 101 = 7`` → every reading of the user NULL (the user
+  must drop from TWA/EWMA on both engines), ``epoch-hour % 97 = 13``
+  → every reading of the hour NULL (the rollup's hourly sum must
+  COALESCE to 0.0 on both engines).
 - events.props: ``event_id % 31 = 17`` → NULL (absent JSON payload).
 - embeddings.embedding: ``vec_id % 37 = 12`` → empty array,
   ``vec_id % 37 = 25`` → NULL (failed embedder rows),
   ``vec_id % 37 = 7`` → NULL element at position 0,
-  ``vec_id % 37 = 31`` → NaN element at position 0 (partially-corrupt
-  vectors — the _emb integrity filter must reject these too: a NaN
-  element poisons quantization casts and cosine on both engines).
+  ``vec_id % 37 = 31`` → NaN element at position 0,
+  ``vec_id % 37 = 19`` → +Infinity element at position 0
+  (partially-corrupt vectors — the _emb integrity filter must reject
+  all three: a NaN/Inf element poisons quantization casts and cosine,
+  and DuckDB's plain CAST errors on Infinity where Spark's TRY_CAST
+  silently NULLs — the one-engine-crash class).
 
 Spark and DuckDB read the SAME injected parquet, so
 ``tools/oracle_sim.py --sf .scratch/null0.01`` hash-verifies that the
@@ -95,8 +104,21 @@ def main() -> int:
         "user_id",
         "event_type",
         F.expr(
+            # per-event missing/bad readings, PLUS whole-entity rules
+            # that make the all-null-group branches fire: every
+            # reading of ~1% of users (user_id % 101 = 7) and every
+            # reading in ~1% of UTC hours (epoch-hour % 97 = 13) is
+            # NULL — an all-null user must DROP from TWA/EWMA and an
+            # all-null hour must COALESCE to 0.0 in the rollup on
+            # both engines (dormant until these rules existed), and
+            # +Infinity (event_id % 31 = 29) is an overflowed reading
+            # that every measurement boundary must treat as missing.
             "CASE WHEN event_id % 31 = 11 THEN CAST(NULL AS DOUBLE)"
             " WHEN event_id % 31 = 23 THEN CAST('NaN' AS DOUBLE)"
+            " WHEN event_id % 31 = 29 THEN CAST('Infinity' AS DOUBLE)"
+            " WHEN user_id % 101 = 7 THEN CAST(NULL AS DOUBLE)"
+            " WHEN (unix_micros(ts) div 3600000000) % 97 = 13"
+            "   THEN CAST(NULL AS DOUBLE)"
             " ELSE value END"
         ).alias("value"),
         F.expr(
@@ -118,6 +140,8 @@ def main() -> int:
             "array(CAST(NULL AS FLOAT)), slice(embedding, 2, size(embedding) - 1))"
             " WHEN vec_id % 37 = 31 THEN concat("
             "array(CAST('NaN' AS FLOAT)), slice(embedding, 2, size(embedding) - 1))"
+            " WHEN vec_id % 37 = 19 THEN concat("
+            "array(CAST('Infinity' AS FLOAT)), slice(embedding, 2, size(embedding) - 1))"
             " ELSE embedding END"
         ).alias("embedding"),
         "label",

@@ -67,8 +67,9 @@ def main() -> int:
 
     # --- documents ------------------------------------------------------
     docs = t["documents"]
-    # exact-duplicate clusters: doc_id % 47 == 3 joins cluster
-    # (doc_id % DUP_CLUSTERS) and takes that cluster leader's text.
+    # exact-duplicate clusters: every doc_id % 5 == 0 (20% of docs)
+    # joins cluster ((doc_id div 5) % DUP_CLUSTERS) and takes that
+    # cluster leader's text — n_docs/(5*DUP_CLUSTERS) copies each.
     # cluster id from div-5 so members spread over ALL clusters, and
     # the leader is each cluster's min-doc member itself — every
     # cluster is guaranteed a leader.

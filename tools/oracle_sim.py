@@ -31,7 +31,10 @@ def vhash(cols, rows) -> str:
         if v is None:
             return "NULL"
         if isinstance(v, float):
-            return "NaN" if math.isnan(v) else repr(v)
+            # repr(float(v)), not repr(v): pandas yields np.float64
+            # scalars, and numpy>=2 reprs those as 'np.float64(0.5)'
+            # — a silent mass-MISMATCH the day numpy is upgraded.
+            return "NaN" if math.isnan(v) else repr(float(v))
         return str(v)
 
     body = "\n".join(
