@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from spark_ij_spark.operators.relational import dsum
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -95,10 +97,12 @@ def tumbling_counts(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            # all-NULL windows sum to 0.0, matching the batch twins'
-            # dsum convention (round-8 null sweep): null readings
-            # count as events but contribute no value
-            F.coalesce(F.sum("value"), F.lit(0.0)).alias("sum_value"),
+            # the batch twins' ACTUAL dsum (not a re-implementation):
+            # NULL/NaN/Inf readings count as events but contribute no
+            # value, all-invalid windows sum to 0.0, and the decimal
+            # accumulation is order-exact — a raw SUM(value) would
+            # let one NaN reading poison the whole window's sum.
+            dsum("value", 2, "sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -123,10 +127,8 @@ def sliding_counts(
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            # all-NULL windows sum to 0.0, matching the batch twins'
-            # dsum convention (round-8 null sweep): null readings
-            # count as events but contribute no value
-            F.coalesce(F.sum("value"), F.lit(0.0)).alias("sum_value"),
+            # batch twins' dsum: see tumbling_counts
+            dsum("value", 2, "sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -141,17 +143,18 @@ def sliding_counts(
 def session_stats(
     events: DataFrame, gap: str = "30 minutes", watermark: str = DEFAULT_WATERMARK
 ) -> DataFrame:
-    """Per-user session windows: a session extends while consecutive
-    events arrive strictly within ``gap``; window end = last + gap."""
+    """Per-user session windows: an event at up to and INCLUDING
+    ``last_ts + gap`` extends the session (Spark's session_window
+    merges the exact-boundary event — the CLAUDE.md inclusive-boundary
+    rule; gaps-and-islands twins must split on strict ``>``); window
+    end = last + gap."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            # all-NULL windows sum to 0.0, matching the batch twins'
-            # dsum convention (round-8 null sweep): null readings
-            # count as events but contribute no value
-            F.coalesce(F.sum("value"), F.lit(0.0)).alias("sum_value"),
+            # batch twins' dsum: see tumbling_counts
+            dsum("value", 2, "sum_value"),
         )
         .select(
             "user_id",
@@ -342,64 +345,85 @@ def dedup_events_stream(
 HWM_OUTPUT_SCHEMA = "user_id long, event_id long, value double, prev_max double"
 
 
-from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+def _hwm_scan(key, pdf, mx, out):
+    """Shared record-scan body of BOTH high-watermark operators: one
+    code path so a semantics fix cannot leave the twin stale. Returns
+    the updated max. A NULL/NaN/±Inf reading is missing data, not a
+    record (CLAUDE.md round-8 NaN rule) — and must never enter state:
+    a stored NaN max would turn every subsequent `v > mx` comparison
+    False and permanently suppress the user's genuine new records."""
+    import math
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    for eid, v in zip(pdf["event_id"], pdf["value"]):
+        fv = None if v is None else float(v)
+        if fv is None or not math.isfinite(fv):
+            continue
+        if mx is None or fv > mx:
+            out.append(
+                {
+                    "user_id": key[0],
+                    "event_id": eid,
+                    "value": fv,
+                    "prev_max": mx,
+                }
+            )
+            mx = fv
+    return mx
 
 
-class _HighWaterProcessor(StatefulProcessor):
-    """transformWithState processor: per-user running-max state; emits
-    a row whenever an event strictly exceeds the user's previous max.
-    Rows sort by (ts, event_id) inside each batch so replays are
-    deterministic."""
+def _hwm_processor_cls():
+    """Define the transformWithState processor LAZILY: the
+    StatefulProcessor base class exists only on Spark 4.0+, and a
+    module-level import would make every streaming op (including the
+    version-adaptive reader and the applyInPandasWithState twin that
+    exist precisely for older environments) unimportable there. Every
+    other environment-sensitive import in this module is
+    function-local for the same reason."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
-    def init(self, handle) -> None:
-        from pyspark.sql.types import DoubleType, StructField, StructType
+    class _HighWaterProcessor(StatefulProcessor):
+        """transformWithState processor: per-user running-max state;
+        emits a row whenever an event strictly exceeds the user's
+        previous max. Rows sort by (ts, event_id) inside each batch so
+        replays are deterministic."""
 
-        self._state = handle.getValueState(
-            "hwm", StructType([StructField("mx", DoubleType())])
-        )
+        def init(self, handle) -> None:
+            from pyspark.sql.types import DoubleType, StructField, StructType
 
-    def handleInputRows(self, key, rows, timerValues):
-        import pandas as pd
+            self._state = handle.getValueState(
+                "hwm", StructType([StructField("mx", DoubleType())])
+            )
 
-        mx = self._state.get()[0] if self._state.exists() else None
-        out = []
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for eid, v in zip(pdf["event_id"], pdf["value"]):
-                if mx is None or v > mx:
-                    out.append(
-                        {
-                            "user_id": key[0],
-                            "event_id": eid,
-                            "value": v,
-                            "prev_max": mx,
-                        }
-                    )
-                    mx = float(v)
-        self._state.update((mx,))
-        if out:
-            yield pd.DataFrame(out)
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
 
-    def close(self) -> None:
-        pass
+            mx = self._state.get()[0] if self._state.exists() else None
+            out = []
+            for pdf in rows:
+                mx = _hwm_scan(key, pdf, mx, out)
+            if mx is not None:  # all-invalid batch: no state to create
+                self._state.update((mx,))
+            if out:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return _HighWaterProcessor
 
 
 def _hwm_fn(key, pdf_iter, state):
-    """applyInPandasWithState body shared-semantics twin of
-    _HighWaterProcessor."""
+    """applyInPandasWithState body — same `_hwm_scan` record semantics
+    as the transformWithState processor."""
     import pandas as pd
 
     (mx,) = state.get if state.exists else (None,)
     out = []
     for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for eid, v in zip(pdf["event_id"], pdf["value"]):
-            if mx is None or v > mx:
-                out.append(
-                    {"user_id": key[0], "event_id": eid, "value": v, "prev_max": mx}
-                )
-                mx = float(v)
-    state.update((mx,))
+        mx = _hwm_scan(key, pdf, mx, out)
+    if mx is not None:  # all-invalid batch: no state to create
+        state.update((mx,))
     yield pd.DataFrame(
         out, columns=["user_id", "event_id", "value", "prev_max"]
     )
@@ -431,7 +455,7 @@ def user_high_watermarks(events: DataFrame) -> DataFrame:
     emitted rows depend on running state. State is one double per
     user: flat at any event volume."""
     return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_HighWaterProcessor(),
+        statefulProcessor=_hwm_processor_cls()(),
         outputStructType=HWM_OUTPUT_SCHEMA,
         outputMode="append",
         timeMode="None",

@@ -556,3 +556,31 @@ def test_documents_ingest_audit_matches_oracle(spark, duck):
         sd.QUERIES["documents_ingest_audit"],
         sd.ORACLES["documents_ingest_audit"],
     )
+
+
+def test_hwm_scan_skips_invalid_readings():
+    """A NULL/NaN/Inf reading is missing data, not a record — and must
+    never enter the high-watermark state: a stored NaN max turns every
+    later `v > mx` comparison False and permanently suppresses the
+    user's genuine records (round-8 streaming review)."""
+    import pandas as pd
+
+    from spark_ij_spark.streaming import events as se
+
+    pdf = pd.DataFrame(
+        {
+            "ts": [1, 2, 3, 4, 5],
+            "event_id": [10, 11, 12, 13, 14],
+            "value": [float("nan"), 5.0, None, float("inf"), 7.0],
+        }
+    )
+    out = []
+    mx = se._hwm_scan((42,), pdf, None, out)
+    assert mx == 7.0
+    got = [(r["event_id"], r["value"], r["prev_max"]) for r in out]
+    assert got == [(11, 5.0, None), (14, 7.0, 5.0)]
+    # an all-invalid batch leaves state untouched (None stays None)
+    out2 = []
+    pdf2 = pdf.iloc[[0, 2, 3]]
+    assert se._hwm_scan((42,), pdf2, None, out2) is None
+    assert out2 == []
