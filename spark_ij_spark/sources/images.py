@@ -179,6 +179,12 @@ def load_images_driver(
     return df
 
 
+def _save_basename(path: str) -> str:
+    """Output-file key: extension-stripped basename (the reference's
+    saveImagesLocal naming, scOps.scala:262-271)."""
+    return os.path.splitext(os.path.basename(path))[0]
+
+
 def save_images_local(
     df: DataFrame,
     out_dir: str,
@@ -188,15 +194,34 @@ def save_images_local(
 ) -> None:
     """Write one encoded file per image: basename(key) + suffix
     (saveImagesLocal, scOps.scala:262-271). Executor-side writes to a
-    shared filesystem; no data returns to the driver."""
-    os.makedirs(out_dir, exist_ok=True)
+    shared filesystem; no data returns to the driver.
+
+    Basename keying means 'a/x.png' and 'b/x.png' map to the SAME
+    output file and executor partitions would race on it (last write
+    wins, one image silently lost) — so collisions fail loudly first:
+    a key-only count-distinct pass (column-pruned, far cheaper than
+    the encode pass) rejects the frame before any file is written."""
     cols = df.select(F.col(path_col).alias("p"), F.col(image_col).alias("img"))
+    n_paths, n_bases = cols.select(
+        F.countDistinct("p"), F.countDistinct(F.expr(
+            "regexp_replace(reverse(split(p, '/'))[0], '\\\\.[^.]*$', '')"
+        ))
+    ).first()
+    if n_bases != n_paths:
+        raise ValueError(
+            "save_images_local: distinct input paths share an output "
+            f"basename ({n_paths} paths -> {n_bases} basenames); writes "
+            "would silently overwrite each other — disambiguate the "
+            f"'{path_col}' column first"
+        )
+    os.makedirs(out_dir, exist_ok=True)
 
     def write_partition(rows) -> None:
         for row in rows:
             arr = image_to_np(row.img)
-            base = os.path.splitext(os.path.basename(row.p))[0]
-            with open(os.path.join(out_dir, base + suffix), "wb") as fh:
+            with open(
+                os.path.join(out_dir, _save_basename(row.p) + suffix), "wb"
+            ) as fh:
                 fh.write(encode_array(arr, suffix))
 
     cols.foreachPartition(write_partition)
@@ -333,25 +358,7 @@ class ImageJReader(DataSourceReader):
                 with open(path, "rb") as fh:
                     arr = decode_bytes(fh.read(), path)
             img = np_to_image(arr, log=[_load_entry(path)])
-            image_row = (
-                img["data"],
-                img["dtype"],
-                img["shape"],
-                tuple(img["meta"].values()),
-                # serialize the LOAD lineage entry (LOG_ENTRY_SCHEMA
-                # field order) — an empty list here silently dropped
-                # provenance for DSv2-loaded images
-                [
-                    (
-                        e["optype"],
-                        e["optool"],
-                        e["opval"],
-                        e["opargs"],
-                        e["children_json"],
-                    )
-                    for e in img["log"]
-                ],
-            )
+            image_row = _serialize_image_struct(img)
             if simple:
                 yield (path, image_row)
             else:
@@ -371,32 +378,66 @@ class ImageJReader(DataSourceReader):
                 )
 
 
+def _serialize_image_struct(img: dict) -> tuple:
+    """Image dict → DSv2 struct tuple, INCLUDING the lineage log
+    (LOG_ENTRY_SCHEMA field order). One shared serializer for the
+    batch and stream readers: a hand-rolled copy in the stream path
+    once hard-coded an empty log and silently dropped provenance for
+    every stream-loaded image (round-8 sources review)."""
+    return (
+        img["data"],
+        img["dtype"],
+        img["shape"],
+        tuple(img["meta"].values()),
+        [
+            (
+                e["optype"],
+                e["optool"],
+                e["opval"],
+                e["opargs"],
+                e["children_json"],
+            )
+            for e in img["log"]
+        ],
+    )
+
+
 class ImageJWriter(DataSourceWriter):
     """Executor-side writer: each partition encodes its (path, image)
     rows to one file per image under OPTIONS path. A real write path —
     the reference's `CreatableRelationProvider` just re-read from path
-    (AbstractImageSource.scala:47-54, effectively read-only)."""
+    (AbstractImageSource.scala:47-54, effectively read-only).
 
-    def __init__(self, options: dict):
+    Save-mode semantics: mode('overwrite') clobbers per-file;
+    any other mode refuses to touch an existing target file (a
+    basename collision inside one write also trips this) — silent
+    last-write-wins was the round-8 sources-review failure mode."""
+
+    def __init__(self, options: dict, overwrite: bool = False):
         self.path = options.get("path")
         self.suffix = options.get("suffix", ".npy")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("imagej write requires OPTIONS path")
 
     def write(self, iterator):
-        from spark_ij_spark.datamodel import image_to_np
-
         os.makedirs(self.path, exist_ok=True)
-        n = 0
         for row in iterator:
             # shared struct→ndarray path (same as save_images_local /
             # save_images_parquet) — a hand-rolled frombuffer here
             # would drift if the struct layout ever changes
             arr = image_to_np(row.image)
-            base = os.path.splitext(os.path.basename(row.path))[0]
-            with open(os.path.join(self.path, base + self.suffix), "wb") as fh:
+            target = os.path.join(
+                self.path, _save_basename(row.path) + self.suffix
+            )
+            if not self.overwrite and os.path.exists(target):
+                raise FileExistsError(
+                    f"imagej write: {target} exists and save mode is not "
+                    "'overwrite' (also raised when two input paths share "
+                    "an output basename)"
+                )
+            with open(target, "wb") as fh:
                 fh.write(encode_array(arr, self.suffix))
-            n += 1
         return WriterCommitMessage()
 
 
@@ -420,10 +461,16 @@ class ImageJStreamReader(SimpleDataSourceStreamReader):
         self.max_files = int(options.get("maxfilesperbatch", "0")) or None
 
     def _listing(self) -> list[str]:
+        # same rule as the batch reader's partitions(): hidden and
+        # Hadoop-marker names skipped AND directories skipped — a
+        # subdirectory reaching _rows' open() would fail the
+        # micro-batch on every replay and wedge the stream for good.
         return sorted(
             f
             for f in os.listdir(self.path)
-            if not f.startswith(".") and not f.startswith("_")
+            if not f.startswith(".")
+            and not f.startswith("_")
+            and os.path.isfile(os.path.join(self.path, f))
         )
 
     def initialOffset(self) -> dict:
@@ -449,18 +496,7 @@ class ImageJStreamReader(SimpleDataSourceStreamReader):
             with open(p, "rb") as fh:
                 arr = decode_bytes(fh.read(), p)
             img = np_to_image(arr, log=[_load_entry(p)])
-            out.append(
-                (
-                    p,
-                    (
-                        img["data"],
-                        img["dtype"],
-                        img["shape"],
-                        tuple(img["meta"].values()),
-                        [],
-                    ),
-                )
-            )
+            out.append((p, _serialize_image_struct(img)))
         return out
 
 
@@ -484,7 +520,7 @@ class ImageJDataSource(DataSource):
         return ImageJReader(schema, dict(self.options))
 
     def writer(self, schema: StructType, overwrite: bool) -> ImageJWriter:
-        return ImageJWriter(dict(self.options))
+        return ImageJWriter(dict(self.options), overwrite=overwrite)
 
     def simpleStreamReader(self, schema: StructType) -> ImageJStreamReader:
         return ImageJStreamReader(dict(self.options))

@@ -74,16 +74,45 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
         elif f == 2:  # Up
             cur = (row + prev) % 256
         elif f == 3:  # Average (left-sequential)
-            cur = row.copy()
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (row[i] + (left + prev[i]) // 2) % 256
+            if bpp > 1:
+                # vectorize across the bpp byte-lanes: width iterations
+                # instead of width*bpp (the left-dependency chains per
+                # PIXEL, not per byte — decode hot path, round-8 review)
+                cur = row.reshape(-1, bpp).copy()
+                pl = prev.reshape(-1, bpp)
+                cur[0] = (cur[0] + pl[0] // 2) % 256
+                for x in range(1, cur.shape[0]):
+                    cur[x] = (cur[x] + (cur[x - 1] + pl[x]) // 2) % 256
+                cur = cur.reshape(-1)
+            else:
+                cur = row.copy()
+                for i in range(stride):
+                    left = int(cur[i - 1]) if i >= 1 else 0
+                    cur[i] = (row[i] + (left + prev[i]) // 2) % 256
         elif f == 4:  # Paeth (left-sequential)
-            cur = row.copy()
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                cur[i] = (row[i] + _paeth(a, int(prev[i]), int(c))) % 256
+            if bpp > 1:
+                # same lane vectorization; np.where branch order
+                # mirrors _paeth's a-then-b-then-c tie-breaking
+                cur = row.reshape(-1, bpp).copy()
+                pl = prev.reshape(-1, bpp)
+                a = np.zeros(bpp, dtype=np.int32)
+                c = np.zeros(bpp, dtype=np.int32)
+                for x in range(cur.shape[0]):
+                    b = pl[x]
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    cur[x] = (cur[x] + pred) % 256
+                    a, c = cur[x], b
+                cur = cur.reshape(-1)
+            else:
+                cur = row.copy()
+                for i in range(stride):
+                    a0 = int(cur[i - 1]) if i >= 1 else 0
+                    c0 = int(prev[i - 1]) if i >= 1 else 0
+                    cur[i] = (row[i] + _paeth(a0, int(prev[i]), c0)) % 256
         else:
             raise ValueError(f"PNG: unknown filter type {f} on row {y}")
         out[y] = cur.astype(np.uint8)
@@ -460,6 +489,13 @@ def encode_tiff(arr: np.ndarray) -> bytes:
     n_entries = 10
     for i, page in enumerate(pages):
         body = np.ascontiguousarray(page, dtype=np.dtype(a.dtype).newbyteorder("<")).tobytes()
+        strip_len = len(body)
+        if strip_len & 1:
+            # TIFF 6.0: IFDs and out-of-line values begin on WORD
+            # boundaries — an odd pixel body would put the next page's
+            # IFD at an odd offset (strict readers reject the file;
+            # StripByteCounts below keeps the true unpadded length)
+            body += b"\x00"
         ifd_size = 2 + n_entries * 12 + 4
         extra_off = ifd_off + ifd_size
         extras = bytearray()
@@ -479,7 +515,7 @@ def encode_tiff(arr: np.ndarray) -> bytes:
         ifd += _tiff_entry(_T_STRIP_OFF, 4, 1, data_off)
         ifd += _tiff_entry(_T_SPP, 3, 1, spp)
         ifd += _tiff_entry(_T_ROWS_PER_STRIP, 4, 1, h)
-        ifd += _tiff_entry(_T_STRIP_CNT, 4, 1, len(body))
+        ifd += _tiff_entry(_T_STRIP_CNT, 4, 1, strip_len)
         ifd += _tiff_entry(_T_SAMPLE_FMT, 3, 1, fmt)
         ifd += struct.pack("<I", nxt)
         blobs.append(bytes(ifd) + bytes(extras) + body)
@@ -1059,14 +1095,27 @@ def decode_avi(data: bytes) -> np.ndarray:
                         f"AVI: compression {compression} not supported"
                         " (uncompressed BI_RGB only)"
                     )
+                # honor biClrUsed (offset 32 in BITMAPINFOHEADER) and
+                # the strf chunk's declared size: a fixed 256-entry
+                # read overran a biClrUsed<256 chunk into the next
+                # chunk's header bytes, failing the equal-channel
+                # check on decodable grayscale files (round-8 review;
+                # decode_bmp already honors clr_used)
+                (clr_used,) = struct.unpack_from("<I", data, body + 36)
+                n_pal = min(clr_used or 256, max(0, (size - 40) // 4))
                 pal_ = np.frombuffer(
-                    data, np.uint8, count=256 * 4, offset=body + 40
-                ).reshape(256, 4)[:, 2::-1]
+                    data, np.uint8, count=n_pal * 4, offset=body + 40
+                ).reshape(n_pal, 4)[:, 2::-1]
                 if not (
                     np.all(pal_[:, 0] == pal_[:, 1]) and np.all(pal_[:, 1] == pal_[:, 2])
                 ):
                     raise ValueError("AVI: color palettes not supported")
-                pal = pal_[:, 0]
+                # entries past biClrUsed are undefined by the spec (and
+                # a paletteless 8-bit strf is malformed-but-seen) — the
+                # identity ramp is the benign grayscale completion and
+                # keeps out-of-range indices from crashing the lookup
+                pal = np.arange(256, dtype=np.uint8)
+                pal[:n_pal] = pal_[:, 0]
             elif cid in (b"00db", b"00dc") and size:
                 stride = ((8 * w + 31) // 32) * 4
                 if size < h * stride or body + h * stride > len(data):

@@ -715,3 +715,90 @@ def test_avi_compressed_stream_raises():
     struct.pack_into("<I", blob, sidx + 8 + 16, 1)  # BI_RLE8
     with pytest.raises(ValueError, match="compression"):
         pp.decode_avi(bytes(blob))
+
+
+@pytest.mark.parametrize("filters", [[3, 4, 3], [4, 4, 4]])
+def test_png_unfilter_grayscale_avg_paeth(filters):
+    """bpp=1 keeps the scalar Average/Paeth path (the lane
+    vectorization only pays for bpp>1) — cover it independently."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(3, 17, 1), dtype=np.uint8)
+    scan = _forward_filter(img, filters)
+    ihdr = struct.pack(">IIBBBBB", 17, 3, 8, 0, 0, 0, 0)
+    png = (
+        pp.PNG_SIG
+        + pp._png_chunk(b"IHDR", ihdr)
+        + pp._png_chunk(b"IDAT", zlib.compress(scan))
+        + pp._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(pp.decode_png(png), img[:, :, 0])
+
+
+def test_tiff_odd_strip_pads_next_ifd_to_word_boundary():
+    """TIFF 6.0 requires word-aligned IFD offsets: a page whose pixel
+    body has odd byte length must pad before the next IFD (strict
+    readers reject odd offsets), while StripByteCounts keeps the true
+    unpadded length. Round-trips and the offset parity are both
+    asserted."""
+    arr = np.arange(18, dtype=np.uint8).reshape(3, 3, 2)  # 9-byte pages
+    blob = pp.encode_tiff(arr)
+    np.testing.assert_array_equal(pp.decode_tiff(blob), arr)
+    (first_ifd,) = struct.unpack_from("<I", blob, 4)
+    (n_entries,) = struct.unpack_from("<H", blob, first_ifd)
+    (next_ifd,) = struct.unpack_from(
+        "<I", blob, first_ifd + 2 + n_entries * 12
+    )
+    assert next_ifd != 0 and next_ifd % 2 == 0
+
+
+def test_avi_honors_biclrused_palette():
+    """A grayscale 8-bit AVI whose strf declares biClrUsed=64 (and
+    carries only 64 palette entries) must decode: the fixed 256-entry
+    palette read overran the chunk into the next chunk's header bytes
+    and failed the equal-channel check on valid files (round-8 sources
+    review). Pixel values stay < 64 so the identity completion of the
+    undefined tail is never observed."""
+
+    def chunk(cid, body):
+        return (
+            cid
+            + struct.pack("<I", len(body))
+            + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    h, w = 2, 3
+    frame = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    stride = ((8 * w + 31) // 32) * 4
+    padded = np.zeros((h, stride), np.uint8)
+    padded[:, :w] = frame
+    fb = padded[::-1].tobytes()  # bottom-up DIB
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        33333, len(fb) * 30, 0, 0x10, 1, 0, 1, len(fb), w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, 30, 0, 1, len(fb), 0, 0, 0, 0, w, h,
+    )
+    n_pal = 64
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(n_pal))
+    strf = (
+        struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(fb), 2835, 2835, n_pal, 0
+        )
+        + pal
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", chunk(b"00db", fb))
+    data = b"AVI " + hdrl + movi
+    blob = b"RIFF" + struct.pack("<I", len(data)) + data
+    out = pp.decode_avi(blob)
+    np.testing.assert_array_equal(out[:, :, 0], frame)

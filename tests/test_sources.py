@@ -347,3 +347,69 @@ def test_ddl_reader_skips_marker_files_and_dirs(imagej_source, tmp_path):
     spark = imagej_source
     df = spark.read.format("imagej").option("path", str(tmp_path)).load()
     assert df.count() == 1
+
+
+def test_save_images_local_rejects_basename_collisions(spark, tmp_path):
+    """'a/x' and 'b/x' map to the same output file; executor partitions
+    would race on it (last write wins, one image silently lost) — the
+    save must fail loudly instead (round-8 sources review)."""
+    from pyspark.sql import functions as F
+
+    imgs = create_empty_images(spark, "img", 2, width=2, height=2)
+    clash = imgs.withColumn(
+        "sample", F.expr("CASE WHEN sample LIKE '%0' THEN 'a/x.png' ELSE 'b/x.png' END")
+    )
+    with pytest.raises(ValueError, match="basename"):
+        save_images_local(clash, str(tmp_path / "out"), path_col="sample")
+
+
+def test_imagej_writer_overwrite_semantics(imagej_source, tmp_path):
+    """mode('overwrite') clobbers per-file; any other mode refuses to
+    replace an existing target instead of silently last-write-wins."""
+    spark = imagej_source
+    src = (
+        spark.read.format("imagej")
+        .option("debug", "true")
+        .option("count", "2")
+        .load()
+    )
+    out = str(tmp_path / "w")
+    src.write.format("imagej").option("path", out).mode("append").save()
+    first = sorted(os.listdir(out))
+    # overwrite: same files land again without error
+    src.write.format("imagej").option("path", out).mode("overwrite").save()
+    assert sorted(os.listdir(out)) == first
+    # append onto existing names must fail loudly (the Python-worker
+    # FileExistsError surfaces as a captured PythonException)
+    with pytest.raises(Exception, match="FileExistsError"):
+        src.write.format("imagej").option("path", out).mode("append").save()
+
+
+def test_imagej_stream_skips_subdirectories_and_keeps_lineage(spark, tmp_path):
+    """A subdirectory in the landing dir (uploader temp dir) must not
+    wedge the stream, and stream-loaded images must carry the same
+    LOAD lineage entry as batch-loaded ones (round-8 sources review:
+    the stream serializer hard-coded an empty log)."""
+    register_image_source(spark)
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "tempdir").mkdir()  # must be skipped, not open()ed
+    imgs = create_empty_images(spark, "img", 1, width=3, height=2)
+    save_images_local(imgs, str(land), suffix=".npy", path_col="sample")
+    sink = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("imagej")
+        .option("path", str(land))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1
+    log = rows[0].image.log
+    assert len(log) == 1 and log[0].optype == "LOAD"
