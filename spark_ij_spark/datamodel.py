@@ -222,18 +222,42 @@ def image_to_np(img: Any) -> np.ndarray:
     return arr.reshape([int(s) for s in shape])
 
 
+def _coerce_meta_dict(m: Any, keys: Any) -> dict[str, Any]:
+    """dict / pyspark Row / namedtuple / positional tuple → dict.
+    dict(Row) and dict(namedtuple) both raise TypeError, and the DSv2
+    serializer stores metadata as a bare positional tuple — so every
+    shape the documented Row-compatibility contract admits is handled
+    here (round-8 kernels review)."""
+    if isinstance(m, dict):
+        return dict(m)
+    if hasattr(m, "asDict"):
+        return m.asDict()
+    if hasattr(m, "_asdict"):
+        return dict(m._asdict())
+    if isinstance(m, (tuple, list)):
+        return dict(zip(keys, m))
+    return dict(m)
+
+
 def meta_of(img: Any) -> dict[str, Any]:
     m = img["meta"] if isinstance(img, dict) else img.meta
     if m is None:
         return dict(DEFAULT_META)
-    return dict(m)
+    return _coerce_meta_dict(m, DEFAULT_META)
+
+
+#: LOG_ENTRY_SCHEMA field order, for positional log tuples
+_LOG_FIELDS = ("optype", "optool", "opval", "opargs", "children_json")
 
 
 def log_of(img: Any) -> list[dict[str, Any]]:
     lg = img["log"] if isinstance(img, dict) else img.log
     if lg is None:
         return []
-    return [dict(e) if not isinstance(e, dict) else e for e in lg]
+    return [
+        e if isinstance(e, dict) else _coerce_meta_dict(e, _LOG_FIELDS)
+        for e in lg
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -314,10 +338,22 @@ def rgb_to_gray(arr: np.ndarray, method: str = "MEAN") -> np.ndarray:
 
 
 def gray_to_rgb(arr: np.ndarray) -> np.ndarray:
-    """Duplicate a gray channel into 3 (TImgTools.java:253-261)."""
+    """Duplicate a gray channel into 3 (TImgTools.java:253-261).
+    Non-uint8 input takes the standard 8-bit display scale (min-max →
+    0..255, like ImageJ's RGB conversion) — a raw astype(uint8)
+    silently wrapped 16-bit/float values modulo 256 (round-8 kernels
+    review)."""
     if arr.ndim == 4:
         return arr
-    a8 = arr.astype(np.uint8)
+    if arr.dtype == np.uint8:
+        a8 = arr
+    else:
+        a = arr.astype("float64")
+        lo, hi = float(a.min()), float(a.max())
+        if hi > lo:
+            a8 = np.rint((a - lo) / (hi - lo) * 255.0).astype(np.uint8)
+        else:
+            a8 = np.zeros(arr.shape, np.uint8)
     return np.stack([a8, a8, a8], axis=-1)
 
 

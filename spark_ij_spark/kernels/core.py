@@ -70,6 +70,11 @@ def op_gamma(arr, args, meta):
     lo, hi = a.min(), a.max()
     if hi > lo:
         a = ((a - lo) / (hi - lo)) ** g * (hi - lo) + lo
+    # round like every sibling arithmetic op (_arith/_clamped use
+    # rint): a truncating astype biased integer outputs down by up
+    # to 1 count
+    if arr.dtype.kind in "ui":
+        a = np.rint(a)
     return a.astype(arr.dtype)
 
 

@@ -42,15 +42,32 @@ def _per_slice(arr: np.ndarray, fn) -> np.ndarray:
     raise ValueError(f"unsupported ndim {arr.ndim}")
 
 
+# Cap on the materialized [rows][w][n_in_disk] window tensor of the
+# rank filter (float64 bytes). A single fancy-index over the whole
+# slice needs h*w*n_disk*8 bytes — ~16.5 GB for a 512x512 slice at
+# ImageJ's default Subtract Background rolling=50 (~7861 disk pixels),
+# an executor OOM. Chunking rows bounds memory with identical output.
+_RANK_CHUNK_BYTES = 128 * 1024 * 1024
+
+
 def _rank_filter(arr: np.ndarray, radius: float, reducer) -> np.ndarray:
     mask = _circular_mask(radius)
     r = mask.shape[0] // 2
+    n_disk = int(mask.sum())
 
     def one(sl: np.ndarray) -> np.ndarray:
         padded = np.pad(sl, r, mode="edge")
         win = sliding_window_view(padded, mask.shape)  # [h][w][kh][kw]
-        vals = win[:, :, mask]  # [h][w][n_in_disk]
-        return reducer(vals, axis=2)
+        h, w = sl.shape
+        rows_per_chunk = max(
+            1, int(_RANK_CHUNK_BYTES // (8 * max(1, w) * max(1, n_disk)))
+        )
+        out = np.empty((h, w), dtype=np.result_type(sl.dtype, np.float64))
+        for y0 in range(0, h, rows_per_chunk):
+            y1 = min(h, y0 + rows_per_chunk)
+            vals = win[y0:y1, :, mask]  # [rows][w][n_in_disk]
+            out[y0:y1] = reducer(vals, axis=2)
+        return out
 
     return _per_slice(arr, one).astype(arr.dtype)
 

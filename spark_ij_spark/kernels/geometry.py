@@ -17,11 +17,10 @@ import numpy as np
 
 from spark_ij_spark.registry import get_float, get_int, register_op
 
-
-def _per_slice(arr: np.ndarray, fn) -> np.ndarray:
-    if arr.ndim == 2:
-        return fn(arr)
-    return np.stack([fn(arr[:, :, k]) for k in range(arr.shape[2])], axis=2)
+# The 4D-aware helper (RGB images are [h][w][s][3] inside kernels): a
+# private 2D/3D-only copy here made every geometry/morphology op crash
+# on RGB input (round-8 kernels review).
+from spark_ij_spark.kernels.filters import _per_slice
 
 
 # --- geometry ---------------------------------------------------------
@@ -319,22 +318,30 @@ def ultimate_points(arr, args, meta):
     def up(s):
         d, _ = distance_map(s[:, :, np.newaxis] if s.ndim == 2 else s, {}, meta)
         d2 = d[:, :, 0] if d.ndim == 3 else d
-        p = np.pad(d2, 1, mode="constant")
-        h, w = d2.shape
-        neigh_max = np.max(
-            np.stack(
-                [
-                    p[dy : dy + h, dx : dx + w]
-                    for dy in (0, 1, 2)
-                    for dx in (0, 1, 2)
-                    if not (dy == 1 and dx == 1)
-                ]
-            ),
-            axis=0,
-        )
-        return np.where((d2 > 0) & (d2 >= neigh_max), 255, 0).astype(s.dtype)
+        return np.where(_ultimate_from_dist(d2), 255, 0).astype(s.dtype)
 
     return _per_slice(arr, up), None
+
+
+def _ultimate_from_dist(d2: np.ndarray) -> np.ndarray:
+    """Local maxima of an ALREADY-computed distance map (bool mask).
+    Shared by ultimate_points and watershed so watershed reuses its
+    own DT instead of paying the O(h)-Python-loop chamfer pass twice
+    per slice (round-8 kernels review)."""
+    p = np.pad(d2, 1, mode="constant")
+    h, w = d2.shape
+    neigh_max = np.max(
+        np.stack(
+            [
+                p[dy : dy + h, dx : dx + w]
+                for dy in (0, 1, 2)
+                for dx in (0, 1, 2)
+                if not (dy == 1 and dx == 1)
+            ]
+        ),
+        axis=0,
+    )
+    return (d2 > 0) & (d2 >= neigh_max)
 
 
 @register_op("Watershed")
@@ -351,8 +358,9 @@ def watershed(arr, args, meta):
         fg = s > 0
         d, _ = distance_map(s[:, :, np.newaxis], {}, meta)
         d2 = d[:, :, 0]
-        up, _ = ultimate_points(s[:, :, np.newaxis], {}, meta)
-        markers, n = label_components(up[:, :, 0] > 0)
+        # markers from the DT just computed (ultimate_points would
+        # re-run the chamfer pass on the same slice)
+        markers, n = label_components(_ultimate_from_dist(d2))
         if n <= 1:
             return s  # single basin → nothing to split
         labels = markers.astype(np.int32)

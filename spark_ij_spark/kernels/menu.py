@@ -450,8 +450,11 @@ def op_z_project(arr, args, meta):
     Sum Slices|Median|Standard Deviation], optional start=/stop=."""
     a = _stack3d(arr).astype("float64")
     s = a.shape[2]
-    start = max(1, get_int(args, "start", 1))
-    stop = min(s, get_int(args, "stop", s))
+    # clamp BOTH ends into [1, s] with start <= stop (same rule as
+    # Make Substack...): an out-of-range start previously produced an
+    # empty slab and an opaque zero-size-reduction crash
+    stop = max(1, min(get_int(args, "stop", s), s))
+    start = max(1, min(get_int(args, "start", 1), stop))
     a = a[:, :, start - 1 : stop]
     how = str(args.get("projection", "Max Intensity")).strip().lower()
     fn = _PROJECTIONS.get(how)
@@ -672,8 +675,13 @@ for _n in _LUT_NAMES:
 def op_rgb_color(arr, args, meta):
     """Convert to RGB: gray data maps through the active LUT
     (meta.info.lut, default Grays) after an 8-bit range scale;
-    already-RGB images pass through (Image>Type>RGB Color)."""
-    if arr.ndim == 4 or (arr.ndim == 3 and arr.shape[-1] == 3 and arr.dtype == np.uint8):
+    already-RGB images pass through (Image>Type>RGB Color).
+
+    Inside kernels a 3D array is ALWAYS a slice stack — true RGB
+    arrives 4D ([h][w][s][3], color declared by the decoder; CLAUDE.md
+    round-7 rule) — so only ndim==4 passes through: a shape/dtype
+    heuristic here silently no-opped on uint8 3-slice stacks."""
+    if arr.ndim == 4:
         return arr
     from spark_ij_spark.kernels.core import op_to_8bit
 

@@ -97,7 +97,9 @@ def roi_mask(shape: tuple[int, int], roi: dict[str, Any]) -> np.ndarray:
     if t in ("LINE", "POLYLINE"):
         m = np.zeros(shape, dtype=bool)
         for i in range(len(xs) - 1):
-            n = int(max(abs(xs[i + 1] - xs[i]), abs(ys[i + 1] - ys[i]))) + 1
+            # ceil, not floor: a fractional span (e.g. x 0.0→5.9)
+            # sampled at floor+1 points skips interior pixels
+            n = int(np.ceil(max(abs(xs[i + 1] - xs[i]), abs(ys[i + 1] - ys[i])))) + 1
             lx = np.clip(np.round(np.linspace(xs[i], xs[i + 1], n)).astype(int), 0, w - 1)
             ly = np.clip(np.round(np.linspace(ys[i], ys[i + 1], n)).astype(int), 0, h - 1)
             m[ly, lx] = True
@@ -121,8 +123,15 @@ def roi_mask(shape: tuple[int, int], roi: dict[str, Any]) -> np.ndarray:
 
 def roi_measure(arr: np.ndarray, roi: dict[str, Any]) -> dict[str, float]:
     """min/mean/stdDev/max/pts restricted to the ROI (2-D projection of
-    slice 0 for stacks), mirroring ImageStatistics fields."""
-    sl = arr[:, :, 0] if arr.ndim == 3 else arr
+    slice 0 for stacks; RGB slices reduce by unweighted channel mean —
+    ImageJ's default RGB statistics convention and the datamodel's
+    MEAN reduction), mirroring ImageStatistics fields."""
+    if arr.ndim == 4:
+        sl = arr[:, :, 0, :].astype("float64").mean(axis=-1)
+    elif arr.ndim == 3:
+        sl = arr[:, :, 0]
+    else:
+        sl = arr
     m = roi_mask(sl.shape, roi)
     vals = sl[m].astype("float64")
     if vals.size == 0:

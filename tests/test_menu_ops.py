@@ -254,3 +254,93 @@ def test_translate_full_shift_blanks_image():
 def test_unknown_command_suggests_near_match():
     with pytest.raises(KeyError, match="did you mean"):
         run_op(np.zeros((4, 4), dtype=np.uint8), "Unsharp Masc...", None)
+
+
+# --- round-8 kernels-review regressions --------------------------------
+
+
+def test_rgb_image_survives_geometry_and_morphology():
+    """True RGB is 4D [h][w][s][3] inside kernels; every per-slice op
+    must handle the channel axis (a 2D/3D-only helper crashed the
+    whole family on RGB input)."""
+    rgb = np.random.default_rng(0).integers(0, 255, (8, 8, 1, 3)).astype(np.uint8)
+    for op, a in (
+        ("Translate...", "x=1 y=1"),
+        ("Erode", None),
+        ("Dilate", None),
+        ("Fill Holes", None),
+        ("Rotate 90 Degrees Right", None),
+    ):
+        out, _ = run_op(rgb, op, a)
+        assert out.ndim == 4 and out.shape[-1] == 3, (op, out.shape)
+
+
+def test_rgb_color_converts_3_slice_stack():
+    """Inside kernels a 3D uint8 array is a SLICE STACK, never RGB
+    (color is declared by the decoder; CLAUDE.md round-7 rule) — RGB
+    Color must convert it, not no-op on a shape/dtype heuristic."""
+    stack = np.random.default_rng(1).integers(0, 255, (8, 8, 3)).astype(np.uint8)
+    out, _ = run_op(stack, "RGB Color", None, {})
+    assert out.ndim == 4 and out.shape == (8, 8, 3, 3)
+
+
+def test_gamma_rounds_like_sibling_arith_ops():
+    out, _ = run_op(np.array([[0, 50, 200, 255]], np.uint8), "Gamma...", "value=0.5")
+    assert out.tolist() == [[0, 113, 226, 255]]  # rint, not truncation
+
+
+def test_z_project_clamps_out_of_range_start():
+    out, _ = run_op(np.ones((4, 4, 3), np.uint8), "Z Project...", "start=5")
+    assert out.shape == (4, 4)
+
+
+def test_rank_filter_chunked_matches_full_window():
+    """The row-chunked rank filter (memory cap for large radii) must be
+    bit-identical to the single fancy-index form at any chunk size."""
+    import numpy.lib.stride_tricks as st
+
+    import spark_ij_spark.kernels.filters as fl
+
+    big = np.random.default_rng(2).integers(0, 255, (32, 45)).astype(np.uint8)
+    mask = fl._circular_mask(3.0)
+    r = mask.shape[0] // 2
+    win = st.sliding_window_view(np.pad(big, r, mode="edge"), mask.shape)
+    ref = np.median(win[:, :, mask], axis=2).astype(big.dtype)
+    old = fl._RANK_CHUNK_BYTES
+    try:
+        for cap in (2048, 10**9):
+            fl._RANK_CHUNK_BYTES = cap
+            assert np.array_equal(fl._rank_filter(big, 3.0, np.median), ref)
+    finally:
+        fl._RANK_CHUNK_BYTES = old
+
+
+def test_roi_line_mask_has_no_gaps_and_rgb_measure_works():
+    from spark_ij_spark.kernels import roi
+
+    mk = roi.roi_mask((1, 8), {"type": "LINE", "xs": [0.0, 5.9], "ys": [0.0, 0.0]})
+    assert np.where(mk[0])[0].tolist() == [0, 1, 2, 3, 4, 5, 6]
+    rgb = np.full((4, 4, 1, 3), 30, np.uint8)
+    m = roi.roi_measure(rgb, {"type": "RECTANGLE", "xs": [0, 3], "ys": [0, 3]})
+    assert m["pts"] > 0 and m["mean"] == 30.0
+
+
+def test_meta_and_log_accept_rows_and_positional_tuples():
+    from pyspark.sql import Row
+
+    from spark_ij_spark import datamodel as dm
+
+    assert dm.meta_of({"meta": Row(pixel_width=1.0, pixel_height=2.0)})[
+        "pixel_height"
+    ] == 2.0
+    pos = dm.meta_of({"meta": tuple(dm.DEFAULT_META.values())})
+    assert pos == dict(dm.DEFAULT_META)
+    lg = dm.log_of({"log": [("LOAD", "file", "x", "", "[]")]})
+    assert lg[0]["optype"] == "LOAD" and lg[0]["children_json"] == "[]"
+
+
+def test_gray_to_rgb_scales_wide_types_instead_of_wrapping():
+    from spark_ij_spark import datamodel as dm
+
+    out = dm.gray_to_rgb(np.array([[0, 300, 65535]], np.uint16))
+    assert out[0, :, 0].tolist() == [0, 1, 255]  # not 300 % 256 == 44
