@@ -222,7 +222,14 @@ def register_imagej(spark: SparkSession) -> None:
 
     @F.pandas_udf(StringType())
     def tostring(v: pd.Series) -> pd.Series:  # :233 (JDBC escape hatch)
-        return v.map(lambda x: str(x))
+        # propagate SQL NULL: str(None)/str(nan) would emit the
+        # literal text 'None'/'nan' as a NON-null string, making
+        # `tostring(col) IS NULL` always false downstream
+        return v.map(
+            lambda x: None
+            if x is None or (isinstance(x, float) and x != x)
+            else str(x)
+        )
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def fromtable(tbl: pd.Series, col: pd.Series) -> pd.Series:  # :260-261

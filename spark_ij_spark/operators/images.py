@@ -267,9 +267,14 @@ def combine_images(a_col: str | Column, b_col: str | Column, how: str) -> Column
     def _udf(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for ra, rb in zip(a.itertuples(index=False), b.itertuples(index=False)):
-            arr = kern(image_to_np(ra), image_to_np(rb))
-            if how == "append":
-                arr = arr.astype(image_to_np(ra).dtype)
+            na_, nb_ = image_to_np(ra), image_to_np(rb)
+            arr = kern(na_, nb_)
+            if how == "append" and na_.dtype == nb_.dtype:
+                # same-dtype append keeps the parents' dtype; a MIXED
+                # append keeps numpy's promoted type — casting back to
+                # the first parent's dtype silently wrapped/truncated
+                # the second parent's pixels (round-8 review)
+                arr = arr.astype(na_.dtype)
             log = lineage.merge_logs(log_of(ra), log_of(rb), how)
             rows.append(np_to_image(arr, meta=meta_of(ra), log=log))
         return pd.DataFrame(rows)
@@ -301,19 +306,21 @@ def processor_for_each(
     (PortableImagePlus.scala:163-180), appending one lineage entry.
 
     ``slice_fn`` receives [h][w] and returns [h][w]; slices are
-    re-stacked on axis 2. Runs batch-at-a-time in the pandas UDF, so
-    per-slice Python overhead is amortized across the Arrow batch.
+    re-stacked on axis 2 (RGB images iterate per slice AND channel via
+    the shared 4D-aware helper — a bare ``arr[:, :, k]`` on a 4D image
+    handed [h][w][3] planes to the 2-D kernel). Runs batch-at-a-time
+    in the pandas UDF, so per-slice Python overhead is amortized
+    across the Arrow batch.
     """
     from spark_ij_spark import lineage
+    from spark_ij_spark.kernels.filters import _per_slice
 
     @F.pandas_udf(IMAGE_SCHEMA)
     def _udf(img: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for r in img.itertuples(index=False):
             arr = image_to_np(r)
-            out = np.stack(
-                [slice_fn(arr[:, :, k]) for k in range(arr.shape[2])], axis=2
-            )
+            out = _per_slice(arr, slice_fn)
             log = lineage.append_entry(
                 log_of(r), lineage.log_entry("PROC", op_label)
             )

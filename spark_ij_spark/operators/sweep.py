@@ -71,7 +71,16 @@ def parse_args_with_delim(arg_list: str, delim: str = "-") -> dict[str, str]:
     """
     out: dict[str, str] = {}
     cleaned = re.sub(r"\s+", " ", arg_list).strip()
-    for tok in cleaned.split(delim):
+    if delim.isspace():
+        toks = cleaned.split(delim)
+    else:
+        # the delimiter separates tokens only at a token BOUNDARY
+        # (string start or after whitespace): a bare split corrupted
+        # values containing the delimiter — '-size=0-Infinity' (the
+        # exact form Analyze Particles consumes) became
+        # {'size': '0', 'Infinity': 'true'} (round-8 review)
+        toks = re.split(rf"(?:^|(?<=\s)){re.escape(delim)}", cleaned)
+    for tok in toks:
         tok = tok.strip()
         if not tok:
             continue
@@ -141,7 +150,11 @@ def sweep_args(
     for key, rng in var_args.items():
         if len(rng) == 2 and _is_long(rng[0]) and _is_long(rng[1]):
             lo, hi = float(rng[0]), float(rng[1])
-            vals = [int(t * (hi - lo) + lo) for t in step_list]
+            # round, not int(): truncating float noise made the
+            # integer lattice direction-dependent (1..10 steps=4 gave
+            # [1,3,6,10] but 10..1 gave [10,7,4,1] — round yields the
+            # symmetric [1,4,7,10] either way)
+            vals = [int(round(t * (hi - lo) + lo)) for t in step_list]
             arr_args[key] = [str(v) for v in dict.fromkeys(vals)]
         elif len(rng) == 2 and _is_double(rng[0]) and _is_double(rng[1]):
             lo, hi = float(rng[0]), float(rng[1])
@@ -149,9 +162,12 @@ def sweep_args(
         else:
             arr_args[key] = rng
 
-    if not cartesian and steps != 2:
+    if not cartesian:
         # zipped crossing: every list must reach length == steps
-        # (ParameterSweep.scala:266-290 block-padding)
+        # (ParameterSweep.scala:266-290 block-padding). Runs at EVERY
+        # steps value: gating it on steps != 2 let a constant key
+        # (length-1 list) truncate the zip to one combo and silently
+        # drop the other endpoint (round-8 review)
         padded: dict[str, list[str]] = {}
         for key, vals in arr_args.items():
             if len(vals) == steps:
@@ -274,7 +290,10 @@ def history_to_sweep(log: list) -> str:
         raise ValueError("no RUN entries in lineage log")
     parts = []
     for e in runs:
-        cmd = e.get("optool", "")
+        # the command lives in opval (lineage.log_entry stores the
+        # TOOL enum in optool — reading optool here returned
+        # 'NUMPY:...' for every engine-produced log, round-8 review)
+        cmd = e.get("opval", "")
         args = " ".join(a for a in (e.get("opargs") or []) if a)
         toks = args.split() if args else []
         parts.append(" ".join(f"{cmd}:{t}" for t in toks) if toks else cmd)

@@ -128,9 +128,16 @@ class TestNamedRanges:
 
 class TestHistoryToSweep:
     def test_run_entries(self):
+        # build the log the way PRODUCTION does (lineage.log_entry
+        # stores the command in opval and the tool enum in optool) —
+        # the old hand-crafted dicts put the command in optool, a
+        # shape no engine code path ever creates, and masked
+        # history_to_sweep reading the wrong field (round-8 review)
+        from spark_ij_spark import lineage
+
         log = [
-            {"optype": "RUN", "optool": "Median...", "opargs": ["radius=3"]},
-            {"optype": "RUN", "optool": "Multiply...", "opargs": ["value=2"]},
+            lineage.log_entry(lineage.OP_RUN, "Median...", ["radius=3"]),
+            lineage.log_entry(lineage.OP_RUN, "Multiply...", ["value=2"]),
         ]
         assert (
             history_to_sweep(log)
@@ -162,3 +169,27 @@ class TestRunRange:
         plan = swept._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestRound8ReviewRegressions:
+    def test_delimiter_inside_value_is_preserved(self):
+        assert parse_args_with_delim("-size=0-Infinity -white", "-") == {
+            "size": "0-Infinity",
+            "white": "true",
+        }
+        assert parse_args_with_delim("-x=-3", "-") == {"x": "-3"}
+
+    def test_zipped_steps2_pads_constant_keys(self):
+        out = macro_steps_to_sweep(
+            ["radius=1 white", "radius=5 white"],
+            steps=2,
+            cartesian=False,
+            delim=" ",
+        )
+        assert out == ["radius=1 white", "radius=5 white"]
+
+    def test_integer_lattice_is_direction_symmetric(self):
+        fwd = macro_steps_to_sweep(["radius=1", "radius=10"], steps=4, delim=" ")
+        rev = macro_steps_to_sweep(["radius=10", "radius=1"], steps=4, delim=" ")
+        assert fwd == ["radius=1", "radius=4", "radius=7", "radius=10"]
+        assert sorted(rev) == sorted(fwd)
