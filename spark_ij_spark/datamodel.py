@@ -337,6 +337,24 @@ def rgb_to_gray(arr: np.ndarray, method: str = "MEAN") -> np.ndarray:
     return red(arr.astype("float64"))
 
 
+def stats_of_values(a: np.ndarray) -> dict[str, float]:
+    """min/mean/stdDev/max/pts of a float64 value array — ImageJ's
+    ImageStatistics convention (SAMPLE stddev, n−1 denominator). ONE
+    shared implementation for the SQL stats UDFs, ``image_stats``,
+    and ``roi_measure``: the ddof=1 convention previously lived in
+    three hand-copied blocks that each had to be fixed separately
+    (round-8 review)."""
+    if a.size == 0:
+        return {"min": 0.0, "mean": 0.0, "stdDev": 0.0, "max": 0.0, "pts": 0.0}
+    return {
+        "min": float(a.min()),
+        "mean": float(a.mean()),
+        "stdDev": float(a.std(ddof=1)) if a.size > 1 else 0.0,
+        "max": float(a.max()),
+        "pts": float(a.size),
+    }
+
+
 def gray_to_rgb(arr: np.ndarray) -> np.ndarray:
     """Duplicate a gray channel into 3 (TImgTools.java:253-261).
     Non-uint8 input takes the standard 8-bit display scale (min-max →

@@ -76,15 +76,9 @@ def _table_batch(img: pd.DataFrame, cmds: pd.Series, argss: pd.Series) -> list[d
 
 
 def _stats_map(r) -> dict[str, float]:
-    a = image_to_np(r).astype("float64")
-    return {
-        "min": float(a.min()),
-        "mean": float(a.mean()),
-        # sample stddev (n−1), the ImageJ ImageStatistics convention
-        "stdDev": float(a.std(ddof=1)) if a.size > 1 else 0.0,
-        "max": float(a.max()),
-        "pts": float(a.size),
-    }
+    from spark_ij_spark.datamodel import stats_of_values
+
+    return stats_of_values(image_to_np(r).astype("float64"))
 
 
 def register_imagej(spark: SparkSession) -> None:

@@ -133,14 +133,6 @@ def roi_measure(arr: np.ndarray, roi: dict[str, Any]) -> dict[str, float]:
     else:
         sl = arr
     m = roi_mask(sl.shape, roi)
-    vals = sl[m].astype("float64")
-    if vals.size == 0:
-        return {"min": 0.0, "mean": 0.0, "stdDev": 0.0, "max": 0.0, "pts": 0.0}
-    return {
-        "min": float(vals.min()),
-        "mean": float(vals.sum() / vals.size),
-        # sample stddev (n−1), the ImageJ ImageStatistics convention
-        "stdDev": float(vals.std(ddof=1)) if vals.size > 1 else 0.0,
-        "max": float(vals.max()),
-        "pts": float(vals.size),
-    }
+    from spark_ij_spark.datamodel import stats_of_values
+
+    return stats_of_values(sl[m].astype("float64"))

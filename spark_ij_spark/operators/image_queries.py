@@ -102,9 +102,11 @@ def q_img_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-statistics kernel vs SQL aggregates per order."""
     imgs = order_quantity_images(spark, sf_dir)
 
+    # the key column rides OUTSIDE the UDF (top-level select below) —
+    # an l_orderkey field here would ship a placeholder 0 in every
+    # Arrow batch and trap a future caller reading s.l_orderkey
     out_schema = StructType(
         [
-            StructField("l_orderkey", LongType()),
             StructField("min_qty", DoubleType()),
             StructField("mean_qty", DoubleType()),
             StructField("max_qty", DoubleType()),
@@ -119,7 +121,6 @@ def q_img_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             a = image_to_np(r).astype("float64")
             rows.append(
                 {
-                    "l_orderkey": 0,  # filled outside
                     "min_qty": float(a.min()),
                     "mean_qty": float(a.sum() / a.size),
                     "max_qty": float(a.max()),

@@ -200,21 +200,16 @@ def image_stats(image_col: str | Column) -> Column:
     ImageStatistics — SAMPLE stddev, n−1 denominator; matches
     particles.py's per-component measurements)."""
 
+    from spark_ij_spark.datamodel import stats_of_values
+
     @F.pandas_udf(STATS_SCHEMA)
     def _udf(img: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for r in img.itertuples(index=False):
-            a = image_to_np(r).astype("float64")
-            rows.append(
-                {
-                    "min": float(a.min()),
-                    "mean": float(a.mean()),
-                    "stdDev": float(a.std(ddof=1)) if a.size > 1 else 0.0,
-                    "max": float(a.max()),
-                    "pts": float(a.size),
-                }
-            )
-        return pd.DataFrame(rows)
+        return pd.DataFrame(
+            [
+                stats_of_values(image_to_np(r).astype("float64"))
+                for r in img.itertuples(index=False)
+            ]
+        )
 
     return _udf(image_col)
 
