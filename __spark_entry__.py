@@ -35,8 +35,12 @@ def _grading_order(names: list[str]) -> list[str]:
     queries graded this round become the freshest and rotate out next
     round, so every query re-earns driver evidence regularly — the
     Spark 4.0→4.1 runtime swap showed "stable" queries break first
-    when the environment shifts. Any failure to read the artifacts
-    falls back to canonical order.
+    when the environment shifts. A SEMANTICALLY CHANGED query's old
+    evidence is also not evidence: ``QUERY_REVISED.json`` maps query →
+    round of the change, and a revision newer than the last green
+    grade voids it (the query re-enters the window as never-graded,
+    tie-broken by its original declaration age). Any failure to read
+    the artifacts falls back to canonical order.
     """
     try:
         last: dict[str, int] = {}
@@ -53,6 +57,13 @@ def _grading_order(names: list[str]) -> list[str]:
                     if err not in (None, "no_oracle"):
                         continue
                     last[q] = max(last.get(q, 0), rnd)
+        try:
+            with open(os.path.join(root, "QUERY_REVISED.json")) as fh:
+                for q, rev in json.load(fh).items():
+                    if last.get(q, 0) < rev:
+                        last.pop(q, None)
+        except Exception:
+            pass
         try:
             with open(os.path.join(root, "QUERY_AGE.json")) as fh:
                 first_seen: dict[str, int] = json.load(fh)

@@ -216,14 +216,19 @@ def register_imagej(spark: SparkSession) -> None:
 
     @F.pandas_udf(StringType())
     def tostring(v: pd.Series) -> pd.Series:  # :233 (JDBC escape hatch)
-        # propagate SQL NULL: str(None)/str(nan) would emit the
-        # literal text 'None'/'nan' as a NON-null string, making
-        # `tostring(col) IS NULL` always false downstream
-        return v.map(
-            lambda x: None
-            if x is None or (isinstance(x, float) and x != x)
-            else str(x)
-        )
+        # propagate SQL NULL: str(None)/str(nan)/str(NaT) would emit
+        # the literal text 'None'/'nan'/'NaT' as a NON-null string,
+        # making `tostring(col) IS NULL` always false downstream.
+        # pd.isna covers None, float NaN, AND pd.NaT (null timestamps
+        # arrive as NaT through Arrow — round-9 ADVICE); the isinstance
+        # guard keeps array-valued cells (where isna is elementwise)
+        # on the str() path.
+        def conv(x):
+            if not isinstance(x, (list, tuple, np.ndarray, dict)) and pd.isna(x):
+                return None
+            return str(x)
+
+        return v.map(conv)
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def fromtable(tbl: pd.Series, col: pd.Series) -> pd.Series:  # :260-261

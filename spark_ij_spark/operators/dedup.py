@@ -1014,39 +1014,28 @@ PR_DAMP_THOUSANDTHS = 875
 PR_SCALE = 1_000_000_000_000
 
 
-def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-representative scoring for near-dup clusters:
-    PR_ITERS PageRank iterations over the (symmetrized) embedding
-    near-dup pair graph. Within a duplicate cluster the highest-rank
-    node is the most-connected — the natural "keep this copy"
-    candidate (centrality-based canonicalization), a finer signal than
-    the min-label rule ``q_dedup_clusters`` uses.
+def _pagerank_over_edges(edges: DataFrame, id_alias: str) -> DataFrame:
+    """Shared PR_ITERS integer-PageRank loop over an undirected pair
+    frame ``(src, dst)`` with ``src < dst`` (symmetrized here). Both
+    graded pagerank queries run THIS loop — single-code-path rule, so
+    the exact-baseline twin always measures the production iteration.
 
-    Scale shape: the edge graph here comes from the EXACT block-matmul
-    generator (``q_dedup_embedding`` — bounded memory via
-    ``embed_blocks``, but quadratic compute: 232x for 100x data in the
-    round-8 K=100 sweep, the one deliberate super-linear query). At
-    100 TB the identical loop runs off ``lsh_candidate_pairs``
-    verified pairs instead (46x at the same sweep); the exact
-    generator is the labeled baseline the LSH graph is audited
-    against. Each iteration is one src-keyed equi-join + one
-    dst-keyed partial aggregate — the canonical distributed PageRank
-    step, O(E) per round with no driver state beyond the node count.
-    Same loop hygiene as the CC op: partition count derived from the
-    measured edge count, degree attached to the edge frame ONCE
-    (GraphX-style, so the static side never re-joins per round), and
-    per-round localCheckpoint to keep loop plans shallow (measured
-    1.5x on the loop at sf0.1).
+    Each iteration is one src-keyed equi-join + one dst-keyed partial
+    aggregate — the canonical distributed PageRank step, O(E) per
+    round with no driver state beyond the node count. Same loop
+    hygiene as the CC op: partition count derived from the measured
+    edge count, degree attached to the edge frame ONCE (GraphX-style,
+    so the static side never re-joins per round), and per-round
+    localCheckpoint to keep loop plans shallow (measured 1.5x on the
+    loop at sf0.1).
     Determinism: pure integer fixed-point (see constants above); no
     float accumulates anywhere, so summation order is irrelevant."""
     # cache BEFORE the self-union: the union references `edges` twice,
-    # and uncached each branch independently re-runs the whole
-    # quantize→cogroup→matmul embedding pipeline (ReuseExchange cannot
-    # dedupe post-exchange applyInPandas work) — same hazard the kcore
-    # loop documents for its edge frame.
-    edges = q_dedup_embedding(spark, sf_dir).select(
-        F.col("ia").alias("src"), F.col("ib").alias("dst")
-    ).cache()
+    # and uncached each branch independently re-runs the whole edge
+    # generator (ReuseExchange cannot dedupe post-exchange
+    # applyInPandas / multi-join work) — same hazard the kcore loop
+    # documents for its edge frame.
+    edges = edges.cache()
     sym0 = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
@@ -1077,15 +1066,57 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pr.join(deg, "src")
         .select(
-            F.col("src").alias("vec_id"),
+            F.col("src").alias(id_alias),
             "deg",
             F.expr(f"round(CAST(pr AS DOUBLE) / {PR_SCALE}, 9)").alias("pagerank"),
         )
-        .orderBy("vec_id")
+        .orderBy(id_alias)
     )
 
 
-def _pagerank_sql() -> str:
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative scoring for near-dup clusters:
+    PR_ITERS PageRank iterations over the (symmetrized) near-dup
+    document graph. Within a duplicate cluster the highest-rank node
+    is the most-connected — the natural "keep this copy" candidate
+    (centrality-based canonicalization), a finer signal than the
+    min-label rule ``q_dedup_clusters`` uses.
+
+    Scale shape (the production path): edges are the LSH-VERIFIED
+    near-dup pairs — ``lsh_candidate_pairs`` band buckets, true
+    Jaccard verified on candidates only, thresholded — so edge
+    generation is a band equi-join (38-46x for 100x data in the
+    round-8 K=100 sweep, vs 232x for the exact block-matmul
+    generator). Generator is shared verbatim with
+    ``dedup_minhash_lsh`` / ``dedup_lsh_audit`` (single-code-path
+    rule); the quadratic exact-pair variant survives as the labeled
+    baseline twin ``q_dedup_pagerank_exact``."""
+    verified = q_dedup_minhash_lsh(spark, sf_dir)
+    edges = verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        F.col("da").alias("src"), F.col("db").alias("dst")
+    )
+    return _pagerank_over_edges(edges, "doc_id")
+
+
+def q_dedup_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-edge PageRank baseline twin: the identical integer loop
+    (``_pagerank_over_edges``) run over the EXACT block-matmul
+    embedding pair generator (``q_dedup_embedding`` — bounded memory
+    via ``embed_blocks``, but quadratic compute: 232x for 100x data,
+    SCALING.md). Labeled baseline, like ``dedup_embedding`` itself:
+    it is the ground truth the LSH-edged production query
+    (``q_dedup_pagerank``) is compared against, not the 100 TB path."""
+    edges = q_dedup_embedding(spark, sf_dir).select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    )
+    return _pagerank_over_edges(edges, "vec_id")
+
+
+def _pagerank_sql(edges_prefix: str, id_col: str) -> str:
+    """Full pagerank oracle from an ``edges_prefix`` WITH-body that
+    must end by defining ``e0(src, dst)`` — the loop CTEs are shared
+    verbatim between the LSH-edged and exact-edged oracles, mirroring
+    the shared Spark loop."""
     damp = PR_DAMP_THOUSANDTHS
     step = """
 p{k} AS (
@@ -1099,7 +1130,36 @@ p{k} AS (
         step.format(k=k + 1, j=k, damp=damp) for k in range(PR_ITERS)
     )
     return f"""
-WITH q AS (
+WITH {edges_prefix},
+sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+consts AS (
+  SELECT {PR_SCALE} // COUNT(*) AS base,
+         (1000 - {damp}) * ({PR_SCALE} // COUNT(*)) // 1000 AS tele
+  FROM deg),
+p0 AS (SELECT src, CAST((SELECT base FROM consts) AS BIGINT) AS pr FROM deg),
+{steps}
+SELECT p{PR_ITERS}.src AS {id_col}, deg.deg AS deg,
+       round(CAST(p{PR_ITERS}.pr AS DOUBLE) / {PR_SCALE}, 9) AS pagerank
+FROM p{PR_ITERS} JOIN deg ON p{PR_ITERS}.src = deg.src
+ORDER BY {id_col}
+"""
+
+
+# LSH-verified edge source: the SAME _MINHASH_SIG_DUCK/_LSH_CAND_DUCK
+# fragments Q_DEDUP_MINHASH_SQL / Q_DEDUP_LSH_AUDIT_SQL splice in (the
+# audited production generator), verified against true Jaccard on
+# candidates and thresholded — the oracle mirror of q_dedup_pagerank's
+# `q_dedup_minhash_lsh(...).filter(jaccard >= JACCARD_THRESHOLD)`.
+_PR_LSH_EDGES_DUCK = f"""{_MINHASH_SIG_DUCK.strip()},
+{_LSH_CAND_DUCK.strip()},
+{_JACCARD_PAIRS_DUCK.strip()},
+e0 AS (
+  SELECT cand.da AS src, cand.db AS dst
+  FROM cand JOIN jac ON cand.da = jac.da AND cand.db = jac.db
+  WHERE jac.jaccard >= {JACCARD_THRESHOLD})"""
+
+_PR_EXACT_EDGES_DUCK = f"""q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {EMBED_QUANT}) AS BIGINT)) AS qv
   FROM {EMB_CLEAN_DUCK} embeddings),
@@ -1110,23 +1170,10 @@ n AS (
 e0 AS (
   SELECT a.vec_id AS src, b.vec_id AS dst
   FROM n a JOIN n b ON a.vec_id < b.vec_id
-  WHERE {_QCOS_DUCK} >= {EMBED_COS_THRESHOLD}),
-sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
-consts AS (
-  SELECT {PR_SCALE} // COUNT(*) AS base,
-         (1000 - {damp}) * ({PR_SCALE} // COUNT(*)) // 1000 AS tele
-  FROM deg),
-p0 AS (SELECT src, CAST((SELECT base FROM consts) AS BIGINT) AS pr FROM deg),
-{steps}
-SELECT p{PR_ITERS}.src AS vec_id, deg.deg AS deg,
-       round(CAST(p{PR_ITERS}.pr AS DOUBLE) / {PR_SCALE}, 9) AS pagerank
-FROM p{PR_ITERS} JOIN deg ON p{PR_ITERS}.src = deg.src
-ORDER BY vec_id
-"""
+  WHERE {_QCOS_DUCK} >= {EMBED_COS_THRESHOLD})"""
 
-
-Q_DEDUP_PAGERANK_SQL = _pagerank_sql()
+Q_DEDUP_PAGERANK_SQL = _pagerank_sql(_PR_LSH_EDGES_DUCK, "doc_id")
+Q_DEDUP_PAGERANK_EXACT_SQL = _pagerank_sql(_PR_EXACT_EDGES_DUCK, "vec_id")
 
 
 # --- triangle counting / clustering coefficient -----------------------
@@ -1959,6 +2006,7 @@ QUERIES = {
     "dedup_aligned_spans": q_dedup_aligned_spans,
     "dedup_incremental": q_dedup_incremental,
     "dedup_pagerank": q_dedup_pagerank,
+    "dedup_pagerank_exact": q_dedup_pagerank_exact,
     "dedup_triangles": q_dedup_triangles,
     "dedup_paragraphs": q_dedup_paragraphs,
 }
@@ -1979,6 +2027,7 @@ ORACLES = {
     "dedup_aligned_spans": Q_DEDUP_ALIGNED_SPANS_SQL,
     "dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
     "dedup_pagerank": Q_DEDUP_PAGERANK_SQL,
+    "dedup_pagerank_exact": Q_DEDUP_PAGERANK_EXACT_SQL,
     "dedup_triangles": Q_DEDUP_TRIANGLES_SQL,
     "dedup_paragraphs": Q_DEDUP_PARAGRAPHS_SQL,
 }

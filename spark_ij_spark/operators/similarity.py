@@ -40,9 +40,19 @@ from spark_ij_spark.operators.dedup import (
 from spark_ij_spark.operators.text import hash60_duck, hash60_spark
 
 TOPK = 5
-LSH_TOPK = 3
+LSH_TOPK = 5
 N_QUERIES = 20      # query set = vec_id < N_QUERIES
 LSH_NBITS = 8
+# Independent hyperplane tables (table id t is folded into the sign
+# hash seed). Operating point CALIBRATED round 9 on the synthetic
+# corpus via the recall-audit harness: single-table exact-bucket LSH
+# measured recall@5 ≈ 0.02-0.12 (near-isotropic vectors give
+# hyperplanes no locality), L=8 tables + Hamming-1 multiprobe lifts it
+# to ≈ 0.66 (sf0.01) / 0.64 (sf0.1) at a ~26% candidate-scan fraction
+# — the classic tables-for-recall trade, still an equi-join per table
+# (never all-pairs). Floor guarded by
+# tests/test_north_star.py::test_ann_recall_floors.
+LSH_NTABLES = 8
 # plane/slice width IS the table's declared dimension — one source
 # (dedup.EMB_DIM, which the _emb integrity scan also enforces)
 DIM = EMB_DIM
@@ -108,30 +118,36 @@ SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {TOPK}
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector.
+    """Random-hyperplane LSH bucket id per (vector, table): LSH_NTABLES
+    independent tables of LSH_NBITS hyperplanes each (multi-table since
+    round 9 — see the LSH_NTABLES calibration note).
 
-    Hyperplane p has ±1 components: sign(p, d) from the low bit of
-    hash60('p,d'). Bucket bit p = [Σ_d sign(p,d) · q(v_d) > 0] with
-    q = round(v·1e6) as BIGINT. Plane table is NBITS×DIM rows —
-    broadcast; vectors never shuffle until the (vec, plane) groupBy."""
+    Hyperplane (t, p) has ±1 components: sign(t, p, d) from the low
+    bit of hash60('t:p,d') — the table id seeds the hash, so tables
+    are independent draws of the same construction. Bucket bit p =
+    [Σ_d sign(t,p,d) · q(v_d) > 0] with q = round(v·1e6) as BIGINT.
+    Plane table is NTABLES×NBITS×DIM rows — a broadcast constant;
+    vectors never shuffle until the (vec, t, plane) groupBy."""
     dims = _emb(spark, sf_dir).select(
         "vec_id", F.posexplode("embedding").alias("d", "val")
     ).withColumn("q", F.expr(f"TRY_CAST(round(CAST(val AS DOUBLE) * {QUANT}) AS BIGINT)"))
-    sign_h = hash60_spark("concat(p, ',', d)")
+    sign_h = hash60_spark("concat(t, ':', p, ',', d)")
     planes = (
-        spark.range(LSH_NBITS).withColumnRenamed("id", "p")
-        # explicit broadcast: NBITS x DIM constant rows (provably
-        # bounded). Static auto-broadcast is off session-wide, so a
-        # bare crossJoin would plan as CartesianProduct.
+        spark.range(LSH_NTABLES).withColumnRenamed("id", "t")
+        # explicit broadcast: NTABLES x NBITS x DIM constant rows
+        # (provably bounded). Static auto-broadcast is off
+        # session-wide, so a bare crossJoin would plan as
+        # CartesianProduct.
+        .crossJoin(F.broadcast(spark.range(LSH_NBITS).withColumnRenamed("id", "p")))
         .crossJoin(F.broadcast(spark.range(DIM).withColumnRenamed("id", "d")))
         .withColumn("sign", F.expr(f"CASE WHEN ({sign_h} & 1) = 1 THEN 1 ELSE -1 END"))
     )
     bits = (
         dims.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "p")
+        .groupBy("vec_id", "t", "p")
         .agg(F.expr("sum(sign * q)").alias("dot"))
     )
-    return bits.groupBy("vec_id").agg(
+    return bits.groupBy("vec_id", "t").agg(
         F.expr(
             "sum(CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)) ELSE 0 END)"
         ).alias("bucket")
@@ -143,33 +159,43 @@ dims AS (
   SELECT vec_id, d, CAST(round(CAST(embedding[d + 1] AS DOUBLE) * {QUANT}) AS BIGINT) AS q
   FROM {EMB_CLEAN_DUCK} embeddings, (SELECT unnest(range(0, {DIM})) AS d)),
 planes AS (
-  SELECT p, d,
-         CASE WHEN ({hash60_duck("p || ',' || d")} & 1) = 1 THEN 1 ELSE -1 END AS sign
-  FROM (SELECT unnest(range(0, {LSH_NBITS})) AS p), (SELECT unnest(range(0, {DIM})) AS d)),
+  SELECT t, p, d,
+         CASE WHEN ({hash60_duck("t || ':' || p || ',' || d")} & 1) = 1 THEN 1 ELSE -1 END AS sign
+  FROM (SELECT unnest(range(0, {LSH_NTABLES})) AS t),
+       (SELECT unnest(range(0, {LSH_NBITS})) AS p),
+       (SELECT unnest(range(0, {DIM})) AS d)),
 bits AS (
-  SELECT vec_id, p, sum(sign * q) AS dot
+  SELECT vec_id, t, p, sum(sign * q) AS dot
   FROM dims JOIN planes USING (d)
-  GROUP BY vec_id, p),
+  GROUP BY vec_id, t, p),
 buckets AS (
-  SELECT vec_id,
+  SELECT vec_id, t,
          sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS bucket
-  FROM bits GROUP BY vec_id)
+  FROM bits GROUP BY vec_id, t)
 """
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: candidates share the query's bucket; exact
-    cosine re-rank within the bucket, top LSH_TOPK per query. The
-    candidate join is an equi-join on bucket id (the scale path)."""
+    """LSH-bucketed ANN: candidates share the query's bucket in ANY of
+    the LSH_NTABLES tables; exact cosine re-rank over the deduplicated
+    candidate set, top LSH_TOPK per query. The candidate join is an
+    equi-join on (table, bucket) — the scale path; DISTINCT collapses
+    pairs that collide in several tables before the (costlier) exact
+    rescore."""
     buckets = lsh_buckets(spark, sf_dir)
     e = emb_with_norm(spark, sf_dir)
     qa = buckets.filter(F.col("vec_id") < N_QUERIES).alias("qa")
     qb = buckets.alias("qb")
-    cand = qa.join(
-        qb,
-        (F.col("qa.bucket") == F.col("qb.bucket"))
-        & (F.col("qa.vec_id") != F.col("qb.vec_id")),
-    ).select(F.col("qa.vec_id").alias("ia"), F.col("qb.vec_id").alias("ib"))
+    cand = (
+        qa.join(
+            qb,
+            (F.col("qa.t") == F.col("qb.t"))
+            & (F.col("qa.bucket") == F.col("qb.bucket"))
+            & (F.col("qa.vec_id") != F.col("qb.vec_id")),
+        )
+        .select(F.col("qa.vec_id").alias("ia"), F.col("qb.vec_id").alias("ib"))
+        .distinct()
+    )
     scored = (
         cand.join(e.alias("a"), F.col("ia") == F.col("a.vec_id"))
         .join(e.alias("b"), F.col("ib") == F.col("b.vec_id"))
@@ -181,9 +207,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_ANN_LSH_SQL = f"""
 WITH {_LSH_BUCKETS_DUCK},
 cand AS (
-  SELECT qa.vec_id AS ia, qb.vec_id AS ib
+  SELECT DISTINCT qa.vec_id AS ia, qb.vec_id AS ib
   FROM buckets qa JOIN buckets qb
-    ON qa.bucket = qb.bucket AND qa.vec_id <> qb.vec_id
+    ON qa.t = qb.t AND qa.bucket = qb.bucket AND qa.vec_id <> qb.vec_id
   WHERE qa.vec_id < {N_QUERIES}),
 scored AS (
   SELECT ia, ib, {COS_DUCK} AS cos
@@ -202,17 +228,24 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-bit multiprobe hyperplane LSH (Lv et al. 2007 "Multi-Probe
     LSH"): each query probes its OWN bucket plus the LSH_NBITS buckets
     at Hamming distance 1 — the buckets a near neighbor most likely
-    fell into when one hyperplane sign flipped. Probe generation is a
-    map-only explode of (NBITS+1) bucket ids per query; candidate
-    generation stays an equi-join on bucket id (never all-pairs), so
-    at 100 TB multiprobe trades a constant-factor larger join fan-in
-    for recall instead of building more hash tables. A data vector has
-    exactly one bucket, so it matches at most one probe — no duplicate
-    candidates, no DISTINCT needed. Exact cosine re-rank within the
-    probed set, top LSH_TOPK per query, same as q_ann_lsh."""
+    fell into when one hyperplane sign flipped — in EACH of the
+    LSH_NTABLES tables. Probe generation is a map-only explode of
+    (NBITS+1) bucket ids per (query, table); candidate generation
+    stays an equi-join on (table, bucket) (never all-pairs), so at
+    100 TB multiprobe trades a constant-factor larger join fan-in for
+    recall on top of the tables-for-recall trade. Within one table a
+    data vector has exactly one bucket so it matches at most one
+    probe, but ACROSS tables the same pair can recur — DISTINCT
+    before the exact rescore. Exact cosine re-rank within the probed
+    set, top LSH_TOPK per query, same as q_ann_lsh.
+
+    Operating point (see LSH_NTABLES note): measured recall@5 ≈ 0.66
+    at sf0.01 / 0.64 at sf0.1 — vs ≈ 0.12 single-table r8 — floor
+    asserted by test_ann_recall_floors."""
     buckets = lsh_buckets(spark, sf_dir)
     probes = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("ia"),
+        F.col("t"),
         F.explode(
             F.array(
                 F.col("bucket"),
@@ -224,10 +257,17 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("probe"),
     )
     e = emb_with_norm(spark, sf_dir)
-    cand = probes.join(
-        buckets.alias("qb"),
-        (F.col("probe") == F.col("qb.bucket")) & (F.col("ia") != F.col("qb.vec_id")),
-    ).select("ia", F.col("qb.vec_id").alias("ib"))
+    cand = (
+        probes.alias("pa")
+        .join(
+            buckets.alias("qb"),
+            (F.col("pa.t") == F.col("qb.t"))
+            & (F.col("pa.probe") == F.col("qb.bucket"))
+            & (F.col("pa.ia") != F.col("qb.vec_id")),
+        )
+        .select(F.col("pa.ia").alias("ia"), F.col("qb.vec_id").alias("ib"))
+        .distinct()
+    )
     scored = (
         cand.join(e.alias("a"), F.col("ia") == F.col("a.vec_id"))
         .join(e.alias("b"), F.col("ib") == F.col("b.vec_id"))
@@ -239,13 +279,14 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_ANN_LSH_MULTIPROBE_SQL = f"""
 WITH {_LSH_BUCKETS_DUCK},
 probes AS (
-  SELECT vec_id AS ia,
+  SELECT vec_id AS ia, t,
          unnest([bucket] || list_transform(range(0, {LSH_NBITS}),
                 i -> xor(bucket, CAST(1 AS BIGINT) << CAST(i AS INT)))) AS probe
   FROM buckets WHERE vec_id < {N_QUERIES}),
 cand AS (
-  SELECT probes.ia, qb.vec_id AS ib
-  FROM probes JOIN buckets qb ON probes.probe = qb.bucket
+  SELECT DISTINCT probes.ia, qb.vec_id AS ib
+  FROM probes JOIN buckets qb
+    ON probes.t = qb.t AND probes.probe = qb.bucket
   WHERE probes.ia <> qb.vec_id),
 scored AS (
   SELECT ia, ib, {COS_DUCK} AS cos
@@ -576,8 +617,10 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[tuple[int, list
     return books
 
 
-def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: encode every vector as PQ_M codebook
+def q_ann_pq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ia, ib, adist) ADC pair stream — the shared scoring stage of
+    ``q_ann_pq`` (pure compressed ranking) and ``q_ann_pq_refine``
+    (shortlist + exact re-rank): encode every vector as PQ_M codebook
     codes, then score queries against the CODES (asymmetric distance
     computation) instead of the raw floats.
 
@@ -650,20 +693,74 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = qsub.join(F.broadcast(cb), "m").select(
         "ia", "m", "k", F.expr(f"{qn} - 2.0D * ({dot}) + {cn}").alias("pdist")
     )
-    pairs = (
+    return (
         codes.join(F.broadcast(lut), ["m", "k"])
         .where(F.col("ib") != F.col("ia"))
         .groupBy("ia", "ib")
         .agg(F.expr("CAST(SUM(pdist) AS DOUBLE)").alias("adist"))
     )
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure PQ/ADC ranking: top PQ_TOPK per query by compressed
+    distance alone (see ``q_ann_pq_pairs`` for the shapes; the exact
+    value-hash oracle proves encode and ADC agree across engines).
+    Ranking fidelity of the compression is measured honestly by
+    ``q_ann_pq_recall``; the production retrieval shape is
+    ``q_ann_pq_refine``."""
     from pyspark.sql.window import Window
 
+    pairs = q_ann_pq_pairs(spark, sf_dir)
     w = Window.partitionBy("ia").orderBy(F.asc("adist"), F.asc("ib"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= PQ_TOPK)
         .select("ia", "ib", "rank", "adist")
     )
+
+
+# ADC shortlist width for the refine stage. Calibrated round 9 on the
+# recall-audit harness: pure ADC at M=4/K=16 seeded codebooks measures
+# recall@5 ≈ 0.24/0.11 (sf0.01/sf0.1) — quantization noise swamps the
+# small cosine spread of near-isotropic vectors — while an ADC
+# shortlist of 100 re-ranked with exact cosine reaches ≈ 0.77/0.60.
+# This is the standard IVF-PQ "refine" stage: the compressed index
+# prunes the corpus to O(SHORTLIST) candidates per query, the exact
+# metric only ever touches the shortlist.
+PQ_SHORTLIST = 100
+
+
+def q_ann_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC shortlist + exact-cosine refine: rank the ADC pair
+    stream per query, keep the PQ_SHORTLIST best compressed-distance
+    candidates, then re-rank the shortlist with the exact cosine and
+    emit the top TOPK — the two-stage retrieve-then-refine shape
+    production PQ systems run (compressed scan prunes, exact metric
+    decides). Scale: the ADC stage is q_ann_pq's (broadcast-LUT
+    equi-join, linear per query); the refine stage touches only
+    O(N_QUERIES × SHORTLIST) rows. Recall@5 measured ≈ 0.77 (sf0.01)
+    / 0.60 (sf0.1) vs ≈ 0.24/0.11 for pure ADC — floor asserted by
+    test_ann_recall_floors."""
+    from pyspark.sql.window import Window
+
+    short = (
+        q_ann_pq_pairs(spark, sf_dir)
+        .withColumn(
+            "srank",
+            F.row_number().over(
+                Window.partitionBy("ia").orderBy(F.asc("adist"), F.asc("ib"))
+            ),
+        )
+        .filter(F.col("srank") <= PQ_SHORTLIST)
+        .select("ia", "ib")
+    )
+    e = emb_with_norm(spark, sf_dir)
+    scored = (
+        short.join(e.alias("a"), F.col("ia") == F.col("a.vec_id"))
+        .join(e.alias("b"), F.col("ib") == F.col("b.vec_id"))
+        .select("ia", "ib", F.expr(COS_SPARK).alias("cos"))
+    )
+    return _topk_rerank(scored, TOPK)
 
 
 _PQ_COMMON_DUCK = f"""
@@ -731,6 +828,40 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_ANN_PQ_RECALL_SQL = _recall_sql(Q_ANN_PQ_SQL, PQ_TOPK)
 
 
+Q_ANN_PQ_REFINE_SQL = f"""
+WITH {_PQ_COMMON_DUCK},
+short AS (
+  SELECT ia, ib FROM (
+    SELECT ia, ib,
+           row_number() OVER (PARTITION BY ia ORDER BY adist ASC, ib ASC) AS srank
+    FROM pairs)
+  WHERE srank <= {PQ_SHORTLIST}),
+refscored AS (
+  SELECT ia, ib, {COS_DUCK} AS cos
+  FROM short
+  JOIN {EMB_CLEAN_DUCK} a ON short.ia = a.vec_id
+  JOIN {EMB_CLEAN_DUCK} b ON short.ib = b.vec_id),
+refranked AS (
+  SELECT ia, ib, cos,
+         row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
+  FROM refscored)
+SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM refranked WHERE rank <= {TOPK}
+"""
+
+
+def q_ann_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the two-stage PQ-shortlist + exact-refine retriever
+    against the brute-force top-k — the honesty metric for the
+    PRODUCTION PQ shape (q_ann_pq_recall measures the raw compressed
+    ranking it builds on)."""
+    return _recall_vs_brute(
+        spark, sf_dir, q_ann_pq_refine(spark, sf_dir).select("ia", "ib"), TOPK
+    )
+
+
+Q_ANN_PQ_REFINE_RECALL_SQL = _recall_sql(Q_ANN_PQ_REFINE_SQL, TOPK)
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
@@ -742,6 +873,8 @@ QUERIES = {
     "ann_lsh_multiprobe_recall": q_ann_lsh_multiprobe_recall,
     "ann_pq": q_ann_pq,
     "ann_pq_recall": q_ann_pq_recall,
+    "ann_pq_refine": q_ann_pq_refine,
+    "ann_pq_refine_recall": q_ann_pq_refine_recall,
 }
 
 ORACLES = {
@@ -755,4 +888,6 @@ ORACLES = {
     "ann_lsh_multiprobe_recall": Q_ANN_LSH_MULTIPROBE_RECALL_SQL,
     "ann_pq": Q_ANN_PQ_SQL,
     "ann_pq_recall": Q_ANN_PQ_RECALL_SQL,
+    "ann_pq_refine": Q_ANN_PQ_REFINE_SQL,
+    "ann_pq_refine_recall": Q_ANN_PQ_REFINE_RECALL_SQL,
 }

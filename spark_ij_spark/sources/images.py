@@ -202,9 +202,15 @@ def save_images_local(
     a key-only count-distinct pass (column-pruned, far cheaper than
     the encode pass) rejects the frame before any file is written."""
     cols = df.select(F.col(path_col).alias("p"), F.col(image_col).alias("img"))
+    # Mirror os.path.splitext exactly (the writer's key): strip the last
+    # '.ext' only when a non-dot character precedes it in the basename,
+    # so dotfiles ('.foo', '..foo') keep their name — a plain
+    # '\.[^.]*$' strip mapped every dotfile to '' and spuriously
+    # rejected distinct dotfiles as colliding (round-9 sources ADVICE).
     n_paths, n_bases = cols.select(
         F.countDistinct("p"), F.countDistinct(F.expr(
-            "regexp_replace(reverse(split(p, '/'))[0], '\\\\.[^.]*$', '')"
+            "regexp_replace(reverse(split(p, '/'))[0],"
+            " '^(\\\\.*[^.].*)\\\\.[^.]*$', '$1')"
         ))
     ).first()
     if n_bases != n_paths:
@@ -402,16 +408,39 @@ def _serialize_image_struct(img: dict) -> tuple:
     )
 
 
+class _ImageJCommit(WriterCommitMessage):
+    """Per-partition commit message: the staging dir plus the staged
+    basenames, so the driver-side commit can validate collisions and
+    rename files into place."""
+
+    def __init__(self, stage_dir: str, names: list[str]):
+        self.stage_dir = stage_dir
+        self.names = names
+
+
 class ImageJWriter(DataSourceWriter):
     """Executor-side writer: each partition encodes its (path, image)
     rows to one file per image under OPTIONS path. A real write path —
     the reference's `CreatableRelationProvider` just re-read from path
     (AbstractImageSource.scala:47-54, effectively read-only).
 
-    Save-mode semantics: mode('overwrite') clobbers per-file;
-    any other mode refuses to touch an existing target file (a
-    basename collision inside one write also trips this) — silent
-    last-write-wins was the round-8 sources-review failure mode."""
+    Two-phase commit (the Hadoop FileOutputCommitter shape): each task
+    ATTEMPT writes into its own uuid staging dir under
+    ``<path>/_temporary`` (hidden to the reader's listing rule) and
+    reports the staged basenames in its commit message; the driver
+    ``commit`` validates and renames into place. This makes task
+    retries/speculation idempotent — a failed attempt's orphan dir is
+    never committed (the round-8 per-file exists() precheck raised
+    FileExistsError on the SAME task's retry, permanently failing the
+    job) — and turns collision detection into a real guarantee instead
+    of a per-file check-then-write race:
+
+    - cross-partition basename collisions fail the job at commit, with
+      nothing moved into the target dir;
+    - mode('overwrite') clobbers per-file; any other mode refuses to
+      replace existing target files — checked once, driver-side, before
+      any rename (silent last-write-wins was the round-8 sources-review
+      failure mode)."""
 
     def __init__(self, options: dict, overwrite: bool = False):
         self.path = options.get("path")
@@ -421,24 +450,61 @@ class ImageJWriter(DataSourceWriter):
             raise ValueError("imagej write requires OPTIONS path")
 
     def write(self, iterator):
-        os.makedirs(self.path, exist_ok=True)
+        import uuid
+
+        stage_dir = os.path.join(self.path, "_temporary", uuid.uuid4().hex)
+        os.makedirs(stage_dir, exist_ok=True)
+        names: list[str] = []
         for row in iterator:
             # shared struct→ndarray path (same as save_images_local /
             # save_images_parquet) — a hand-rolled frombuffer here
             # would drift if the struct layout ever changes
             arr = image_to_np(row.image)
-            target = os.path.join(
-                self.path, _save_basename(row.path) + self.suffix
-            )
-            if not self.overwrite and os.path.exists(target):
-                raise FileExistsError(
-                    f"imagej write: {target} exists and save mode is not "
-                    "'overwrite' (also raised when two input paths share "
-                    "an output basename)"
-                )
-            with open(target, "wb") as fh:
+            name = _save_basename(row.path) + self.suffix
+            with open(os.path.join(stage_dir, name), "wb") as fh:
                 fh.write(encode_array(arr, self.suffix))
-        return WriterCommitMessage()
+            names.append(name)
+        return _ImageJCommit(stage_dir, names)
+
+    def commit(self, messages):
+        import shutil
+        from collections import Counter
+
+        msgs = [m for m in messages if isinstance(m, _ImageJCommit)]
+        counts = Counter(n for m in msgs for n in m.names)
+        dupes = sorted(n for n, c in counts.items() if c > 1)
+        if dupes:
+            raise ValueError(
+                "imagej write: distinct input paths share output "
+                f"basename(s) {dupes[:5]} — writes would overwrite each "
+                "other; disambiguate the path column first"
+            )
+        if not self.overwrite:
+            existing = sorted(
+                n for n in counts if os.path.exists(os.path.join(self.path, n))
+            )
+            if existing:
+                raise FileExistsError(
+                    f"imagej write: target file(s) {existing[:5]} already "
+                    "exist and save mode is not 'overwrite'"
+                )
+        for m in msgs:
+            for n in m.names:
+                os.replace(
+                    os.path.join(m.stage_dir, n), os.path.join(self.path, n)
+                )
+        # drop ALL staging state, including orphan dirs from failed or
+        # speculative attempts that never produced a committed message
+        shutil.rmtree(
+            os.path.join(self.path, "_temporary"), ignore_errors=True
+        )
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.path, "_temporary"), ignore_errors=True
+        )
 
 
 class ImageJStreamReader(SimpleDataSourceStreamReader):

@@ -1101,7 +1101,7 @@ def decode_avi(data: bytes) -> np.ndarray:
                 # chunk's header bytes, failing the equal-channel
                 # check on decodable grayscale files (round-8 review;
                 # decode_bmp already honors clr_used)
-                (clr_used,) = struct.unpack_from("<I", data, body + 36)
+                (clr_used,) = struct.unpack_from("<I", data, body + 32)
                 n_pal = min(clr_used or 256, max(0, (size - 40) // 4))
                 pal_ = np.frombuffer(
                     data, np.uint8, count=n_pal * 4, offset=body + 40

@@ -802,3 +802,71 @@ def test_avi_honors_biclrused_palette():
     blob = b"RIFF" + struct.pack("<I", len(data)) + data
     out = pp.decode_avi(blob)
     np.testing.assert_array_equal(out[:, :, 0], frame)
+
+
+def test_avi_biclrused_read_at_offset_32_not_biclrimportant():
+    """biClrUsed lives at BITMAPINFOHEADER offset 32; biClrImportant at
+    36. The r8 fix read offset 36, so a file with
+    0 < biClrImportant < biClrUsed truncated the palette read at
+    biClrImportant — entries past it fell back to the identity ramp and
+    silently decoded wrong gray values (and a colored entry there
+    escaped the color-palette rejection). Round-9 sources ADVICE."""
+
+    def chunk(cid, body):
+        return (
+            cid
+            + struct.pack("<I", len(body))
+            + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    def build(pal_entries, n_used, n_important):
+        h, w = 2, 3
+        frame = np.array([[16, 40, 63], [20, 0, 50]], dtype=np.uint8)
+        stride = ((8 * w + 31) // 32) * 4
+        padded = np.zeros((h, stride), np.uint8)
+        padded[:, :w] = frame
+        fb = padded[::-1].tobytes()
+        avih = struct.pack(
+            "<IIIIIIIIIIIIII",
+            33333, len(fb) * 30, 0, 0x10, 1, 0, 1, len(fb), w, h, 0, 0, 0, 0,
+        )
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"vids", b"DIB ", 0, 0, 0, 0, 1, 30, 0, 1, len(fb), 0, 0, 0, 0, w, h,
+        )
+        pal = b"".join(bytes(e) for e in pal_entries)
+        strf = (
+            struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, 8, 0, len(fb), 2835, 2835, n_used, n_important,
+            )
+            + pal
+        )
+        hdrl = lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        )
+        movi = lst(b"movi", chunk(b"00db", fb))
+        data = b"AVI " + hdrl + movi
+        return frame, b"RIFF" + struct.pack("<I", len(data)) + data
+
+    # Non-identity gray ramp (inverted): entries 16..63 differ from the
+    # identity completion, so a biClrImportant-truncated read is visible.
+    inv = [(255 - 4 * i,) * 3 + (0,) for i in range(64)]
+    frame, blob = build(inv, n_used=64, n_important=16)
+    out = pp.decode_avi(blob)
+    expect = np.array([255 - 4 * i for i in range(64)], dtype=np.uint8)[frame]
+    np.testing.assert_array_equal(out[:, :, 0], expect)
+
+    # A COLORED entry past biClrImportant must still hit the
+    # color-palette rejection.
+    colored = list(inv)
+    colored[40] = (10, 200, 30, 0)
+    _, blob = build(colored, n_used=64, n_important=16)
+    with pytest.raises(ValueError, match="color palettes"):
+        pp.decode_avi(blob)

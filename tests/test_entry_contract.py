@@ -65,6 +65,15 @@ def test_grading_order_is_a_permutation_with_stalest_first():
                 if err not in (None, "no_oracle"):
                     continue
                 last[q] = max(last.get(q, 0), rnd)
+    # A revision newer than the last green grade voids the evidence
+    # (QUERY_REVISED.json) — mirror of the production rule.
+    try:
+        with open(os.path.join(REPO, "QUERY_REVISED.json")) as fh:
+            for q, rev in json.load(fh).items():
+                if last.get(q, 0) < rev:
+                    last.pop(q, None)
+    except FileNotFoundError:
+        pass
     seq = [last.get(n, -1) for n in names]
     assert seq == sorted(seq), "queries() not ordered stalest-first"
 

@@ -569,22 +569,28 @@ def test_zorder_map_only_zvalue_no_join(spark):
 
 
 def test_pagerank_keyed_joins_no_cartesian(spark):
-    """PageRank: every iteration is a src-keyed equi-join + dst-keyed
-    partial agg; the only Python is the inherited block-matmul edge op
-    (cogroup), never a pair join."""
+    """PageRank (production, LSH-edged since r9): every iteration is a
+    src-keyed equi-join + dst-keyed partial agg, and edge generation
+    is the band equi-join + candidate-only verify — the entire graded
+    plan is JVM-side Catalyst, zero Python. The exact twin keeps the
+    cogrouped block-matmul edge baseline, whose only BNLJ is the
+    O(EMBED_BLOCKS)-row block-replication broadcast (condition on the
+    block-id column ob)."""
     from spark_ij_spark.operators import dedup
 
     plan = _plan(dedup.q_dedup_pagerank(spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    # the only BNLJ allowed is the edge op's O(EMBED_BLOCKS)-row block
-    # replication broadcast (inherited from q_dedup_embedding, by
-    # design — its join condition references the block-id column ob);
-    # the PR iterations themselves must add none.
-    for line in plan.splitlines():
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" not in plan  # pure Catalyst path
+    assert "ArrowEvalPython" not in plan
+    assert "partial" in plan.lower()
+
+    plan_exact = _plan(dedup.q_dedup_pagerank_exact(spark, SF_DIR))
+    assert "CartesianProduct" not in plan_exact
+    for line in plan_exact.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "ob#" in line, line
-    assert "FlatMapCoGroupsInPandas" in plan  # the edge op, by design
-    assert "partial" in plan.lower()
+    assert "FlatMapCoGroupsInPandas" in plan_exact  # edge baseline, by design
 
 
 def test_phrase_search_filters_postings_before_join(spark):

@@ -379,10 +379,13 @@ def test_imagej_writer_overwrite_semantics(imagej_source, tmp_path):
     # overwrite: same files land again without error
     src.write.format("imagej").option("path", out).mode("overwrite").save()
     assert sorted(os.listdir(out)) == first
-    # append onto existing names must fail loudly (the Python-worker
-    # FileExistsError surfaces as a captured PythonException)
-    with pytest.raises(Exception, match="FileExistsError"):
+    # append onto existing names must fail loudly, at driver-side
+    # commit with nothing renamed into the target dir (the r8 per-file
+    # exists() precheck also broke task retries; round-9 ADVICE)
+    with pytest.raises(Exception, match="already exist"):
         src.write.format("imagej").option("path", out).mode("append").save()
+    # the failed job left no partial writes or staging litter behind
+    assert sorted(os.listdir(out)) == first
 
 
 def test_imagej_stream_skips_subdirectories_and_keeps_lineage(spark, tmp_path):
@@ -413,3 +416,26 @@ def test_imagej_stream_skips_subdirectories_and_keeps_lineage(spark, tmp_path):
     assert len(rows) == 1
     log = rows[0].image.log
     assert len(log) == 1 and log[0].optype == "LOAD"
+
+
+def test_imagej_writer_commit_rejects_cross_partition_collisions(
+    imagej_source, tmp_path
+):
+    """Two input paths sharing an output basename must fail the job at
+    driver-side commit with NOTHING moved into the target dir — the r8
+    per-file exists() check was a check-then-write race that could let
+    both partitions land before either noticed (round-9 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    spark = imagej_source
+    imgs = create_empty_images(spark, "img", 2, width=2, height=2)
+    clash = imgs.select(
+        F.expr(
+            "CASE WHEN sample LIKE '%0' THEN 'a/x.png' ELSE 'b/x.png' END"
+        ).alias("path"),
+        F.col("image"),
+    ).repartition(2, "path")
+    out = str(tmp_path / "clash")
+    with pytest.raises(Exception, match="basename"):
+        clash.write.format("imagej").option("path", out).mode("append").save()
+    assert not os.path.exists(out) or os.listdir(out) == []

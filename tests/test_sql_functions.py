@@ -242,3 +242,22 @@ def test_explode_cardinality(spark, images_view):
         "LATERAL VIEW explode(intArray) splod AS nums"
     ).first()["n"]
     assert lateral == 11
+
+
+def test_tostring_null_propagation_incl_nat(spark, images_view):
+    """tostring maps SQL NULL of ANY type to NULL, not the literal
+    text 'None'/'nan'/'NaT' — null timestamps arrive in the UDF as
+    pd.NaT through Arrow, the case the None/NaN-only check missed
+    (round-9 ADVICE)."""
+    rows = spark.sql(
+        "SELECT tostring(ts) AS s_ts, tostring(d) AS s_d, tostring(x) AS s_x"
+        " FROM VALUES"
+        "  (TIMESTAMP '2021-03-04 05:06:07', CAST(1.5 AS DOUBLE), 'ok'),"
+        "  (CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE), NULL)"
+        " AS t(ts, d, x)"
+    ).collect()
+    by_null = {r.s_x is None: r for r in rows}
+    ok = by_null[False]
+    assert ok.s_ts.startswith("2021-03-04") and ok.s_d == "1.5" and ok.s_x == "ok"
+    nulls = by_null[True]
+    assert nulls.s_ts is None and nulls.s_d is None and nulls.s_x is None
