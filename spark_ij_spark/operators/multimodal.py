@@ -5,12 +5,12 @@ column ``media: struct<data binary, mime string, meta struct<...>>``
 so Spark shuffles/persists it natively and kernels view it zero-copy.
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas UDFs (mapInPandas-style plumbing). Every modality has a REAL
-in-container codec path: npy/png/tiff/gif/bmp/dicom images, PCM WAV
-audio, and uncompressed-DIB AVI video (all pure-stdlib,
-``sources/purepy_codecs``). Only the lossy formats whose codecs need
-absent libraries (jpeg, mp4/h264) remain clearly-marked stubs
-(NotImplementedError) behind an import-try — schema, partitioning,
-UDF signatures and batch shapes are real there too.
+in-container codec path: npy/png/tiff/gif/bmp/jpeg/dicom images, PCM
+WAV audio, and uncompressed-DIB AVI video (all pure-stdlib,
+``sources/purepy_codecs``; baseline JFIF went native in round 9).
+Only mp4/h264 remains a clearly-marked stub (NotImplementedError)
+behind an import-try — schema, partitioning, UDF signatures and batch
+shapes are real there too.
 
 Scale: all ops are map-only over binary payloads; the only shuffles
 are the analyst's own groupBys. Arrow batch size bounds executor
@@ -67,19 +67,22 @@ NATIVE_MIMES = (
     "image/tiff",
     "image/gif",
     "image/bmp",
+    "image/jpeg",
     "application/dicom",
     WAV_MIME,
     "video/x-msvideo",
 )
-#: mimes whose decoders require absent libraries → stubbed (lossy
-#: codecs only: every modality has a real in-container container path)
-STUBBED_MIMES = ("image/jpeg", "video/mp4")
+#: mimes whose decoders require absent libraries → stubbed (only mp4
+#: remains since round 9's native baseline-JFIF codec; every other
+#: modality — including lossy JPEG — has a real in-container path)
+STUBBED_MIMES = ("video/mp4",)
 
 _MIME_SUFFIX = {
     "image/png": ".png",
     "image/tiff": ".tif",
     "image/gif": ".gif",
     "image/bmp": ".bmp",
+    "image/jpeg": ".jpg",
     "application/dicom": ".dcm",
     "video/x-msvideo": ".avi",
 }
@@ -87,10 +90,10 @@ _MIME_SUFFIX = {
 
 def decode_media_bytes(data: bytes, mime: str) -> np.ndarray:
     """Decode one media payload to ndarray [h][w][frames]. Images
-    (png/tiff/gif/bmp/dicom) and AVI video decode via the pure-stdlib
-    codecs (multi-page TIFF pages and AVI frames land on the frame
-    axis); WAV audio decodes to [channels][1][samples]. Only jpeg and
-    mp4 need absent libraries and stay clearly-marked stubs."""
+    (png/tiff/gif/bmp/jpeg/dicom) and AVI video decode via the
+    pure-stdlib codecs (multi-page TIFF pages and AVI frames land on
+    the frame axis); WAV audio decodes to [channels][1][samples]. Only
+    mp4 needs an absent library and stays a clearly-marked stub."""
     if mime == NPY_MIME:
         return np.load(io.BytesIO(bytes(data)), allow_pickle=False)
     if mime == WAV_MIME:

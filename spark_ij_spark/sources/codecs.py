@@ -19,11 +19,11 @@ formats have REAL pure-stdlib codec bodies (``purepy_codecs``):
   RIFF container; frames ↔ the image model's slice axis.
 - ``.dcm`` / ``.dicom``— uncompressed little-endian DICOM (the format
   the reference's RDD tests exercise, IjRDDTests.scala:83-99).
-
-If PIL is installed it enables JPEG; that one remains import-gated
-because a lossy DCT codec isn't reasonably reimplementable here — the
-dispatch, schema, and plumbing around it are real, only that codec
-body raises when the library is absent.
+- ``.jpg`` / ``.jpeg``— native baseline JFIF (round 9): decode
+  sequential-DCT Huffman (SOF0/SOF1, 4:4:4/4:2:2/4:2:0, restart
+  markers); encode baseline 4:4:4 with quality-scaled Annex K tables.
+  Progressive (SOF2) raises clearly, with PIL named as the opt-in
+  path for it — but baseline JPEG no longer needs any library.
 """
 
 from __future__ import annotations
@@ -39,22 +39,18 @@ from spark_ij_spark.sources import purepy_codecs as pp
 #: suffixes with a real in-container codec
 NATIVE_SUFFIXES = (
     ".npy", ".png", ".tif", ".tiff", ".pgm", ".ppm", ".bmp", ".gif",
-    ".avi", ".dcm", ".dicom",
+    ".avi", ".dcm", ".dicom", ".jpg", ".jpeg",
 )
-#: suffixes that need PIL (stubbed when PIL is absent)
-PIL_SUFFIXES = (".jpg", ".jpeg")
+#: kept for backward compatibility — empty since round 9 (baseline
+#: JPEG went native); progressive JPEG remains the one PIL-only case
+#: and is rejected inside decode_jpeg with a clear error.
+PIL_SUFFIXES: tuple[str, ...] = ()
 
 SUPPORTED_SUFFIXES = NATIVE_SUFFIXES + PIL_SUFFIXES
 
 
 def _suffix(path: str) -> str:
     return os.path.splitext(path)[1].lower()
-
-
-def _has_pil() -> bool:
-    import importlib.util
-
-    return importlib.util.find_spec("PIL") is not None
 
 
 def decode_bytes(data: bytes, path: str) -> np.ndarray:
@@ -85,17 +81,8 @@ def decode_bytes(data: bytes, path: str) -> np.ndarray:
         return ensure_3d(coerce_ingest(pp.decode_avi(data)), rgb=False)
     if sfx in (".dcm", ".dicom"):
         return ensure_3d(coerce_ingest(pp.decode_dicom(data)), rgb=False)
-    if sfx in PIL_SUFFIXES:
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                f"codec for '{sfx}' requires PIL, which is not installed in "
-                "this container; plumbing is real, codec body is stubbed "
-                "(see sources/codecs.py). PNG/TIFF/PGM decode without PIL."
-            ) from e
-        img = Image.open(io.BytesIO(data))
-        return ensure_3d(coerce_ingest(np.asarray(img)), rgb=True)
+    if sfx in (".jpg", ".jpeg"):
+        return ensure_3d(coerce_ingest(pp.decode_jpeg(data)), rgb=True)
     raise ValueError(
         f"unsupported image suffix {sfx!r} for {path!r}; supported: "
         f"{', '.join(SUPPORTED_SUFFIXES)}"
@@ -122,21 +109,6 @@ def encode_array(arr: np.ndarray, suffix: str = ".npy") -> bytes:
         return pp.encode_avi(arr)
     if suffix in (".dcm", ".dicom"):
         return pp.encode_dicom(arr)
-    if suffix in PIL_SUFFIXES:
-        try:
-            from PIL import Image
-        except ImportError as e:
-            raise NotImplementedError(
-                f"encoder for '{suffix}' requires PIL (not installed); "
-                "'.npy', '.png', '.tif', '.pgm' encode without it"
-            ) from e
-        buf = io.BytesIO()
-        # PIL's SAVE registry is keyed by format NAME ("JPEG"), not
-        # extension — format="JPG" raises KeyError even with PIL
-        # installed
-        fmt = {"jpg": "JPEG"}.get(suffix.lstrip(".").lower())
-        Image.fromarray(arr.squeeze()).save(
-            buf, format=fmt or suffix.lstrip(".").upper()
-        )
-        return buf.getvalue()
+    if suffix in (".jpg", ".jpeg"):
+        return pp.encode_jpeg(arr)
     raise ValueError(f"unsupported encode suffix {suffix!r}")

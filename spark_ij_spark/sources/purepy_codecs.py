@@ -1188,3 +1188,571 @@ def encode_avi(arr: np.ndarray, fps: int = 30) -> bytes:
         off += 8 + len(fb) + (len(fb) & 1)
     riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+# --------------------------------------------------------------------------
+# JPEG (baseline JFIF) — sequential DCT, 8-bit, Huffman
+# --------------------------------------------------------------------------
+# The last reference capability that was import-gated (the reference
+# opens JPEG through ImageJ's readers via its temp-file hop,
+# Spiji.java:1571-1614). Scope: decode baseline/extended-sequential
+# Huffman JPEG (SOF0/SOF1) — grayscale and YCbCr with h/v sampling
+# factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, multi-table
+# DQT/DHT segments; progressive (SOF2) and arithmetic coding raise a
+# clear error. Encode: baseline 4:4:4, standard Annex K quantization
+# (quality-scaled) and Huffman tables, grayscale and RGB uint8.
+
+
+def _zigzag_pairs() -> list[tuple[int, int]]:
+    out = []
+    for s in range(15):
+        rs = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (rs if s % 2 == 1 else reversed(list(rs))):
+            out.append((r, s - r))
+    return out
+
+
+#: flat (row-major) index of each zigzag position: natural[_ZZ[i]] = zz[i]
+_ZZ = np.array([r * 8 + c for r, c in _zigzag_pairs()], dtype=np.int64)
+
+# orthonormal DCT-II matrix: dct2(B) = M @ B @ M.T, idct2(C) = M.T @ C @ M
+_DCT_M = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8.0) if k == 0 else np.sqrt(2.0 / 8.0))
+            * np.cos((2 * n + 1) * k * np.pi / 16.0)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ],
+    dtype=np.float64,
+)
+
+# Annex K base quantization tables (natural row-major order)
+_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_Q_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K Huffman tables: (BITS[1..16], HUFFVAL)
+_HUFF_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                bytes(range(12)))
+_HUFF_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                bytes(range(12)))
+_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    bytes((
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    )),
+)
+_HUFF_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    bytes((
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    )),
+)
+
+
+def _huff_codes(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment: value → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """(length, code) → value lookup for bit-serial decoding."""
+    return {(ln, c): v for v, (c, ln) in _huff_codes(bits, vals).items()}
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K base tables (libjpeg
+    jpeg_quality_scaling): q<50 → 5000/q, else 200-2q; entries clamped
+    to [1, 255]. quality=100 ⇒ all-ones tables (near-lossless: the only
+    loss left is DCT/IDCT float rounding)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    mk = lambda base: np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+    return mk(_Q_LUM), mk(_Q_CHR)
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _dct2_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial → (n, 8, 8) DCT-II coefficients."""
+    return np.einsum("ij,njk,lk->nil", _DCT_M, blocks, _DCT_M)
+
+
+def _idct2_blocks(coefs: np.ndarray) -> np.ndarray:
+    return np.einsum("ji,njk,kl->nil", _DCT_M, coefs, _DCT_M)
+
+
+def _encode_component(
+    w: _JpegBitWriter,
+    qblocks: np.ndarray,
+    dc_tab: dict[int, tuple[int, int]],
+    ac_tab: dict[int, tuple[int, int]],
+    pred: int,
+) -> int:
+    """Huffman-encode one component's quantized blocks (zigzag order
+    rows) with DC prediction; returns the new predictor."""
+
+    def magnitude(v: int) -> tuple[int, int]:
+        # category (bit length of |v|) and the ssss-bit code for v
+        s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    for zz in qblocks:
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s, bitsv = magnitude(diff)
+        c, ln = dc_tab[s]
+        w.write(c, ln)
+        if s:
+            w.write(bitsv, s)
+        run = 0
+        last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+        for i in range(1, last_nz + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_tab[0xF0]  # ZRL
+                w.write(c, ln)
+                run -= 16
+            s, bitsv = magnitude(v)
+            c, ln = ac_tab[(run << 4) | s]
+            w.write(c, ln)
+            w.write(bitsv, s)
+            run = 0
+        if last_nz < 63:
+            c, ln = ac_tab[0x00]  # EOB
+            w.write(c, ln)
+    return pred
+
+
+def _component_qblocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """uint8 plane → (nblocks, 64) quantized zigzag coefficients,
+    blocks in raster order; plane is edge-padded to multiples of 8."""
+    h, wd = plane.shape
+    ph, pw = -h % 8, -wd % 8
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+    bh, bw = p.shape[0] // 8, p.shape[1] // 8
+    blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coefs = _dct2_blocks(blocks).reshape(-1, 64)
+    # half-away-from-zero (np.rint would be banker's)
+    q = np.trunc(coefs / qt.astype(np.float64) + np.copysign(0.5, coefs))
+    return q[:, _ZZ].astype(np.int64)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 [h][w] / [h][w][1] grayscale or [h][w][3] RGB → baseline
+    JFIF (4:4:4, Annex K tables quality-scaled, standard Huffman)."""
+    a = np.asarray(arr)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    if a.dtype != np.uint8 or a.ndim not in (2, 3) or (
+        a.ndim == 3 and a.shape[2] != 3
+    ):
+        raise ValueError(
+            f"JPEG encode: need [h][w] or [h][w][3] uint8, got {a.shape} {a.dtype}"
+        )
+    h, wd = a.shape[:2]
+    qlum, qchr = _quality_tables(quality)
+    if a.ndim == 2:
+        planes = [a]
+    else:
+        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+        planes = [
+            np.clip(np.trunc(p + 0.5), 0, 255).astype(np.uint8)
+            for p in (y, cb, cr)
+        ]
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    # DQT (tables stored in zigzag order)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x00]) + bytes(int(v) for v in qlum[_ZZ])
+    if ncomp == 3:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x01]) + bytes(int(v) for v in qchr[_ZZ])
+    # SOF0
+    sof = struct.pack(">BHHB", 8, h, wd, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT
+    tabs = [(0x00, _HUFF_DC_LUM), (0x10, _HUFF_AC_LUM)]
+    if ncomp == 3:
+        tabs += [(0x01, _HUFF_DC_CHR), (0x11, _HUFF_AC_CHR)]
+    for tid, (bits, vals) in tabs:
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out += bytes([tid]) + bytes(bits) + vals
+    # SOS
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # Entropy-coded data: 4:4:4 non-interleaved-equivalent MCU order —
+    # with all sampling factors 1x1 the interleaved MCU is one block
+    # per component, raster order.
+    qb = [
+        _component_qblocks(planes[i], qlum if i == 0 else qchr)
+        for i in range(ncomp)
+    ]
+    writer = _JpegBitWriter()
+    dct = _huff_codes(*_HUFF_DC_LUM)
+    act = _huff_codes(*_HUFF_AC_LUM)
+    dcc = _huff_codes(*_HUFF_DC_CHR)
+    acc = _huff_codes(*_HUFF_AC_CHR)
+    preds = [0] * ncomp
+    nblocks = qb[0].shape[0]
+    for bi in range(nblocks):
+        for ci in range(ncomp):
+            preds[ci] = _encode_component(
+                writer,
+                qb[ci][bi : bi + 1],
+                dct if ci == 0 else dcc,
+                act if ci == 0 else acc,
+                preds[ci],
+            )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment: 0xFF00
+    stuffing removed on the fly; a bare 0xFF-marker byte ends the
+    stream (the scan decode loop stops by MCU count, so trailing pad
+    bits never reach a marker)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG: truncated entropy-coded data")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("JPEG: marker inside entropy-coded block")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def expect_rst(self) -> None:
+        """Byte-align and consume the next RSTn marker (restart
+        interval boundary)."""
+        self.acc = 0
+        self.nbits = 0
+        while (
+            self.pos + 1 < len(self.data)
+            and not (
+                self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+            )
+        ):
+            self.pos += 1  # skip pad bits/bytes up to the marker
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("JPEG: missing restart marker")
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_huff(r: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read(1)
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _decode_block(
+    r: _JpegBitReader,
+    dc_dec: dict[tuple[int, int], int],
+    ac_dec: dict[tuple[int, int], int],
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int64)
+    s = _decode_huff(r, dc_dec)
+    diff = _jpeg_extend(r.read(s), s) if s else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _decode_huff(r, ac_dec)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("JPEG: AC run past end of block")
+        zz[k] = _jpeg_extend(r.read(size), size)
+        k += 1
+    return zz, pred
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline/extended-sequential Huffman JFIF → uint8 [h][w] (gray)
+    or [h][w][3] (RGB). Supports h/v sampling factors 1-2 (4:4:4 /
+    4:2:2 / 4:2:0), restart intervals, multi-table DQT/DHT segments;
+    progressive (SOF2) and arithmetic-coded frames raise."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("JPEG: bad SOI")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    dri = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                o += 1
+                if pq:
+                    tbl = np.frombuffer(body, dtype=">u2", count=64, offset=o).astype(np.int64)
+                    o += 128
+                else:
+                    tbl = np.frombuffer(body, dtype=np.uint8, count=64, offset=o).astype(np.int64)
+                    o += 64
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_ZZ] = tbl  # stored zigzag → natural
+                qts[tq] = nat
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = bytes(body[o + 17 : o + 17 + n])
+                huffs[(tc, th)] = _huff_decoder(bits, vals)
+                o += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"JPEG: {prec}-bit precision not supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    raise ValueError(f"JPEG: sampling {ch}x{cv} not supported")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise ValueError("JPEG: progressive (SOF2) not supported (baseline only)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG: SOF{marker - 0xC0} frames not supported")
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            h, w, comps = frame
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i : 3 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan.append((comp, huffs[(0, tdta >> 4)], huffs[(1, tdta & 0x0F)]))
+            if ns != len(comps):
+                raise ValueError("JPEG: multi-scan sequential not supported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            r = _JpegBitReader(data, pos)
+            preds = {c["id"]: 0 for c in comps}
+            if ns == 1:
+                comp, dcd, acd = scan[0]
+                cw = -(-w * comp["h"] // hmax)
+                chh = -(-h * comp["v"] // vmax)
+                bx, by = -(-cw // 8), -(-chh // 8)
+                coef = {comps.index(comp): np.zeros((by, bx, 64), np.int64)}
+                n_units, grid_x = by * bx, bx
+                order = [(comps.index(comp), dcd, acd, 1, 1)]
+            else:
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coef = {
+                    i: np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+                    for i, c in enumerate(comps)
+                }
+                n_units, grid_x = mcux * mcuy, mcux
+                order = [
+                    (comps.index(c), dcd, acd, c["h"], c["v"])
+                    for c, dcd, acd in scan
+                ]
+            for u in range(n_units):
+                if dri and u and u % dri == 0:
+                    r.expect_rst()
+                    preds = {c["id"]: 0 for c in comps}
+                uy, ux = divmod(u, grid_x)
+                for ci, dcd, acd, chf, cvf in order:
+                    for vy in range(cvf):
+                        for hx in range(chf):
+                            zz, preds[comps[ci]["id"]] = _decode_block(
+                                r, dcd, acd, preds[comps[ci]["id"]]
+                            )
+                            coef[ci][uy * cvf + vy, ux * chf + hx] = zz
+            # dequantize + IDCT per component, then upsample/crop
+            planes = []
+            for i, c in enumerate(comps):
+                qt = qts[c["tq"]]
+                zzc = coef[i].reshape(-1, 64)
+                nat = np.zeros_like(zzc)
+                nat[:, _ZZ] = zzc
+                nat = nat * qt[None, :]
+                sp = _idct2_blocks(nat.reshape(-1, 8, 8).astype(np.float64)) + 128.0
+                by, bx = coef[i].shape[:2]
+                plane = (
+                    sp.reshape(by, bx, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(by * 8, bx * 8)
+                )
+                cw = -(-w * c["h"] // hmax)
+                chh = -(-h * c["v"] // vmax)
+                plane = plane[:chh, :cw]
+                plane = np.repeat(
+                    np.repeat(plane, vmax // c["v"], axis=0),
+                    hmax // c["h"],
+                    axis=1,
+                )[:h, :w]
+                planes.append(plane)
+            if len(planes) == 1:
+                return np.clip(np.trunc(planes[0] + 0.5), 0, 255).astype(np.uint8)
+            if len(planes) != 3:
+                raise ValueError(f"JPEG: {len(planes)}-component frames not supported")
+            y, cb, cr = planes
+            rch = y + 1.402 * (cr - 128.0)
+            gch = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+            bch = y + 1.772 * (cb - 128.0)
+            rgb = np.stack(
+                [np.clip(np.trunc(p + 0.5), 0, 255) for p in (rch, gch, bch)],
+                axis=2,
+            )
+            return rgb.astype(np.uint8)
+        # all other markers (APPn, COM): skipped via seglen
+    raise ValueError("JPEG: no SOS marker found")

@@ -870,3 +870,158 @@ def test_avi_biclrused_read_at_offset_32_not_biclrimportant():
     _, blob = build(colored, n_used=64, n_important=16)
     with pytest.raises(ValueError, match="color palettes"):
         pp.decode_avi(blob)
+
+
+# --------------------------------------------------------------------------
+# JPEG (baseline JFIF, round 9 — the last formerly-PIL-gated format)
+# --------------------------------------------------------------------------
+
+
+def test_jpeg_gray_roundtrip_q100_near_lossless():
+    """quality=100 scales every Annex K entry to 1, so the only loss
+    left is DCT/IDCT float rounding: gray round-trip within ±1."""
+    g = (np.arange(24 * 16).reshape(24, 16) % 251).astype(np.uint8)
+    back = pp.decode_jpeg(pp.encode_jpeg(g, quality=100))
+    assert back.shape == (24, 16) and back.dtype == np.uint8
+    assert np.abs(back.astype(int) - g.astype(int)).max() <= 1
+
+
+def test_jpeg_rgb_roundtrip_nonmultiple_of_8():
+    """RGB 17x23 (neither dim a block multiple) exercises edge padding
+    + crop and the color transform; gradient content stays within a
+    small quantization tolerance at quality 95."""
+    h, w = 17, 23
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(yy * 7) % 256, (xx * 5) % 256, ((yy + xx) * 3) % 256], axis=2
+    ).astype(np.uint8)
+    back = pp.decode_jpeg(pp.encode_jpeg(rgb, quality=95))
+    assert back.shape == (h, w, 3)
+    assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 4
+
+
+def test_jpeg_lossy_quality_actually_compresses():
+    """Lower quality → coarser tables → smaller stream; decode stays
+    plausible (mean error bounded) — i.e. this is a REAL lossy DCT
+    codec, not a passthrough."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    hi = pp.encode_jpeg(img, quality=95)
+    lo = pp.encode_jpeg(img, quality=25)
+    assert len(lo) < len(hi)
+    back = pp.decode_jpeg(lo)
+    assert np.abs(back.astype(int) - img.astype(int)).mean() < 64
+
+
+def _jpeg_420_fixture(y_val, cb_val, cr_val, mcus_x=1, dri=0):
+    """Hand-built 4:2:0 JPEG (Y 2x2, Cb/Cr 1x1), flat planes, all-ones
+    quant tables; optional restart interval of 1 MCU. Our encoder is
+    4:4:4-only, so subsampled decode needs its own fixture — flat
+    content makes every expected pixel exact (DCT of a constant is
+    DC-only and the all-ones dequantization is exact)."""
+    import struct as st
+
+    h, w = 16, 16 * mcus_x
+    out = bytearray(b"\xff\xd8")
+    ones = bytes([1] * 64)
+    out += b"\xff\xdb" + st.pack(">H", 67) + bytes([0x00]) + ones
+    out += b"\xff\xdb" + st.pack(">H", 67) + bytes([0x01]) + ones
+    sof = st.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += b"\xff\xc0" + st.pack(">H", 2 + len(sof)) + sof
+    for tid, (bits, vals) in (
+        (0x00, pp._HUFF_DC_LUM), (0x10, pp._HUFF_AC_LUM),
+        (0x01, pp._HUFF_DC_CHR), (0x11, pp._HUFF_AC_CHR),
+    ):
+        out += b"\xff\xc4" + st.pack(">H", 19 + len(vals))
+        out += bytes([tid]) + bytes(bits) + vals
+    if dri:
+        out += b"\xff\xdd" + st.pack(">H", 4) + st.pack(">H", dri)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos
+
+    dc_l = pp._huff_codes(*pp._HUFF_DC_LUM)
+    ac_l = pp._huff_codes(*pp._HUFF_AC_LUM)
+    dc_c = pp._huff_codes(*pp._HUFF_DC_CHR)
+    ac_c = pp._huff_codes(*pp._HUFF_AC_CHR)
+
+    def write_block(wtr, dc_tab, ac_tab, diff):
+        s = abs(diff).bit_length()
+        c, ln = dc_tab[s]
+        wtr.write(c, ln)
+        if s:
+            wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        c, ln = ac_tab[0x00]  # EOB — flat block, no AC
+        wtr.write(c, ln)
+
+    dcs = [8 * (v - 128) for v in (y_val, cb_val, cr_val)]
+    # one writer per restart interval (predictors reset at each RST);
+    # without DRI everything shares one writer and later MCUs encode
+    # DC diff 0 (flat image, predictors chain)
+    writers = []
+    for m in range(mcus_x):
+        if dri or m == 0:
+            wtr = pp._JpegBitWriter()
+            writers.append(wtr)
+            d0 = dcs
+        else:
+            wtr = writers[-1]
+            d0 = [0, 0, 0]
+        # 4 Y blocks then Cb then Cr; within one MCU the DC predictor
+        # chains across the Y blocks, so Y blocks 2-4 encode diff 0
+        write_block(wtr, dc_l, ac_l, d0[0])
+        for _ in range(3):
+            write_block(wtr, dc_l, ac_l, 0)
+        write_block(wtr, dc_c, ac_c, d0[1])
+        write_block(wtr, dc_c, ac_c, d0[2])
+    for i, wtr in enumerate(writers):
+        wtr.flush()
+        out += wtr.out
+        if i < len(writers) - 1:
+            out += bytes([0xFF, 0xD0 + i % 8])
+    out += b"\xff\xd9"
+    return h, w, bytes(out)
+
+
+def _jfif_rgb(y, cb, cr):
+    r = int(np.trunc(y + 1.402 * (cr - 128.0) + 0.5))
+    g = int(np.trunc(y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0) + 0.5))
+    b = int(np.trunc(y + 1.772 * (cb - 128.0) + 0.5))
+    return [max(0, min(255, v)) for v in (r, g, b)]
+
+
+def test_jpeg_420_subsampled_decode_exact_on_flat():
+    h, w, blob = _jpeg_420_fixture(120, 140, 110)
+    out = pp.decode_jpeg(blob)
+    assert out.shape == (h, w, 3)
+    expect = _jfif_rgb(120, 140, 110)
+    for ch in range(3):
+        assert np.all(out[:, :, ch] == expect[ch]), (ch, out[0, 0], expect)
+
+
+def test_jpeg_restart_markers_reset_dc_prediction():
+    h, w, blob = _jpeg_420_fixture(96, 130, 150, mcus_x=3, dri=1)
+    out = pp.decode_jpeg(blob)
+    assert out.shape == (h, w, 3)
+    expect = _jfif_rgb(96, 130, 150)
+    for ch in range(3):
+        assert np.all(out[:, :, ch] == expect[ch])
+
+
+def test_jpeg_progressive_rejected_clearly():
+    # minimal SOF2 frame header after SOI
+    blob = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, 8, 8, 1
+    ) + bytes([1, 0x11, 0])
+    with pytest.raises(ValueError, match="progressive"):
+        pp.decode_jpeg(blob)
+
+
+def test_codec_dispatch_jpeg_roundtrip():
+    from spark_ij_spark.sources import codecs
+
+    img = (np.arange(12 * 9).reshape(12, 9) % 200).astype(np.uint8)
+    data = codecs.encode_array(img, ".jpg")
+    out = codecs.decode_bytes(data, "x.jpeg")
+    assert out.shape == (12, 9, 1)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 12

@@ -66,9 +66,23 @@ def test_frame_sample_stride(spark):
 
 def test_stubbed_mime_raises_not_implemented():
     with pytest.raises(NotImplementedError, match="plumbing is real"):
-        mm.decode_media_bytes(b"xx", "image/jpeg")
+        mm.decode_media_bytes(b"xx", "video/mp4")
     with pytest.raises(ValueError):
         mm.decode_media_bytes(b"xx", "application/unknown")
+
+
+def test_jpeg_mime_decodes_natively():
+    """image/jpeg left STUBBED_MIMES in round 9: a baseline-JFIF
+    payload decodes through the pure-stdlib codec like any other
+    native mime."""
+    import numpy as np
+
+    from spark_ij_spark.sources.purepy_codecs import encode_jpeg
+
+    img = (np.arange(16 * 16, dtype=np.uint8).reshape(16, 16) % 200)
+    arr = mm.decode_media_bytes(encode_jpeg(img, quality=100), "image/jpeg")
+    assert arr.shape[:2] == (16, 16)
+    assert np.abs(arr[:, :, 0].astype(int) - img.astype(int)).max() <= 1
 
 
 def test_native_mime_decoders_are_real():

@@ -29,17 +29,11 @@ def test_npy_codec_roundtrip():
     np.testing.assert_array_equal(arr, back)
 
 
-def _has(mod: str) -> bool:
-    import importlib.util
-
-    return importlib.util.find_spec(mod) is not None
-
-
-@pytest.mark.skipif(_has("PIL"), reason="PIL present: stub not in effect")
-def test_missing_codec_is_clearly_stubbed():
-    """Only the lossy/LZW formats remain PIL-gated; PNG/TIFF/PGM have
-    real pure-stdlib codec bodies (see tests/test_codecs.py)."""
-    with pytest.raises(NotImplementedError, match="PIL"):
+def test_jpeg_native_and_unknown_suffix_errors():
+    """JPEG went native in round 9 (no PIL gate left in the image
+    path): a truncated stream is a decode ValueError, not a stub
+    NotImplementedError; unknown suffixes still fail clearly."""
+    with pytest.raises(ValueError, match="JPEG"):
         codecs.decode_bytes(b"\xff\xd8\xff", "x.jpg")
     with pytest.raises(ValueError, match="unsupported"):
         codecs.decode_bytes(b"", "x.xyz")
