@@ -717,3 +717,6 @@ def test_ann_recall_floors(spark, sf_dir):
     pr = similarity.q_ann_pq_refine_recall(spark, sf_dir).collect()
     mean_pr = sum(r.recall_at_k for r in pr) / len(pr)
     assert mean_pr >= 0.6, f"PQ refine recall collapsed: {mean_pr}"
+    ip = similarity.q_ann_ivfpq_recall(spark, sf_dir).collect()
+    mean_ip = sum(r.recall_at_k for r in ip) / len(ip)
+    assert mean_ip >= 0.7, f"IVF-PQ recall collapsed: {mean_ip}"
