@@ -993,6 +993,90 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_ANN_IVFPQ_RECALL_SQL = _recall_sql(Q_ANN_IVFPQ_SQL, TOPK)
 
 
+# Rank-discount table for NDCG@k, in parts-per-million: the 1/log2(r+1)
+# discounts are irrational, so they are fixed here ONCE as Python-
+# computed integer literals that both the Spark plan and the DuckDB
+# oracle embed verbatim — neither engine ever evaluates a log, so the
+# metric is pure integer arithmetic (the libm-ULP hazard class that
+# bans raw float log/pow in graded outputs).
+def _ndcg_discounts_ppm(k: int) -> list[int]:
+    import math
+
+    return [int(1_000_000 / math.log2(r + 1) + 0.5) for r in range(1, k + 1)]
+
+
+NDCG_DISCOUNT_PPM = _ndcg_discounts_ppm(TOPK)
+#: IDCG@k for binary relevance with >= k relevant docs (the brute
+#: top-k is the relevance set, so exactly k docs are relevant)
+NDCG_IDCG_PPM = sum(NDCG_DISCOUNT_PPM)
+
+
+def q_ann_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ranking-quality metrics of the production IVF-PQ
+    retriever against the exact top-k: first relevant rank, MRR and
+    NDCG@k — the evaluation a retrieval deployment actually reports,
+    one level up from set recall (it penalizes finding the right
+    neighbors at the wrong ranks). All integer ppm arithmetic (integer
+    gains x literal integer discounts, floor-div normalization), so
+    the oracle hash-matches exactly. Queries where the retriever finds
+    nothing emit rank 0 / 0 ppm (sentinel, never NULL)."""
+    brute = (
+        q_ann_topk(spark, sf_dir)
+        .filter(F.col("rank") <= TOPK)
+        .select("ia", "ib")
+    )
+    approx = q_ann_ivfpq(spark, sf_dir).select("ia", "ib", "rank")
+    hits = approx.join(brute, ["ia", "ib"])  # relevant results + their ranks
+    disc = ", ".join(str(d) for d in NDCG_DISCOUNT_PPM)
+    per_q = hits.groupBy("ia").agg(
+        F.expr("CAST(MIN(rank) AS BIGINT)").alias("first_hit_rank"),
+        F.expr(
+            f"CAST(SUM(element_at(array({disc}), rank)) AS BIGINT)"
+        ).alias("dcg_ppm"),
+    )
+    queries = brute.select("ia").distinct()
+    return (
+        queries.join(per_q, "ia", "left")
+        .select(
+            "ia",
+            F.expr("coalesce(first_hit_rank, CAST(0 AS BIGINT))").alias(
+                "first_hit_rank"
+            ),
+            F.expr(
+                "CASE WHEN first_hit_rank IS NULL THEN CAST(0 AS BIGINT)"
+                " ELSE 1000000 div first_hit_rank END"
+            ).alias("mrr_ppm"),
+            F.expr(
+                f"CAST(coalesce(dcg_ppm, 0) * 1000000 div {NDCG_IDCG_PPM} AS BIGINT)"
+            ).alias("ndcg_ppm"),
+        )
+        .orderBy("ia")
+    )
+
+
+Q_ANN_RETRIEVAL_METRICS_SQL = f"""
+WITH brute AS (
+  SELECT ia, ib FROM ({Q_ANN_TOPK_SQL}) WHERE rank <= {TOPK}),
+approx AS (
+  SELECT ia, ib, rank FROM ({Q_ANN_IVFPQ_SQL})),
+hits AS (
+  SELECT approx.ia, approx.rank
+  FROM approx JOIN brute ON approx.ia = brute.ia AND approx.ib = brute.ib),
+per_q AS (
+  SELECT ia, CAST(MIN(rank) AS BIGINT) AS first_hit_rank,
+         CAST(SUM([{", ".join(str(d) for d in NDCG_DISCOUNT_PPM)}][rank]) AS BIGINT) AS dcg_ppm
+  FROM hits GROUP BY ia)
+SELECT q.ia,
+       COALESCE(per_q.first_hit_rank, 0) AS first_hit_rank,
+       CASE WHEN per_q.first_hit_rank IS NULL THEN 0
+            ELSE 1000000 // per_q.first_hit_rank END AS mrr_ppm,
+       CAST(COALESCE(per_q.dcg_ppm, 0) * 1000000 // {NDCG_IDCG_PPM} AS BIGINT) AS ndcg_ppm
+FROM (SELECT DISTINCT ia FROM brute) q
+LEFT JOIN per_q ON q.ia = per_q.ia
+ORDER BY q.ia
+"""
+
+
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
@@ -1008,6 +1092,7 @@ QUERIES = {
     "ann_pq_refine_recall": q_ann_pq_refine_recall,
     "ann_ivfpq": q_ann_ivfpq,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
+    "ann_retrieval_metrics": q_ann_retrieval_metrics,
 }
 
 ORACLES = {
@@ -1025,4 +1110,5 @@ ORACLES = {
     "ann_pq_refine_recall": Q_ANN_PQ_REFINE_RECALL_SQL,
     "ann_ivfpq": Q_ANN_IVFPQ_SQL,
     "ann_ivfpq_recall": Q_ANN_IVFPQ_RECALL_SQL,
+    "ann_retrieval_metrics": Q_ANN_RETRIEVAL_METRICS_SQL,
 }
