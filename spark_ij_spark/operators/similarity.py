@@ -917,9 +917,11 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_ANN_PQ_RECALL_SQL = _recall_sql(Q_ANN_PQ_SQL, PQ_TOPK)
 
 
-Q_ANN_PQ_REFINE_SQL = f"""
-WITH {_PQ_COMMON_DUCK},
-short AS (
+# Shared refine tail (expects a `pairs(ia, ib, adist)` CTE in scope) —
+# the oracle mirror of _shortlist_refine, spliced into BOTH retriever
+# oracles so shortlist/tie/rank semantics cannot drift between them
+# (single-code-path rule; the Spark side already shares the helper).
+_PQ_REFINE_TAIL_DUCK = f"""short AS (
   SELECT ia, ib FROM (
     SELECT ia, ib,
            row_number() OVER (PARTITION BY ia ORDER BY adist ASC, ib ASC) AS srank
@@ -936,6 +938,10 @@ refranked AS (
   FROM refscored)
 SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM refranked WHERE rank <= {TOPK}
 """
+
+Q_ANN_PQ_REFINE_SQL = f"""
+WITH {_PQ_COMMON_DUCK},
+{_PQ_REFINE_TAIL_DUCK}"""
 
 
 def q_ann_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -961,23 +967,7 @@ pairs AS (
   JOIN pqlut ON pqlut.ia = cand.ia
             AND pqlut.m = pqcodes.m AND pqlut.k = pqcodes.k
   GROUP BY cand.ia, cand.ib),
-short AS (
-  SELECT ia, ib FROM (
-    SELECT ia, ib,
-           row_number() OVER (PARTITION BY ia ORDER BY adist ASC, ib ASC) AS srank
-    FROM pairs)
-  WHERE srank <= {PQ_SHORTLIST}),
-refscored AS (
-  SELECT ia, ib, {COS_DUCK} AS cos
-  FROM short
-  JOIN {EMB_CLEAN_DUCK} a ON short.ia = a.vec_id
-  JOIN {EMB_CLEAN_DUCK} b ON short.ib = b.vec_id),
-refranked AS (
-  SELECT ia, ib, cos,
-         row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
-  FROM refscored)
-SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM refranked WHERE rank <= {TOPK}
-"""
+{_PQ_REFINE_TAIL_DUCK}"""
 
 
 def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

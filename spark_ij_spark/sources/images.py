@@ -207,10 +207,13 @@ def save_images_local(
     # so dotfiles ('.foo', '..foo') keep their name — a plain
     # '\.[^.]*$' strip mapped every dotfile to '' and spuriously
     # rejected distinct dotfiles as colliding (round-9 sources ADVICE).
+    # (?s): '.' must match newlines too — a '\n' inside a basename
+    # otherwise escapes the strip and the precheck misses a collision
+    # the writer's splitext still produces (round-9 review).
     n_paths, n_bases = cols.select(
         F.countDistinct("p"), F.countDistinct(F.expr(
             "regexp_replace(reverse(split(p, '/'))[0],"
-            " '^(\\\\.*[^.].*)\\\\.[^.]*$', '$1')"
+            " '(?s)^(\\\\.*[^.].*)\\\\.[^.]*$', '$1')"
         ))
     ).first()
     if n_bases != n_paths:
@@ -425,34 +428,45 @@ class ImageJWriter(DataSourceWriter):
     (AbstractImageSource.scala:47-54, effectively read-only).
 
     Two-phase commit (the Hadoop FileOutputCommitter shape): each task
-    ATTEMPT writes into its own uuid staging dir under
-    ``<path>/_temporary`` (hidden to the reader's listing rule) and
+    ATTEMPT writes into its own uuid staging dir under the JOB's
+    staging root ``<path>/_temporary/<job uuid>`` (hidden to the
+    reader's listing rule; job-scoped so commit/abort cleanup can
+    never delete a CONCURRENT job's staged files — round-9 review) and
     reports the staged basenames in its commit message; the driver
     ``commit`` validates and renames into place. This makes task
     retries/speculation idempotent — a failed attempt's orphan dir is
     never committed (the round-8 per-file exists() precheck raised
     FileExistsError on the SAME task's retry, permanently failing the
-    job) — and turns collision detection into a real guarantee instead
-    of a per-file check-then-write race:
+    job) — and makes collision handling WITHIN one job a guarantee:
 
     - cross-partition basename collisions fail the job at commit, with
       nothing moved into the target dir;
     - mode('overwrite') clobbers per-file; any other mode refuses to
       replace existing target files — checked once, driver-side, before
       any rename (silent last-write-wins was the round-8 sources-review
-      failure mode)."""
+      failure mode). ACROSS concurrently-committing jobs this remains
+      a best-effort check-then-rename (same semantics as Hadoop's
+      FileOutputCommitter without a coordination service); concurrent
+      non-overwrite writers to one directory need external locking."""
 
     def __init__(self, options: dict, overwrite: bool = False):
+        import uuid
+
         self.path = options.get("path")
         self.suffix = options.get("suffix", ".npy")
         self.overwrite = overwrite
+        # driver-side, once per job; serialized into every task
+        self.job_id = uuid.uuid4().hex
         if not self.path:
             raise ValueError("imagej write requires OPTIONS path")
+
+    def _staging_root(self) -> str:
+        return os.path.join(self.path, "_temporary", self.job_id)
 
     def write(self, iterator):
         import uuid
 
-        stage_dir = os.path.join(self.path, "_temporary", uuid.uuid4().hex)
+        stage_dir = os.path.join(self._staging_root(), uuid.uuid4().hex)
         os.makedirs(stage_dir, exist_ok=True)
         names: list[str] = []
         for row in iterator:
@@ -493,18 +507,23 @@ class ImageJWriter(DataSourceWriter):
                 os.replace(
                     os.path.join(m.stage_dir, n), os.path.join(self.path, n)
                 )
-        # drop ALL staging state, including orphan dirs from failed or
-        # speculative attempts that never produced a committed message
-        shutil.rmtree(
-            os.path.join(self.path, "_temporary"), ignore_errors=True
-        )
+        self._cleanup_staging()
 
     def abort(self, messages):
+        self._cleanup_staging()
+
+    def _cleanup_staging(self) -> None:
+        """Drop THIS job's staging root (including orphan dirs from
+        failed/speculative attempts that never produced a committed
+        message); remove the shared _temporary parent only if empty —
+        a concurrent job's staged files must survive."""
         import shutil
 
-        shutil.rmtree(
-            os.path.join(self.path, "_temporary"), ignore_errors=True
-        )
+        shutil.rmtree(self._staging_root(), ignore_errors=True)
+        try:
+            os.rmdir(os.path.join(self.path, "_temporary"))
+        except OSError:
+            pass  # not empty (another job is staging) or already gone
 
 
 class ImageJStreamReader(SimpleDataSourceStreamReader):

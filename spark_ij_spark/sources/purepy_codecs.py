@@ -1435,13 +1435,19 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     """uint8 [h][w] / [h][w][1] grayscale or [h][w][3] RGB → baseline
     JFIF (4:4:4, Annex K tables quality-scaled, standard Huffman)."""
     a = np.asarray(arr)
+    if a.ndim == 4 and a.shape[2] == 1 and a.shape[3] == 3:
+        # the image model's single-slice RGB ([h][w][1][3], what
+        # decode_bytes returns for a color JPEG) — accept it so color
+        # round trips encode back (round-9 review)
+        a = a[:, :, 0, :]
     if a.ndim == 3 and a.shape[2] == 1:
         a = a[:, :, 0]
     if a.dtype != np.uint8 or a.ndim not in (2, 3) or (
         a.ndim == 3 and a.shape[2] != 3
     ):
         raise ValueError(
-            f"JPEG encode: need [h][w] or [h][w][3] uint8, got {a.shape} {a.dtype}"
+            f"JPEG encode: need [h][w], [h][w][3] or [h][w][1][3] uint8,"
+            f" got {np.asarray(arr).shape} {a.dtype}"
         )
     h, wd = a.shape[:2]
     qlum, qchr = _quality_tables(quality)
@@ -1622,6 +1628,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
+        # ISO/IEC 10918-1 B.1.1.2: any number of 0xFF fill bytes may
+        # precede a marker code — skip them (some encoders/cameras pad;
+        # treating the fill byte as the marker misread the real marker
+        # as a segment length, round-9 review)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             break

@@ -1025,3 +1025,33 @@ def test_codec_dispatch_jpeg_roundtrip():
     out = codecs.decode_bytes(data, "x.jpeg")
     assert out.shape == (12, 9, 1)
     assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 12
+
+
+def test_jpeg_color_roundtrip_through_image_model_shape():
+    """decode_bytes returns color JPEG as [h][w][1][3]; encoding that
+    shape back to .jpg must work (round-9 review: the removed PIL path
+    squeezed it; the first native cut rejected it)."""
+    from spark_ij_spark.sources import codecs
+
+    h, w = 16, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack([(yy * 9) % 256, (xx * 6) % 256, 128 + 0 * yy], axis=2).astype(
+        np.uint8
+    )
+    arr4d = codecs.decode_bytes(pp.encode_jpeg(rgb, quality=100), "x.jpg")
+    assert arr4d.shape == (h, w, 1, 3)
+    again = pp.decode_jpeg(pp.encode_jpeg(arr4d, quality=100))
+    assert again.shape == (h, w, 3)
+    assert np.abs(again.astype(int) - rgb.astype(int)).max() <= 4
+
+
+def test_jpeg_fill_bytes_before_marker_are_skipped():
+    """ISO 10918-1 B.1.1.2 allows any number of 0xFF fill bytes before
+    a marker; some encoders emit them (round-9 review: the fill byte
+    was parsed AS the marker and the real marker as segment length)."""
+    g = (np.arange(8 * 8).reshape(8, 8) % 200).astype(np.uint8)
+    blob = pp.encode_jpeg(g, quality=100)
+    assert blob[:2] == b"\xff\xd8" and blob[2] == 0xFF
+    padded = blob[:2] + b"\xff\xff\xff" + blob[2:]  # fills before DQT
+    back = pp.decode_jpeg(padded)
+    assert np.abs(back.astype(int) - g.astype(int)).max() <= 1

@@ -433,3 +433,41 @@ def test_imagej_writer_commit_rejects_cross_partition_collisions(
     with pytest.raises(Exception, match="basename"):
         clash.write.format("imagej").option("path", out).mode("append").save()
     assert not os.path.exists(out) or os.listdir(out) == []
+
+
+def test_collision_precheck_catches_newline_basenames(spark, tmp_path):
+    """'.' in the splitext-mirror regex must match newlines ((?s)) or a
+    \\n inside a basename escapes the extension strip and the precheck
+    misses a collision the writer still produces (round-9 review)."""
+    from pyspark.sql import functions as F
+
+    imgs = create_empty_images(spark, "img", 2, width=2, height=2)
+    clash = imgs.withColumn(
+        "sample",
+        F.expr(
+            "CASE WHEN sample LIKE '%0' THEN concat('a/x', char(10), 'y.png')"
+            " ELSE concat('b/x', char(10), 'y.jpg') END"
+        ),
+    )
+    with pytest.raises(ValueError, match="basename"):
+        save_images_local(clash, str(tmp_path / "out"), path_col="sample")
+
+
+def test_imagej_writer_staging_is_job_scoped(imagej_source, tmp_path):
+    """Cleanup must only remove THIS job's staging root: a concurrent
+    job's staged files under <path>/_temporary/<other-job> survive a
+    commit (round-9 review: a shared rmtree deleted them)."""
+    spark = imagej_source
+    out = tmp_path / "w2"
+    other = out / "_temporary" / "other-job-staging"
+    other.mkdir(parents=True)
+    (other / "staged.npy").write_bytes(b"concurrent job's staged bytes")
+    src = (
+        spark.read.format("imagej")
+        .option("debug", "true")
+        .option("count", "2")
+        .load()
+    )
+    src.write.format("imagej").option("path", str(out)).mode("append").save()
+    assert (other / "staged.npy").exists(), "concurrent staging deleted"
+    assert len([f for f in os.listdir(out) if not f.startswith("_")]) == 2
