@@ -983,6 +983,72 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_ANN_IVFPQ_RECALL_SQL = _recall_sql(Q_ANN_IVFPQ_SQL, TOPK)
 
 
+# Delta-ingest split for the incremental ANN query: vectors with
+# vec_id % MOD == RESIDUE play the part of a newly-arrived batch
+# (same convention as dedup's INCR_DELTA_MOD — deterministic, so the
+# oracle reproduces the split exactly).
+ANN_DELTA_MOD = 10
+ANN_DELTA_RESIDUE = 3
+
+
+def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingest: each vector of the newly-arrived delta
+    batch retrieves its top-k nearest EXISTING corpus vectors via the
+    multi-table LSH index — the nightly-embedding-ingest shape, where
+    the standing index is probed by the delta instead of rebuilt. The
+    candidate join is delta-buckets ⋈ corpus-buckets on (table,
+    bucket) — never delta × corpus — so ingest cost scales with the
+    delta and its bucket occupancy, not the corpus (the ANN mirror of
+    ``q_dedup_incremental``). Exact-cosine rescore + top LSH_TOPK per
+    delta vector, same rank/tie semantics as the other retrievers."""
+    buckets = lsh_buckets(spark, sf_dir)
+    delta = buckets.filter(
+        F.col("vec_id") % ANN_DELTA_MOD == ANN_DELTA_RESIDUE
+    ).alias("da")
+    corpus = buckets.filter(
+        F.col("vec_id") % ANN_DELTA_MOD != ANN_DELTA_RESIDUE
+    ).alias("cb")
+    cand = (
+        delta.join(
+            corpus,
+            (F.col("da.t") == F.col("cb.t"))
+            & (F.col("da.bucket") == F.col("cb.bucket")),
+        )
+        .select(
+            F.col("da.vec_id").alias("ia"), F.col("cb.vec_id").alias("ib")
+        )
+        .distinct()
+    )
+    e = emb_with_norm(spark, sf_dir)
+    scored = (
+        cand.join(e.alias("a"), F.col("ia") == F.col("a.vec_id"))
+        .join(e.alias("b"), F.col("ib") == F.col("b.vec_id"))
+        .select("ia", "ib", F.expr(COS_SPARK).alias("cos"))
+    )
+    return _topk_rerank(scored, LSH_TOPK)
+
+
+Q_ANN_INCREMENTAL_SQL = f"""
+WITH {_LSH_BUCKETS_DUCK},
+cand AS (
+  SELECT DISTINCT da.vec_id AS ia, cb.vec_id AS ib
+  FROM buckets da JOIN buckets cb
+    ON da.t = cb.t AND da.bucket = cb.bucket
+  WHERE da.vec_id % {ANN_DELTA_MOD} = {ANN_DELTA_RESIDUE}
+    AND cb.vec_id % {ANN_DELTA_MOD} <> {ANN_DELTA_RESIDUE}),
+scored AS (
+  SELECT ia, ib, {COS_DUCK} AS cos
+  FROM cand
+  JOIN {EMB_CLEAN_DUCK} a ON cand.ia = a.vec_id
+  JOIN {EMB_CLEAN_DUCK} b ON cand.ib = b.vec_id),
+ranked AS (
+  SELECT ia, ib, cos,
+         row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
+  FROM scored)
+SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {LSH_TOPK}
+"""
+
+
 # Rank-discount table for NDCG@k, in parts-per-million: the 1/log2(r+1)
 # discounts are irrational, so they are fixed here ONCE as Python-
 # computed integer literals that both the Spark plan and the DuckDB
@@ -1083,6 +1149,7 @@ QUERIES = {
     "ann_ivfpq": q_ann_ivfpq,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
     "ann_retrieval_metrics": q_ann_retrieval_metrics,
+    "ann_incremental": q_ann_incremental,
 }
 
 ORACLES = {
@@ -1101,4 +1168,5 @@ ORACLES = {
     "ann_ivfpq": Q_ANN_IVFPQ_SQL,
     "ann_ivfpq_recall": Q_ANN_IVFPQ_RECALL_SQL,
     "ann_retrieval_metrics": Q_ANN_RETRIEVAL_METRICS_SQL,
+    "ann_incremental": Q_ANN_INCREMENTAL_SQL,
 }
