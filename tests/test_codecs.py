@@ -913,21 +913,31 @@ def test_jpeg_lossy_quality_actually_compresses():
     assert np.abs(back.astype(int) - img.astype(int)).mean() < 64
 
 
-def _jpeg_420_fixture(y_val, cb_val, cr_val, mcus_x=1, dri=0):
-    """Hand-built 4:2:0 JPEG (Y 2x2, Cb/Cr 1x1), flat planes, all-ones
-    quant tables; optional restart interval of 1 MCU. Our encoder is
-    4:4:4-only, so subsampled decode needs its own fixture — flat
-    content makes every expected pixel exact (DCT of a constant is
-    DC-only and the all-ones dequantization is exact)."""
+def _jpeg_flat_fixture(y_val, cb_val, cr_val, ysamp=(2, 2), mcus_x=1,
+                       dri=0, q16=False):
+    """Hand-built subsampled flat-color JPEG: Y sampled ``ysamp``
+    (h, v), Cb/Cr 1x1, all-ones quant tables (8-bit, or 16-bit DQT
+    precision with ``q16``); optional restart interval of 1 MCU. Our
+    encoder is 4:4:4-only, so the subsampled/16-bit decode paths need
+    their own fixtures — flat content makes every expected pixel exact
+    (DCT of a constant is DC-only and the all-ones dequantization is
+    exact)."""
     import struct as st
 
-    h, w = 16, 16 * mcus_x
+    sh, sv = ysamp
+    h, w = 8 * sv, 8 * sh * mcus_x
     out = bytearray(b"\xff\xd8")
-    ones = bytes([1] * 64)
-    out += b"\xff\xdb" + st.pack(">H", 67) + bytes([0x00]) + ones
-    out += b"\xff\xdb" + st.pack(">H", 67) + bytes([0x01]) + ones
+    if q16:
+        ones = b"".join(st.pack(">H", 1) for _ in range(64))
+        for tq in (0, 1):
+            out += b"\xff\xdb" + st.pack(">H", 2 + 1 + 128)
+            out += bytes([0x10 | tq]) + ones
+    else:
+        ones = bytes([1] * 64)
+        for tq in (0, 1):
+            out += b"\xff\xdb" + st.pack(">H", 67) + bytes([tq]) + ones
     sof = st.pack(">BHHB", 8, h, w, 3)
-    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    sof += bytes([1, (sh << 4) | sv, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
     out += b"\xff\xc0" + st.pack(">H", 2 + len(sof)) + sof
     for tid, (bits, vals) in (
         (0x00, pp._HUFF_DC_LUM), (0x10, pp._HUFF_AC_LUM),
@@ -967,10 +977,11 @@ def _jpeg_420_fixture(y_val, cb_val, cr_val, mcus_x=1, dri=0):
         else:
             wtr = writers[-1]
             d0 = [0, 0, 0]
-        # 4 Y blocks then Cb then Cr; within one MCU the DC predictor
-        # chains across the Y blocks, so Y blocks 2-4 encode diff 0
+        # sh*sv Y blocks then Cb then Cr; within one MCU the DC
+        # predictor chains across the Y blocks, so Y blocks 2..n
+        # encode diff 0
         write_block(wtr, dc_l, ac_l, d0[0])
-        for _ in range(3):
+        for _ in range(sh * sv - 1):
             write_block(wtr, dc_l, ac_l, 0)
         write_block(wtr, dc_c, ac_c, d0[1])
         write_block(wtr, dc_c, ac_c, d0[2])
@@ -981,6 +992,10 @@ def _jpeg_420_fixture(y_val, cb_val, cr_val, mcus_x=1, dri=0):
             out += bytes([0xFF, 0xD0 + i % 8])
     out += b"\xff\xd9"
     return h, w, bytes(out)
+
+
+def _jpeg_420_fixture(y_val, cb_val, cr_val, mcus_x=1, dri=0):
+    return _jpeg_flat_fixture(y_val, cb_val, cr_val, (2, 2), mcus_x, dri)
 
 
 def _jfif_rgb(y, cb, cr):
@@ -1054,4 +1069,61 @@ def test_jpeg_fill_bytes_before_marker_are_skipped():
     assert blob[:2] == b"\xff\xd8" and blob[2] == 0xFF
     padded = blob[:2] + b"\xff\xff\xff" + blob[2:]  # fills before DQT
     back = pp.decode_jpeg(padded)
+    assert np.abs(back.astype(int) - g.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("ysamp", [(2, 1), (1, 2)], ids=["422", "440"])
+def test_jpeg_422_and_440_subsampling_decode_exact(ysamp):
+    """Horizontal-only (4:2:2) and vertical-only (4:4:0) chroma
+    subsampling exercise the asymmetric upsample factors."""
+    h, w, blob = _jpeg_flat_fixture(100, 150, 105, ysamp=ysamp, mcus_x=2)
+    out = pp.decode_jpeg(blob)
+    assert out.shape == (h, w, 3)
+    expect = _jfif_rgb(100, 150, 105)
+    for ch in range(3):
+        assert np.all(out[:, :, ch] == expect[ch])
+
+
+def test_jpeg_16bit_dqt_precision_decodes():
+    """DQT pq=1 stores 16-bit table entries (legal for 8-bit sample
+    precision); the all-ones 16-bit table must decode identically to
+    the 8-bit one."""
+    h, w, blob = _jpeg_flat_fixture(90, 120, 160, q16=True)
+    out = pp.decode_jpeg(blob)
+    expect = _jfif_rgb(90, 120, 160)
+    for ch in range(3):
+        assert np.all(out[:, :, ch] == expect[ch])
+
+
+def test_jpeg_grayscale_restart_markers():
+    """Single-component scans use the per-component block grid (not the
+    interleaved MCU grid) and their own restart cadence — our encoder
+    never emits DRI, so this path needs a hand fixture: re-encode a
+    gray image's entropy data as 4 restart intervals of 1 block."""
+    g = np.tile(np.arange(16, dtype=np.uint8) * 12, (8, 2))[:, :32]  # 8x32, 4 blocks
+    blob = pp.encode_jpeg(g, quality=100)
+    # splice a DRI segment before SOS and re-encode the scan with RSTs
+    sos_at = blob.find(b"\xff\xda")
+    dc_l = pp._huff_codes(*pp._HUFF_DC_LUM)
+    ac_l = pp._huff_codes(*pp._HUFF_AC_LUM)
+    qlum, _ = pp._quality_tables(100)
+    qb = pp._component_qblocks(g, qlum)
+    assert qb.shape[0] == 4
+    segs = bytearray()
+    for i in range(4):
+        w0 = pp._JpegBitWriter()
+        pp._encode_component(w0, qb[i : i + 1], dc_l, ac_l, 0)  # pred resets
+        w0.flush()
+        segs += w0.out
+        if i < 3:
+            segs += bytes([0xFF, 0xD0 + i])
+    sos_len = struct.unpack_from(">H", blob, sos_at + 2)[0]
+    rebuilt = (
+        blob[:sos_at]
+        + b"\xff\xdd" + struct.pack(">HH", 4, 1)
+        + blob[sos_at : sos_at + 2 + sos_len]
+        + bytes(segs)
+        + b"\xff\xd9"
+    )
+    back = pp.decode_jpeg(rebuilt)
     assert np.abs(back.astype(int) - g.astype(int)).max() <= 1
