@@ -60,12 +60,18 @@ def main() -> None:
         # one untimed pass absorbs per-query cold costs (codegen, cache
         # materialization, Python-worker reuse), then min-of-3 timed
         # runs measures steady-state throughput — the box this runs on
-        # is shared, and cold-run noise was ±20% run-to-run.
-        fn(spark, sf_dir).count()
-        reps = 3
-        if time.monotonic() - t_start > budget:
-            reps = 1
+        # is shared, and cold-run noise was ±20% run-to-run. Past the
+        # budget the query degrades to ONE timed COLD run (no warmup
+        # pass either — r9: warmup+1 still overran the driver's
+        # capture window on a loaded box); degraded counts say which
+        # regime each artifact ran.
+        over = time.monotonic() - t_start > budget
+        if over:
             degraded += 1
+            reps = 1
+        else:
+            fn(spark, sf_dir).count()  # untimed warmup pass
+            reps = 3
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
