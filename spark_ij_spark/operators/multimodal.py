@@ -888,11 +888,18 @@ def q_media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     JPEG sibling of ``q_media_scene_cuts``' AVI proof and
     ``q_media_audio_energy``'s WAV proof. Map-only Arrow hop, no
     shuffle (the per-row codec cost is the point being graded).
-    doc_id null-filtered at the scan (make_nulls hygiene; mirrored)."""
+    Scan filter (mirrored in the oracle): doc_id non-null (make_nulls
+    hygiene) AND in [0, 2^48) — Spark's Python modulo is always
+    non-negative while DuckDB's follows the dividend's sign, and a
+    doc_id past ~2^58 would overflow DuckDB's checked BIGINT multiply
+    where Python is arbitrary-precision, so the closed form is only
+    engine-identical on that domain (round-9 review)."""
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id")
-        .filter(F.col("doc_id").isNotNull())
+        .filter(
+            F.expr("doc_id IS NOT NULL AND doc_id >= 0 AND doc_id < 281474976710656")
+        )
     )
     return (
         docs.select("doc_id", jpeg_roundtrip_features("doc_id").alias("f"))
@@ -909,7 +916,9 @@ Q_MEDIA_JPEG_ROUNDTRIP_SQL = """
 SELECT doc_id,
        CAST(64 * ((doc_id * 37 + 11) % 256) AS BIGINT) AS sum_left,
        CAST(64 * ((doc_id * 53 + 29) % 256) AS BIGINT) AS sum_right
-FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id
+FROM documents
+WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id < 281474976710656
+ORDER BY doc_id
 """
 
 

@@ -81,6 +81,23 @@ def _topk_rerank(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _rescore_topk(
+    spark: SparkSession, sf_dir: str, cand: DataFrame, k: int
+) -> DataFrame:
+    """Exact-cosine rescore of an (ia, ib) candidate frame + top-k per
+    query — ONE implementation shared by every bucketed retriever
+    (LSH, multiprobe, incremental, and the PQ/IVF-PQ refine stage), so
+    tie/rank/rounding semantics cannot drift between them
+    (single-code-path rule)."""
+    e = emb_with_norm(spark, sf_dir)
+    scored = (
+        cand.join(e.alias("a"), F.col("ia") == F.col("a.vec_id"))
+        .join(e.alias("b"), F.col("ib") == F.col("b.vec_id"))
+        .select("ia", "ib", F.expr(COS_SPARK).alias("cos"))
+    )
+    return _topk_rerank(scored, k)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-K nearest neighbors by cosine for each query vector
     (vec_id < N_QUERIES), brute force. The window ranks within each
@@ -209,7 +226,6 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     — cache it so the map-only bucket computation runs once (measured
     2.04→1.65 s at sf0.1; the build-the-index-once step)."""
     buckets = lsh_buckets(spark, sf_dir).cache()
-    e = emb_with_norm(spark, sf_dir)
     qa = buckets.filter(F.col("vec_id") < N_QUERIES).alias("qa")
     qb = buckets.alias("qb")
     cand = (
@@ -222,22 +238,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("qa.vec_id").alias("ia"), F.col("qb.vec_id").alias("ib"))
         .distinct()
     )
-    scored = (
-        cand.join(e.alias("a"), F.col("ia") == F.col("a.vec_id"))
-        .join(e.alias("b"), F.col("ib") == F.col("b.vec_id"))
-        .select("ia", "ib", F.expr(COS_SPARK).alias("cos"))
-    )
-    return _topk_rerank(scored, LSH_TOPK)
+    return _rescore_topk(spark, sf_dir, cand, LSH_TOPK)
 
 
-Q_ANN_LSH_SQL = f"""
-WITH {_LSH_BUCKETS_DUCK},
-cand AS (
-  SELECT DISTINCT qa.vec_id AS ia, qb.vec_id AS ib
-  FROM buckets qa JOIN buckets qb
-    ON qa.t = qb.t AND qa.bucket = qb.bucket AND qa.vec_id <> qb.vec_id
-  WHERE qa.vec_id < {N_QUERIES}),
-scored AS (
+# Shared exact-rescore + top-k oracle tail (expects a `cand(ia, ib)`
+# CTE in scope) — the DuckDB mirror of _rescore_topk, spliced into the
+# LSH / multiprobe / incremental oracles so tie/rank/rounding
+# semantics cannot drift between them (same rule as
+# _PQ_REFINE_TAIL_DUCK for the ADC retrievers).
+_LSH_RESCORE_TAIL_DUCK = f"""scored AS (
   SELECT ia, ib, {COS_DUCK} AS cos
   FROM cand
   JOIN {EMB_CLEAN_DUCK} a ON cand.ia = a.vec_id
@@ -248,6 +257,15 @@ ranked AS (
   FROM scored)
 SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {LSH_TOPK}
 """
+
+Q_ANN_LSH_SQL = f"""
+WITH {_LSH_BUCKETS_DUCK},
+cand AS (
+  SELECT DISTINCT qa.vec_id AS ia, qb.vec_id AS ib
+  FROM buckets qa JOIN buckets qb
+    ON qa.t = qb.t AND qa.bucket = qb.bucket AND qa.vec_id <> qb.vec_id
+  WHERE qa.vec_id < {N_QUERIES}),
+{_LSH_RESCORE_TAIL_DUCK}"""
 
 
 def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,7 +301,6 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("probe"),
     )
-    e = emb_with_norm(spark, sf_dir)
     cand = (
         probes.alias("pa")
         .join(
@@ -295,12 +312,7 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pa.ia").alias("ia"), F.col("qb.vec_id").alias("ib"))
         .distinct()
     )
-    scored = (
-        cand.join(e.alias("a"), F.col("ia") == F.col("a.vec_id"))
-        .join(e.alias("b"), F.col("ib") == F.col("b.vec_id"))
-        .select("ia", "ib", F.expr(COS_SPARK).alias("cos"))
-    )
-    return _topk_rerank(scored, LSH_TOPK)
+    return _rescore_topk(spark, sf_dir, cand, LSH_TOPK)
 
 
 Q_ANN_LSH_MULTIPROBE_SQL = f"""
@@ -315,17 +327,7 @@ cand AS (
   FROM probes JOIN buckets qb
     ON probes.t = qb.t AND probes.probe = qb.bucket
   WHERE probes.ia <> qb.vec_id),
-scored AS (
-  SELECT ia, ib, {COS_DUCK} AS cos
-  FROM cand
-  JOIN {EMB_CLEAN_DUCK} a ON cand.ia = a.vec_id
-  JOIN {EMB_CLEAN_DUCK} b ON cand.ib = b.vec_id),
-ranked AS (
-  SELECT ia, ib, cos,
-         row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
-  FROM scored)
-SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {LSH_TOPK}
-"""
+{_LSH_RESCORE_TAIL_DUCK}"""
 
 
 IVF_NLIST = 16    # cells (seed centroids = the NLIST lowest vec_ids)
@@ -802,13 +804,7 @@ def _shortlist_refine(
         .filter(F.col("srank") <= shortlist)
         .select("ia", "ib")
     )
-    e = emb_with_norm(spark, sf_dir)
-    scored = (
-        short.join(e.alias("a"), F.col("ia") == F.col("a.vec_id"))
-        .join(e.alias("b"), F.col("ib") == F.col("b.vec_id"))
-        .select("ia", "ib", F.expr(COS_SPARK).alias("cos"))
-    )
-    return _topk_rerank(scored, k)
+    return _rescore_topk(spark, sf_dir, short, k)
 
 
 def q_ann_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1024,13 +1020,7 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = emb_with_norm(spark, sf_dir)
-    scored = (
-        cand.join(e.alias("a"), F.col("ia") == F.col("a.vec_id"))
-        .join(e.alias("b"), F.col("ib") == F.col("b.vec_id"))
-        .select("ia", "ib", F.expr(COS_SPARK).alias("cos"))
-    )
-    return _topk_rerank(scored, LSH_TOPK)
+    return _rescore_topk(spark, sf_dir, cand, LSH_TOPK)
 
 
 Q_ANN_INCREMENTAL_SQL = f"""
@@ -1041,17 +1031,7 @@ cand AS (
     ON da.t = cb.t AND da.bucket = cb.bucket
   WHERE da.vec_id % {ANN_DELTA_MOD} = {ANN_DELTA_RESIDUE}
     AND cb.vec_id % {ANN_DELTA_MOD} <> {ANN_DELTA_RESIDUE}),
-scored AS (
-  SELECT ia, ib, {COS_DUCK} AS cos
-  FROM cand
-  JOIN {EMB_CLEAN_DUCK} a ON cand.ia = a.vec_id
-  JOIN {EMB_CLEAN_DUCK} b ON cand.ib = b.vec_id),
-ranked AS (
-  SELECT ia, ib, cos,
-         row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
-  FROM scored)
-SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {LSH_TOPK}
-"""
+{_LSH_RESCORE_TAIL_DUCK}"""
 
 
 # Rank-discount table for NDCG@k, in parts-per-million: the 1/log2(r+1)

@@ -481,7 +481,6 @@ class ImageJWriter(DataSourceWriter):
         return _ImageJCommit(stage_dir, names)
 
     def commit(self, messages):
-        import shutil
         from collections import Counter
 
         msgs = [m for m in messages if isinstance(m, _ImageJCommit)]

@@ -1634,6 +1634,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # as a segment length, round-9 review)
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            # a trailing run of 0xFF with no marker code after it
+            raise ValueError("JPEG: truncated stream inside marker segment")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             break

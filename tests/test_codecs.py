@@ -1127,3 +1127,11 @@ def test_jpeg_grayscale_restart_markers():
     )
     back = pp.decode_jpeg(rebuilt)
     assert np.abs(back.astype(int) - g.astype(int)).max() <= 1
+
+
+def test_jpeg_trailing_ff_run_raises_valueerror_not_indexerror():
+    """A corrupt blob ending in a run of 0xFF bytes must fail with the
+    documented ValueError, not an IndexError from the fill-byte skip
+    loop reading past the end (round-9 review)."""
+    with pytest.raises(ValueError, match="JPEG"):
+        pp.decode_jpeg(b"\xff\xd8" + b"\xff" * 4)
