@@ -501,14 +501,52 @@ class ImageJWriter(DataSourceWriter):
                     f"imagej write: target file(s) {existing[:5]} already "
                     "exist and save mode is not 'overwrite'"
                 )
-        for m in msgs:
-            for n in m.names:
-                os.replace(
-                    os.path.join(m.stage_dir, n), os.path.join(self.path, n)
-                )
+        # The rename loop is all-or-nothing up to I/O failure: if any
+        # os.replace fails mid-loop, roll the already-renamed files BACK
+        # into their staging dirs so the target directory never holds a
+        # partial commit, then re-raise with staging intact for retry or
+        # manual recovery (round-9 review: a mid-loop failure followed
+        # by abort's staging cleanup left an unreconstructable partial
+        # directory). Rollback itself is best-effort: a file whose
+        # roll-back rename also fails stays in the target and is named
+        # in the raised error.
+        done: list[tuple[str, str]] = []
+        try:
+            for m in msgs:
+                for n in m.names:
+                    os.replace(
+                        os.path.join(m.stage_dir, n), os.path.join(self.path, n)
+                    )
+                    done.append((m.stage_dir, n))
+        except OSError as exc:
+            stuck: list[str] = []
+            for stage_dir, n in done:
+                try:
+                    os.replace(
+                        os.path.join(self.path, n), os.path.join(stage_dir, n)
+                    )
+                except OSError:
+                    stuck.append(n)
+            detail = (
+                f"; {len(stuck)} file(s) could not be rolled back and "
+                f"remain in the target: {stuck[:5]}"
+                if stuck
+                else "; all partially-committed files were rolled back "
+                "to staging"
+            )
+            self._commit_failed = True  # abort() must preserve staging
+            raise OSError(
+                f"imagej write: commit failed mid-rename ({exc}){detail}; "
+                f"staged output preserved under {self._staging_root()}"
+            ) from exc
         self._cleanup_staging()
 
     def abort(self, messages):
+        # after a commit-phase rename failure the staged files are the
+        # only surviving copy of the job's output — keep them for
+        # manual recovery instead of cleaning (round-9 review)
+        if getattr(self, "_commit_failed", False):
+            return
         self._cleanup_staging()
 
     def _cleanup_staging(self) -> None:

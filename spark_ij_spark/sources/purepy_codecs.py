@@ -1529,6 +1529,7 @@ class _JpegBitReader:
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self._rst = 0  # next expected RSTn sequence number (cycles 0..7)
 
     def _fill(self) -> None:
         if self.pos >= len(self.data):
@@ -1538,6 +1539,10 @@ class _JpegBitReader:
             nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
             if nxt == 0x00:
                 self.pos += 2
+            elif nxt is None:
+                # stream ends on a trailing 0xFF with no marker code —
+                # that's a truncation, not an embedded marker
+                raise ValueError("JPEG: truncated entropy-coded data")
             else:
                 raise ValueError("JPEG: marker inside entropy-coded block")
         else:
@@ -1555,19 +1560,36 @@ class _JpegBitReader:
 
     def expect_rst(self) -> None:
         """Byte-align and consume the next RSTn marker (restart
-        interval boundary)."""
+        interval boundary). Strict per ISO/IEC 10918-1 E.2.4/B.1.1.2:
+        after byte alignment the VERY NEXT bytes must be the marker
+        (any number of 0xFF fill bytes allowed before the code), and
+        its sequence number must cycle 0..7 — a desynced or corrupt
+        restart stream raises instead of decoding wrong pixels
+        (round-9 review: the old loop scanned forward to ANY FF Dn)."""
         self.acc = 0
         self.nbits = 0
+        # optional 0xFF fill bytes before the marker code
         while (
             self.pos + 1 < len(self.data)
-            and not (
-                self.data[self.pos] == 0xFF
-                and 0xD0 <= self.data[self.pos + 1] <= 0xD7
-            )
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
         ):
-            self.pos += 1  # skip pad bits/bytes up to the marker
+            self.pos += 1
         if self.pos + 1 >= len(self.data):
             raise ValueError("JPEG: missing restart marker")
+        code = self.data[self.pos + 1]
+        if self.data[self.pos] != 0xFF or not (0xD0 <= code <= 0xD7):
+            raise ValueError(
+                "JPEG: expected restart marker at byte "
+                f"{self.pos}, found "
+                f"{self.data[self.pos]:#04x}{code:#04x}"
+            )
+        if code - 0xD0 != self._rst:
+            raise ValueError(
+                f"JPEG: restart marker out of sequence (got RST{code - 0xD0}, "
+                f"expected RST{self._rst})"
+            )
+        self._rst = (self._rst + 1) & 7
         self.pos += 2
 
 

@@ -1135,3 +1135,43 @@ def test_jpeg_trailing_ff_run_raises_valueerror_not_indexerror():
     loop reading past the end (round-9 review)."""
     with pytest.raises(ValueError, match="JPEG"):
         pp.decode_jpeg(b"\xff\xd8" + b"\xff" * 4)
+
+
+def test_jpeg_restart_marker_out_of_sequence_raises():
+    """RSTn sequence numbers must cycle 0..7; a desynced stream (e.g.
+    a dropped interval) raises instead of decoding wrong pixels
+    (round-9 ADVICE: expect_rst scanned forward to ANY FF Dn)."""
+    h, w, blob = _jpeg_420_fixture(96, 130, 150, mcus_x=3, dri=1)
+    # the first restart marker is FF D0 — corrupt it to FF D5
+    at = blob.find(b"\xff\xd0")
+    assert at > 0
+    bad = blob[:at] + b"\xff\xd5" + blob[at + 2 :]
+    with pytest.raises(ValueError, match="out of sequence"):
+        pp.decode_jpeg(bad)
+
+
+def test_jpeg_garbage_before_restart_marker_raises():
+    """Bytes between the byte-aligned scan position and the restart
+    marker are corruption, not skippable padding — strict per ISO
+    10918-1 E.2.4 (round-9 ADVICE)."""
+    h, w, blob = _jpeg_420_fixture(96, 130, 150, mcus_x=3, dri=1)
+    at = blob.find(b"\xff\xd0")
+    assert at > 0
+    bad = blob[:at] + b"\x13\x37" + blob[at:]
+    with pytest.raises(ValueError, match="restart marker"):
+        pp.decode_jpeg(bad)
+
+
+def test_jpeg_truncated_after_ff_inside_scan_raises_truncation():
+    """A scan whose entropy data ends on a bare trailing 0xFF is a
+    TRUNCATION, not an embedded marker (round-9 ADVICE: _fill
+    misreported it)."""
+    g = (np.arange(8 * 8).reshape(8, 8) % 200).astype(np.uint8)
+    blob = pp.encode_jpeg(g, quality=5)
+    sos_at = blob.find(b"\xff\xda")
+    sos_len = struct.unpack_from(">H", blob, sos_at + 2)[0]
+    scan_start = sos_at + 2 + sos_len
+    # keep one entropy byte then a bare 0xFF at end-of-data
+    bad = blob[: scan_start + 1] + b"\xff"
+    with pytest.raises(ValueError, match="truncated entropy-coded data"):
+        pp.decode_jpeg(bad)

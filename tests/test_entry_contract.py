@@ -217,3 +217,24 @@ def test_no_case_folding_in_graded_oracle_sql():
         assert not re.search(r"\b(lower|upper)\s*\(", sql, re.I), (
             f"{name}: case folding in graded SQL over possibly-unicode text"
         )
+
+
+def test_bench_two_tier_plan_order():
+    """The headline tier (heaviest-by-prior-run) must run FIRST and be
+    exactly HEADLINE_N known queries; never-benched queries precede the
+    rotated tail so new work always gets a warm timing (round-10
+    protocol — r9's flat protocol cold-degraded a nondeterministic
+    subset and poisoned cross-round per-query comparison)."""
+    import bench
+
+    prior = json.load(open(os.path.join(REPO, "BENCH_FULL.json")))["queries"]
+    names = list(prior) + ["zz_new_query"]
+    order, head = bench._plan_order(names, REPO)
+    assert sorted(order) == sorted(names) and len(set(order)) == len(order)
+    assert len(head) == bench.HEADLINE_N
+    assert set(order[: bench.HEADLINE_N]) == head
+    assert "zz_new_query" not in head
+    assert order[bench.HEADLINE_N] == "zz_new_query"
+    # headline = the N heaviest by the prior artifact
+    heaviest = sorted(prior, key=lambda n: -prior[n])[: bench.HEADLINE_N]
+    assert head == set(heaviest)

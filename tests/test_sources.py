@@ -471,3 +471,32 @@ def test_imagej_writer_staging_is_job_scoped(imagej_source, tmp_path):
     src.write.format("imagej").option("path", str(out)).mode("append").save()
     assert (other / "staged.npy").exists(), "concurrent staging deleted"
     assert len([f for f in os.listdir(out) if not f.startswith("_")]) == 2
+
+
+def test_imagej_writer_commit_rolls_back_on_midloop_rename_failure(tmp_path):
+    """A mid-loop os.replace failure must leave the TARGET free of any
+    partially-committed files (already-renamed ones roll back to
+    staging) and a subsequent abort() must PRESERVE the staging dir for
+    recovery instead of deleting the only surviving copy (round-9
+    ADVICE: partial commit + abort cleanup was unreconstructable)."""
+    from spark_ij_spark.sources.images import ImageJWriter, _ImageJCommit
+
+    out = tmp_path / "w3"
+    out.mkdir()
+    w = ImageJWriter({"path": str(out)}, overwrite=True)
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    (stage / "a.npy").write_bytes(b"payload-a")
+    (stage / "b.npy").write_bytes(b"payload-b")
+    # make the SECOND rename fail: target b.npy is a non-empty directory
+    (out / "b.npy").mkdir()
+    (out / "b.npy" / "block").write_bytes(b"x")
+    with pytest.raises(OSError, match="commit failed mid-rename"):
+        w.commit([_ImageJCommit(str(stage), ["a.npy", "b.npy"])])
+    # a.npy was renamed first, then rolled back — target holds no files
+    assert not (out / "a.npy").exists()
+    assert (stage / "a.npy").read_bytes() == b"payload-a"
+    assert (stage / "b.npy").read_bytes() == b"payload-b"
+    # abort after the failed commit keeps staging intact
+    w.abort([])
+    assert (stage / "a.npy").exists() and (stage / "b.npy").exists()
