@@ -843,7 +843,9 @@ JPEG_RT_SCHEMA = StructType(
 )
 
 
-def jpeg_roundtrip_features(doc_id_col: str | Column) -> Column:
+def jpeg_roundtrip_features(
+    doc_id_col: str | Column, progressive: bool = False
+) -> Column:
     """Per-doc JPEG codec proof payload: a 16x8 grayscale image of two
     flat 8x8 blocks (left value v1 = (id·37+11) mod 256, right
     v2 = (id·53+29) mod 256) is encoded to REAL baseline-JFIF bytes
@@ -853,8 +855,15 @@ def jpeg_roundtrip_features(doc_id_col: str | Column) -> Column:
     coefficient and the orthonormal IDCT returns the constant — so the
     sums are closed-form (64·v) and any drift anywhere in the codec
     (headers, Huffman, bit-stuffing, cross-block DC prediction,
-    dequantize, IDCT, clip) breaks the hash."""
-    from spark_ij_spark.sources.purepy_codecs import encode_jpeg
+    dequantize, IDCT, clip) breaks the hash. With ``progressive`` the
+    bytes are a SOF2 multi-scan stream (DC first/refine + spectral
+    bands + two successive-approximation passes) and doc_id alternates
+    the restart cadence (dri = doc_id % 2), so restart handling inside
+    refinement scans is graded too."""
+    from spark_ij_spark.sources.purepy_codecs import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     @F.pandas_udf(JPEG_RT_SCHEMA)
     def feats(ids: pd.Series) -> pd.DataFrame:
@@ -865,9 +874,13 @@ def jpeg_roundtrip_features(doc_id_col: str | Column) -> Column:
             img = np.empty((8, 16), np.uint8)
             img[:, :8] = v1
             img[:, 8:] = v2
-            arr = decode_media_bytes(
-                encode_jpeg(img, quality=100), "image/jpeg"
-            )
+            if progressive:
+                blob = encode_jpeg_progressive(
+                    img, quality=100, dri=int(i) % 2
+                )
+            else:
+                blob = encode_jpeg(img, quality=100)
+            arr = decode_media_bytes(blob, "image/jpeg")
             a = arr[:, :, 0].astype(np.int64)
             rows.append(
                 {
@@ -912,6 +925,36 @@ def q_media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG twin of ``q_media_jpeg_roundtrip``: the same
+    closed-form flat-block proof, but the bytes are a real SOF2
+    multi-scan stream (spectral selection + successive approximation,
+    restart cadence alternating by doc_id) — the format gap the
+    reference covers via ImageIO (Spiji.java:1571-1614) and we close
+    natively in round 10. Identical oracle: at quality=100 a flat
+    block is a single DC coefficient, which the progressive DC
+    first+refine scans deliver exactly."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(
+            F.expr("doc_id IS NOT NULL AND doc_id >= 0 AND doc_id < 281474976710656")
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            jpeg_roundtrip_features("doc_id", progressive=True).alias("f"),
+        )
+        .select(
+            "doc_id",
+            F.col("f.sum_left").alias("sum_left"),
+            F.col("f.sum_right").alias("sum_right"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 Q_MEDIA_JPEG_ROUNDTRIP_SQL = """
 SELECT doc_id,
        CAST(64 * ((doc_id * 37 + 11) % 256) AS BIGINT) AS sum_left,
@@ -924,6 +967,7 @@ ORDER BY doc_id
 
 QUERIES = {
     "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
+    "media_jpeg_progressive": q_media_jpeg_progressive,
     "media_phash_dedup": q_media_phash_dedup,
     "media_frame_sample": q_media_frame_sample,
     "media_audio_energy": q_media_audio_energy,
@@ -932,6 +976,7 @@ QUERIES = {
 }
 ORACLES = {
     "media_jpeg_roundtrip": Q_MEDIA_JPEG_ROUNDTRIP_SQL,
+    "media_jpeg_progressive": Q_MEDIA_JPEG_ROUNDTRIP_SQL,
     "media_phash_dedup": Q_MEDIA_PHASH_SQL,
     "media_frame_sample": Q_MEDIA_FRAME_SAMPLE_SQL,
     "media_audio_energy": Q_MEDIA_AUDIO_ENERGY_SQL,

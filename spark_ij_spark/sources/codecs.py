@@ -42,8 +42,7 @@ NATIVE_SUFFIXES = (
     ".avi", ".dcm", ".dicom", ".jpg", ".jpeg",
 )
 #: kept for backward compatibility — empty since round 9 (baseline
-#: JPEG went native); progressive JPEG remains the one PIL-only case
-#: and is rejected inside decode_jpeg with a clear error.
+#: JPEG went native; progressive followed in round 10).
 PIL_SUFFIXES: tuple[str, ...] = ()
 
 SUPPORTED_SUFFIXES = NATIVE_SUFFIXES + PIL_SUFFIXES

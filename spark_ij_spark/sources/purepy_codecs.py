@@ -1309,6 +1309,21 @@ _HUFF_AC_CHR = (
 )
 
 
+# Flat 9-bit AC table for the progressive encoder: the Annex K
+# sequential tables carry no EOBn symbols (0x10..0xE0 — run lengths of
+# 2..16384 end-of-band blocks), which progressive AC scans need. 176
+# symbols all at length 9 is a valid canonical code (< 2^9, so the
+# reserved all-ones code is unused) — wasteful, but this codec is
+# correctness-first and real progressive files ship custom DHTs anyway.
+_HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+    bytes(
+        [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        + [r << 4 for r in range(16)]  # EOB0..EOB14 + ZRL (0xF0)
+    ),
+)
+
+
 def _huff_codes(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
     """Canonical Huffman assignment: value → (code, length)."""
     out: dict[int, tuple[int, int]] = {}
@@ -1372,6 +1387,12 @@ def _idct2_blocks(coefs: np.ndarray) -> np.ndarray:
     return np.einsum("ji,njk,kl->nil", _DCT_M, coefs, _DCT_M)
 
 
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """Category (bit length of |v|) and the ssss-bit code for v."""
+    s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
 def _encode_component(
     w: _JpegBitWriter,
     qblocks: np.ndarray,
@@ -1382,10 +1403,7 @@ def _encode_component(
     """Huffman-encode one component's quantized blocks (zigzag order
     rows) with DC prediction; returns the new predictor."""
 
-    def magnitude(v: int) -> tuple[int, int]:
-        # category (bit length of |v|) and the ssss-bit code for v
-        s = int(v).bit_length() if v > 0 else int(-v).bit_length()
-        return s, (v if v >= 0 else v + (1 << s) - 1)
+    magnitude = _jpeg_magnitude
 
     for zz in qblocks:
         diff = int(zz[0]) - pred
@@ -1431,14 +1449,12 @@ def _component_qblocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return q[:, _ZZ].astype(np.int64)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
-    """uint8 [h][w] / [h][w][1] grayscale or [h][w][3] RGB → baseline
-    JFIF (4:4:4, Annex K tables quality-scaled, standard Huffman)."""
+def _jpeg_prep(arr: np.ndarray) -> tuple[list[np.ndarray], int, int]:
+    """Normalize encoder input to uint8 Y or Y/Cb/Cr planes: accepts
+    [h][w], [h][w][1], [h][w][3] and the image model's single-slice
+    RGB [h][w][1][3] (what decode_bytes returns for a color JPEG)."""
     a = np.asarray(arr)
     if a.ndim == 4 and a.shape[2] == 1 and a.shape[3] == 3:
-        # the image model's single-slice RGB ([h][w][1][3], what
-        # decode_bytes returns for a color JPEG) — accept it so color
-        # round trips encode back (round-9 review)
         a = a[:, :, 0, :]
     if a.ndim == 3 and a.shape[2] == 1:
         a = a[:, :, 0]
@@ -1450,38 +1466,52 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
             f" got {np.asarray(arr).shape} {a.dtype}"
         )
     h, wd = a.shape[:2]
-    qlum, qchr = _quality_tables(quality)
     if a.ndim == 2:
-        planes = [a]
-    else:
-        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
-        planes = [
-            np.clip(np.trunc(p + 0.5), 0, 255).astype(np.uint8)
-            for p in (y, cb, cr)
-        ]
-    ncomp = len(planes)
+        return [a], h, wd
+    r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    planes = [
+        np.clip(np.trunc(p + 0.5), 0, 255).astype(np.uint8)
+        for p in (y, cb, cr)
+    ]
+    return planes, h, wd
 
+
+def _jpeg_headers(
+    h: int, wd: int, ncomp: int, qlum: np.ndarray, qchr: np.ndarray,
+    sof_marker: int,
+) -> bytearray:
+    """SOI + APP0 + DQT(s) + SOF + DHT(s) shared by the baseline and
+    progressive encoders (4:4:4, Annex K quality-scaled tables,
+    standard Huffman)."""
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
     # DQT (tables stored in zigzag order)
     out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x00]) + bytes(int(v) for v in qlum[_ZZ])
     if ncomp == 3:
         out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x01]) + bytes(int(v) for v in qchr[_ZZ])
-    # SOF0
     sof = struct.pack(">BHHB", 8, h, wd, ncomp)
     for i in range(ncomp):
         sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    # DHT
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
     tabs = [(0x00, _HUFF_DC_LUM), (0x10, _HUFF_AC_LUM)]
     if ncomp == 3:
         tabs += [(0x01, _HUFF_DC_CHR), (0x11, _HUFF_AC_CHR)]
     for tid, (bits, vals) in tabs:
         out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
         out += bytes([tid]) + bytes(bits) + vals
+    return out
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 [h][w] / [h][w][1] grayscale or [h][w][3] RGB → baseline
+    JFIF (4:4:4, Annex K tables quality-scaled, standard Huffman)."""
+    planes, h, wd = _jpeg_prep(arr)
+    qlum, qchr = _quality_tables(quality)
+    ncomp = len(planes)
+    out = _jpeg_headers(h, wd, ncomp, qlum, qchr, 0xC0)
     # SOS
     sos = bytes([ncomp])
     for i in range(ncomp):
@@ -1514,6 +1544,212 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
             )
     writer.flush()
     out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _emit_eobrun(
+    w: _JpegBitWriter, ac_tab: dict[int, tuple[int, int]], state: dict
+) -> None:
+    """Flush a pending EOB run symbol plus the correction bits buffered
+    for already-nonzero coefficients inside the run (G.1.2.3: the bits
+    trail the EOBn symbol in block order)."""
+    if state["eobrun"]:
+        n = state["eobrun"].bit_length() - 1
+        c, ln = ac_tab[n << 4]
+        w.write(c, ln)
+        if n:
+            w.write(state["eobrun"] - (1 << n), n)
+        state["eobrun"] = 0
+    for b in state["bits"]:
+        w.write(b, 1)
+    state["bits"] = []
+
+
+def _encode_ac_first(
+    w: _JpegBitWriter,
+    ac_tab: dict[int, tuple[int, int]],
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    state: dict,
+) -> None:
+    """One block of an AC spectral-selection first scan (G.1.2.2):
+    point transform truncates toward zero; trailing zeros join the
+    cross-block EOB run in ``state``."""
+    run = 0
+    for k in range(ss, se + 1):
+        t = int(blk[k])
+        t = -((-t) >> al) if t < 0 else t >> al
+        if t == 0:
+            run += 1
+            continue
+        _emit_eobrun(w, ac_tab, state)
+        while run > 15:
+            c, ln = ac_tab[0xF0]  # ZRL
+            w.write(c, ln)
+            run -= 16
+        s, bitsv = _jpeg_magnitude(t)
+        c, ln = ac_tab[(run << 4) | s]
+        w.write(c, ln)
+        w.write(bitsv, s)
+        run = 0
+    if run:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:  # EOBn caps at 14 extension bits
+            _emit_eobrun(w, ac_tab, state)
+
+
+def _encode_ac_refine(
+    w: _JpegBitWriter,
+    ac_tab: dict[int, tuple[int, int]],
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    state: dict,
+) -> None:
+    """One block of an AC successive-approximation refinement scan
+    (G.1.2.3): newly-nonzero coefficients (|v|>>Al == 1) emit a
+    run/size-1 symbol + sign bit; every already-nonzero coefficient
+    contributes one correction bit, buffered until the next emitted
+    symbol (or the block's EOB run)."""
+    absv = [0] * (se + 1 - ss)
+    eobpos = ss - 1  # index of the LAST newly-nonzero coefficient
+    for k in range(ss, se + 1):
+        t = abs(int(blk[k])) >> al
+        absv[k - ss] = t
+        if t == 1:
+            eobpos = k
+    run = 0
+    pend: list[int] = []  # correction bits since the last emitted symbol
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            run += 1
+            continue
+        # drain oversized zero runs at the FIRST nonzero coefficient of
+        # either kind (only while a later newly-nonzero one exists —
+        # zeros after eobpos fold into the EOB run): the decoder's ZRL
+        # span covers the buffered correction coefficients, so their
+        # bits must flush right after the ZRL symbol, before any bit
+        # this coefficient contributes
+        while run > 15 and k <= eobpos:
+            _emit_eobrun(w, ac_tab, state)
+            c, ln = ac_tab[0xF0]
+            w.write(c, ln)
+            run -= 16
+            for b in pend:
+                w.write(b, 1)
+            pend = []
+        if t > 1:  # already nonzero at the previous precision
+            pend.append(t & 1)
+            continue
+        _emit_eobrun(w, ac_tab, state)
+        c, ln = ac_tab[(run << 4) | 1]
+        w.write(c, ln)
+        run = 0
+        w.write(1 if int(blk[k]) >= 0 else 0, 1)
+        for b in pend:
+            w.write(b, 1)
+        pend = []
+    if run or pend:
+        state["eobrun"] += 1
+        state["bits"] += pend
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(w, ac_tab, state)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, dri: int = 0
+) -> bytes:
+    """uint8 grayscale/RGB → progressive (SOF2) JFIF, 4:4:4, with a
+    libjpeg-shaped scan script exercising both spectral selection and
+    successive approximation: DC first (Al=1) + DC refine, per
+    component AC bands 1-5 and 6-63 at Al=2, then two full-band AC
+    refinement passes (Al=2→1→0). Decodes to the SAME pixels as the
+    baseline encoder at equal quality (identical quantized
+    coefficients, delivered across scans). ``dri`` > 0 emits restart
+    markers every ``dri`` MCUs/blocks in every scan."""
+    planes, h, wd = _jpeg_prep(arr)
+    qlum, qchr = _quality_tables(quality)
+    ncomp = len(planes)
+    out = _jpeg_headers(h, wd, ncomp, qlum, qchr, 0xC2)
+    # override the sequential AC tables with the EOBn-capable flat
+    # table (a later DHT legally redefines a table id)
+    for tid in (0x10, 0x11)[: (2 if ncomp == 3 else 1)]:
+        bits, vals = _HUFF_AC_PROG
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out += bytes([tid]) + bytes(bits) + vals
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    qb = [
+        _component_qblocks(planes[i], qlum if i == 0 else qchr)
+        for i in range(ncomp)
+    ]
+    nblocks = qb[0].shape[0]  # 4:4:4 → MCU grid == every block grid
+    dc_tabs = [
+        _huff_codes(*(_HUFF_DC_LUM if i == 0 else _HUFF_DC_CHR))
+        for i in range(ncomp)
+    ]
+    ac_prog = _huff_codes(*_HUFF_AC_PROG)
+    ac_tabs = [ac_prog for _ in range(ncomp)]
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        sos = bytes([len(comp_ids)])
+        for i in comp_ids:
+            sos += bytes([i + 1, (0x00 if i == 0 else 0x11)])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    scans: list[tuple[str, list[int], int, int, int, int]] = [
+        ("dc_first", list(range(ncomp)), 0, 0, 0, 1),
+        ("dc_refine", list(range(ncomp)), 0, 0, 1, 0),
+    ]
+    for ci in range(ncomp):
+        scans += [("ac_first", [ci], 1, 5, 0, 2), ("ac_first", [ci], 6, 63, 0, 2)]
+    for al in (1, 0):
+        for ci in range(ncomp):
+            scans.append(("ac_refine", [ci], 1, 63, al + 1, al))
+
+    for kind, cis, ss, se, ah, al in scans:
+        out += sos_header(cis, ss, se, ah, al)
+        w = _JpegBitWriter()
+        state = {"eobrun": 0, "bits": []}
+        preds = [0] * ncomp
+        rstn = 0
+
+        def restart() -> None:
+            nonlocal rstn, preds
+            _emit_eobrun(w, ac_tabs[cis[0]], state)
+            w.flush()
+            w.out += bytes([0xFF, 0xD0 + rstn])
+            rstn = (rstn + 1) & 7
+            preds = [0] * ncomp
+
+        for u in range(nblocks):
+            if dri and u and u % dri == 0:
+                restart()
+            if kind == "dc_first":
+                for ci in cis:
+                    dc = int(qb[ci][u][0]) >> al  # arithmetic shift (G.1.2.1)
+                    s, bitsv = _jpeg_magnitude(dc - preds[ci])
+                    preds[ci] = dc
+                    c, ln = dc_tabs[ci][s]
+                    w.write(c, ln)
+                    if s:
+                        w.write(bitsv, s)
+            elif kind == "dc_refine":
+                for ci in cis:
+                    w.write((int(qb[ci][u][0]) >> al) & 1, 1)
+            elif kind == "ac_first":
+                _encode_ac_first(w, ac_tabs[cis[0]], qb[cis[0]][u], ss, se, al, state)
+            else:
+                _encode_ac_refine(w, ac_tabs[cis[0]], qb[cis[0]][u], ss, se, al, state)
+        _emit_eobrun(w, ac_tabs[cis[0]], state)
+        w.flush()
+        out += w.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -1635,17 +1871,248 @@ def _decode_block(
     return zz, pred
 
 
+def _jpeg_reconstruct(
+    coef: dict[int, np.ndarray],
+    comps: list[dict],
+    qts: dict[int, np.ndarray],
+    h: int,
+    w: int,
+    hmax: int,
+    vmax: int,
+) -> np.ndarray:
+    """Dequantize + IDCT the per-component zigzag coefficient grids,
+    upsample/crop to the frame, and color-convert — shared by the
+    baseline (single-scan) and progressive (accumulated-scans) paths."""
+    planes = []
+    for i, c in enumerate(comps):
+        qt = qts[c["tq"]]
+        zzc = coef[i].reshape(-1, 64)
+        nat = np.zeros_like(zzc)
+        nat[:, _ZZ] = zzc
+        nat = nat * qt[None, :]
+        sp = _idct2_blocks(nat.reshape(-1, 8, 8).astype(np.float64)) + 128.0
+        by, bx = coef[i].shape[:2]
+        plane = (
+            sp.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        cw = -(-w * c["h"] // hmax)
+        chh = -(-h * c["v"] // vmax)
+        plane = plane[:chh, :cw]
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0),
+            hmax // c["h"],
+            axis=1,
+        )[:h, :w]
+        planes.append(plane)
+    if len(planes) == 1:
+        return np.clip(np.trunc(planes[0] + 0.5), 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise ValueError(f"JPEG: {len(planes)}-component frames not supported")
+    y, cb, cr = planes
+    rch = y + 1.402 * (cr - 128.0)
+    gch = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    bch = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.trunc(p + 0.5), 0, 255) for p in (rch, gch, bch)],
+        axis=2,
+    )
+    return rgb.astype(np.uint8)
+
+
+def _refine_ac_block(
+    r: _JpegBitReader,
+    acd: dict[tuple[int, int], int],
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """AC successive-approximation refinement for one block (ISO/IEC
+    10918-1 G.1.2.3): newly-nonzero coefficients arrive as ±(1<<Al),
+    every already-nonzero coefficient in the band carries one
+    correction bit — including inside zero runs, ZRLs and EOB runs.
+    Returns the remaining EOB run."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(r, acd)
+            run, size = rs >> 4, rs & 0x0F
+            val = 0
+            if size == 0:
+                if run != 15:
+                    # NOT the AC-first "-1" convention: the current
+                    # block's remaining coefficients still carry
+                    # correction bits, read in the eobrun tail below
+                    # (which then decrements for this block)
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read(run)
+                    break
+                # ZRL: skip 16 zero-HISTORY coefficients
+            else:
+                if size != 1:
+                    raise ValueError("JPEG: invalid AC refinement magnitude")
+                val = p1 if r.read(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if r.read(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if r.read(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(
+    data: bytes,
+    pos: int,
+    scomps: list[tuple[dict, int, int]],
+    huffs: dict[tuple[int, int], dict[tuple[int, int], int]],
+    coef: dict[int, np.ndarray],
+    comps: list[dict],
+    h: int,
+    w: int,
+    hmax: int,
+    vmax: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dri: int,
+) -> int:
+    """Decode one progressive SOS (ISO/IEC 10918-1 G.2) into the
+    per-component zigzag coefficient grids in place; returns the byte
+    position just past this scan's entropy-coded data. Scan kinds: DC
+    first (Ss=0, Ah=0, may be interleaved), DC refine (Ss=0, Ah>0, one
+    raw bit per block), AC first (band Ss..Se, EOB runs) and AC refine
+    (correction bits) — AC scans are single-component per G.1.1.1.1."""
+    ns = len(scomps)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG: progressive DC scan with Se != 0")
+    elif ns != 1:
+        raise ValueError("JPEG: progressive AC scan must be single-component")
+    if ns == 1:
+        comp = scomps[0][0]
+        ci = comps.index(comp)
+        cw = -(-w * comp["h"] // hmax)
+        chh = -(-h * comp["v"] // vmax)
+        bx = -(-cw // 8)
+        n_units = bx * -(-chh // 8)
+
+        def blocks_of(u: int):
+            uy, ux = divmod(u, bx)
+            return ((ci, coef[ci][uy, ux]),)
+
+    else:
+        mcux = -(-w // (8 * hmax))
+        n_units = mcux * -(-h // (8 * vmax))
+
+        def blocks_of(u: int):
+            uy, ux = divmod(u, mcux)
+            out = []
+            for comp, _, _ in scomps:
+                i = comps.index(comp)
+                cv, chf = comp["v"], comp["h"]
+                for vy in range(cv):
+                    for hx in range(chf):
+                        out.append((i, coef[i][uy * cv + vy, ux * chf + hx]))
+            return out
+
+    dcds = {comps.index(c): huffs.get((0, td)) for c, td, _ in scomps}
+    acd = huffs.get((1, scomps[0][2])) if ns == 1 else None
+    r = _JpegBitReader(data, pos)
+    preds = {comps.index(c): 0 for c, _, _ in scomps}
+    eobrun = 0
+    for u in range(n_units):
+        if dri and u and u % dri == 0:
+            r.expect_rst()
+            preds = {i: 0 for i in preds}
+            eobrun = 0
+        if ss == 0 and ah == 0:  # DC first
+            for i, blk in blocks_of(u):
+                dcd = dcds[i]
+                if dcd is None:
+                    raise ValueError("JPEG: scan references undefined DC table")
+                s = _decode_huff(r, dcd)
+                preds[i] += _jpeg_extend(r.read(s), s) if s else 0
+                blk[0] = preds[i] << al
+        elif ss == 0:  # DC refine: one raw bit per block
+            for i, blk in blocks_of(u):
+                blk[0] = int(blk[0]) | (r.read(1) << al)
+        elif ah == 0:  # AC first
+            if eobrun:
+                eobrun -= 1
+                continue
+            if acd is None:
+                raise ValueError("JPEG: scan references undefined AC table")
+            ((_, blk),) = blocks_of(u)
+            k = ss
+            while k <= se:
+                rs = _decode_huff(r, acd)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += r.read(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("JPEG: AC run past end of band")
+                blk[k] = _jpeg_extend(r.read(size), size) << al
+                k += 1
+        else:  # AC refine
+            if acd is None:
+                raise ValueError("JPEG: scan references undefined AC table")
+            ((_, blk),) = blocks_of(u)
+            eobrun = _refine_ac_block(r, acd, blk, ss, se, al, eobrun)
+    # resync to the next marker segment (skip trailing pad bits /
+    # stuffed bytes; tolerate a stray restart after the last interval)
+    pos = r.pos
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            if 0xD0 <= data[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            break
+        pos += 1
+    return pos
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline/extended-sequential Huffman JFIF → uint8 [h][w] (gray)
-    or [h][w][3] (RGB). Supports h/v sampling factors 1-2 (4:4:4 /
-    4:2:2 / 4:2:0), restart intervals, multi-table DQT/DHT segments;
-    progressive (SOF2) and arithmetic-coded frames raise."""
+    """Baseline/extended-sequential AND progressive (SOF0/SOF1/SOF2)
+    Huffman JFIF → uint8 [h][w] (gray) or [h][w][3] (RGB). Supports
+    h/v sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0), restart
+    intervals, multi-table DQT/DHT segments, spectral-selection +
+    successive-approximation progressive scans; hierarchical and
+    arithmetic-coded frames raise."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("JPEG: bad SOI")
     pos = 2
     qts: dict[int, np.ndarray] = {}
     huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
+    pcoef: dict[int, np.ndarray] | None = None
     dri = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -1660,7 +2127,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             # a trailing run of 0xFF with no marker code after it
             raise ValueError("JPEG: truncated stream inside marker segment")
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + seglen]
@@ -1688,7 +2155,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = bytes(body[o + 17 : o + 17 + n])
                 huffs[(tc, th)] = _huff_decoder(bits, vals)
                 o += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"JPEG: {prec}-bit precision not supported")
@@ -1700,8 +2168,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError(f"JPEG: sampling {ch}x{cv} not supported")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise ValueError("JPEG: progressive (SOF2) not supported (baseline only)")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"JPEG: SOF{marker - 0xC0} frames not supported")
         elif marker == 0xDD:  # DRI
@@ -1711,6 +2177,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("JPEG: SOS before SOF")
             h, w, comps = frame
             ns = body[0]
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if progressive:
+                scomps = []
+                for i in range(ns):
+                    cs, tdta = body[1 + 2 * i : 3 + 2 * i]
+                    comp = next(c for c in comps if c["id"] == cs)
+                    scomps.append((comp, tdta >> 4, tdta & 0x0F))
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                if pcoef is None:
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    pcoef = {
+                        i: np.zeros(
+                            (mcuy * c["v"], mcux * c["h"], 64), np.int64
+                        )
+                        for i, c in enumerate(comps)
+                    }
+                pos = _progressive_scan(
+                    data, pos, scomps, huffs, pcoef, comps, h, w,
+                    hmax, vmax, ss, se, ahal >> 4, ahal & 0x0F, dri,
+                )
+                continue
             scan = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i : 3 + 2 * i]
@@ -1718,8 +2207,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 scan.append((comp, huffs[(0, tdta >> 4)], huffs[(1, tdta & 0x0F)]))
             if ns != len(comps):
                 raise ValueError("JPEG: multi-scan sequential not supported")
-            hmax = max(c["h"] for c in comps)
-            vmax = max(c["v"] for c in comps)
             r = _JpegBitReader(data, pos)
             preds = {c["id"]: 0 for c in comps}
             if ns == 1:
@@ -1754,42 +2241,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                 r, dcd, acd, preds[comps[ci]["id"]]
                             )
                             coef[ci][uy * cvf + vy, ux * chf + hx] = zz
-            # dequantize + IDCT per component, then upsample/crop
-            planes = []
-            for i, c in enumerate(comps):
-                qt = qts[c["tq"]]
-                zzc = coef[i].reshape(-1, 64)
-                nat = np.zeros_like(zzc)
-                nat[:, _ZZ] = zzc
-                nat = nat * qt[None, :]
-                sp = _idct2_blocks(nat.reshape(-1, 8, 8).astype(np.float64)) + 128.0
-                by, bx = coef[i].shape[:2]
-                plane = (
-                    sp.reshape(by, bx, 8, 8)
-                    .transpose(0, 2, 1, 3)
-                    .reshape(by * 8, bx * 8)
-                )
-                cw = -(-w * c["h"] // hmax)
-                chh = -(-h * c["v"] // vmax)
-                plane = plane[:chh, :cw]
-                plane = np.repeat(
-                    np.repeat(plane, vmax // c["v"], axis=0),
-                    hmax // c["h"],
-                    axis=1,
-                )[:h, :w]
-                planes.append(plane)
-            if len(planes) == 1:
-                return np.clip(np.trunc(planes[0] + 0.5), 0, 255).astype(np.uint8)
-            if len(planes) != 3:
-                raise ValueError(f"JPEG: {len(planes)}-component frames not supported")
-            y, cb, cr = planes
-            rch = y + 1.402 * (cr - 128.0)
-            gch = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
-            bch = y + 1.772 * (cb - 128.0)
-            rgb = np.stack(
-                [np.clip(np.trunc(p + 0.5), 0, 255) for p in (rch, gch, bch)],
-                axis=2,
-            )
-            return rgb.astype(np.uint8)
+            return _jpeg_reconstruct(coef, comps, qts, h, w, hmax, vmax)
         # all other markers (APPn, COM): skipped via seglen
+    if progressive and pcoef is not None:
+        h, w, comps = frame
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        return _jpeg_reconstruct(pcoef, comps, qts, h, w, hmax, vmax)
     raise ValueError("JPEG: no SOS marker found")

@@ -1023,13 +1023,149 @@ def test_jpeg_restart_markers_reset_dc_prediction():
         assert np.all(out[:, :, ch] == expect[ch])
 
 
-def test_jpeg_progressive_rejected_clearly():
-    # minimal SOF2 frame header after SOI
+def test_jpeg_progressive_frame_without_scans_raises():
+    # SOF2 accepted since round 10; a frame with no SOS is still an error
     blob = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + struct.pack(
         ">BHHB", 8, 8, 8, 1
     ) + bytes([1, 0x11, 0])
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="no SOS"):
         pp.decode_jpeg(blob)
+
+
+@pytest.mark.parametrize(
+    "h,w,color,q,dri",
+    [
+        (8, 8, False, 90, 0),      # single block
+        (16, 24, False, 90, 0),    # multi-block gray
+        (17, 13, True, 90, 0),     # non-multiple-of-8 color
+        (40, 56, True, 50, 3),     # restart intervals in every scan
+        (9, 9, True, 100, 0),      # near-lossless
+        (56, 56, False, 10, 0),    # coarse quant → long EOB runs
+        (128, 96, True, 35, 7),    # EOBn spanning many blocks + RSTs
+    ],
+)
+def test_jpeg_progressive_roundtrip_matches_baseline_exactly(h, w, color, q, dri):
+    """The progressive scan script (DC first/refine, AC spectral bands
+    at Al=2, two successive-approximation refinement passes) delivers
+    the SAME quantized coefficients as the baseline encoder — so the
+    decoded pixels must be bit-identical, not merely close."""
+    rng = np.random.default_rng(h * 1000 + w)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    base = pp.decode_jpeg(pp.encode_jpeg(img, quality=q))
+    prog = pp.decode_jpeg(pp.encode_jpeg_progressive(img, quality=q, dri=dri))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_flat_and_gradient_roundtrip():
+    flat = np.full((80, 80, 3), 77, np.uint8)  # whole-scan EOB runs
+    assert np.array_equal(
+        pp.decode_jpeg(pp.encode_jpeg(flat, quality=90)),
+        pp.decode_jpeg(pp.encode_jpeg_progressive(flat, quality=90)),
+    )
+    yy, xx = np.mgrid[0:48, 0:64]
+    grad = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    assert np.array_equal(
+        pp.decode_jpeg(pp.encode_jpeg(grad, quality=80)),
+        pp.decode_jpeg(pp.encode_jpeg_progressive(grad, quality=80)),
+    )
+
+
+def _jpeg_prog_420_flat_fixture(y_val, cb_val, cr_val, mcus_x=2):
+    """Hand-built PROGRESSIVE 4:2:0 flat-color stream (our progressive
+    encoder is 4:4:4-only): DC first (interleaved, Al=1) + DC refine +
+    one full-band AC-first scan per component that is a pure EOB run —
+    exercises subsampled MCU geometry and the non-interleaved
+    component block grids of AC scans."""
+    import struct as st
+
+    sh = sv = 2
+    h, w = 8 * sv, 8 * sh * mcus_x
+    out = bytearray(b"\xff\xd8")
+    ones = bytes([1] * 64)
+    for tq in (0, 1):
+        out += b"\xff\xdb" + st.pack(">H", 67) + bytes([tq]) + ones
+    sof = st.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (sh << 4) | sv, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += b"\xff\xc2" + st.pack(">H", 2 + len(sof)) + sof
+    for tid, (bits, vals) in (
+        (0x00, pp._HUFF_DC_LUM), (0x01, pp._HUFF_DC_CHR),
+        (0x10, pp._HUFF_AC_PROG), (0x11, pp._HUFF_AC_PROG),
+    ):
+        out += b"\xff\xc4" + st.pack(">H", 19 + len(vals))
+        out += bytes([tid]) + bytes(bits) + vals
+    dc_l = pp._huff_codes(*pp._HUFF_DC_LUM)
+    dc_c = pp._huff_codes(*pp._HUFF_DC_CHR)
+    ac_p = pp._huff_codes(*pp._HUFF_AC_PROG)
+    dcs = [8 * (v - 128) for v in (y_val, cb_val, cr_val)]
+
+    def dc_sym(wtr, tab, diff):
+        s, bitsv = pp._jpeg_magnitude(diff)
+        c, ln = tab[s]
+        wtr.write(c, ln)
+        if s:
+            wtr.write(bitsv, s)
+
+    # scan 1: DC first, interleaved, Ah=0 Al=1
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x01])
+    out += b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos
+    wtr = pp._JpegBitWriter()
+    preds = [0, 0, 0]
+    for m in range(mcus_x):
+        for _ in range(sh * sv):  # 4 Y blocks, predictor chains
+            d = (dcs[0] >> 1) - preds[0]
+            preds[0] = dcs[0] >> 1
+            dc_sym(wtr, dc_l, d)
+        for ci in (1, 2):
+            d = (dcs[ci] >> 1) - preds[ci]
+            preds[ci] = dcs[ci] >> 1
+            dc_sym(wtr, dc_c, d)
+    wtr.flush()
+    out += wtr.out
+    # scan 2: DC refine, Ah=1 Al=0 — one raw bit per block
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x10])
+    out += b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos
+    wtr = pp._JpegBitWriter()
+    for m in range(mcus_x):
+        for _ in range(sh * sv):
+            wtr.write(dcs[0] & 1, 1)
+        for ci in (1, 2):
+            wtr.write(dcs[ci] & 1, 1)
+    wtr.flush()
+    out += wtr.out
+    # scans 3-5: per-component full-band AC first = one pure EOB run
+    # over the component's own (non-interleaved) block grid
+    nblocks = {1: (sv * 1) * (sh * mcus_x), 2: 1 * mcus_x, 3: 1 * mcus_x}
+    for cid, tdta in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        sos = bytes([1, cid, tdta, 1, 63, 0x00])
+        out += b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos
+        wtr = pp._JpegBitWriter()
+        state = {"eobrun": nblocks[cid], "bits": []}
+        pp._emit_eobrun(wtr, ac_p, state)
+        wtr.flush()
+        out += wtr.out
+    out += b"\xff\xd9"
+    return h, w, bytes(out)
+
+
+def test_jpeg_progressive_420_subsampled_decode_exact_on_flat():
+    h, w, blob = _jpeg_prog_420_flat_fixture(120, 140, 110)
+    out = pp.decode_jpeg(blob)
+    assert out.shape == (h, w, 3)
+    expect = _jfif_rgb(120, 140, 110)
+    for ch in range(3):
+        assert np.all(out[:, :, ch] == expect[ch]), (ch, out[0, 0], expect)
+
+
+def test_codec_dispatch_decodes_progressive_jpeg():
+    from spark_ij_spark.sources import codecs
+
+    img = (np.arange(12 * 9).reshape(12, 9) % 200).astype(np.uint8)
+    blob = pp.encode_jpeg_progressive(img, quality=90)
+    out = codecs.decode_bytes(blob, "x.jpg")
+    assert out.shape == (12, 9, 1)
+    base = codecs.decode_bytes(pp.encode_jpeg(img, quality=90), "x.jpg")
+    assert np.array_equal(out, base)
 
 
 def test_codec_dispatch_jpeg_roundtrip():
