@@ -71,11 +71,15 @@ NATIVE_MIMES = (
     "application/dicom",
     WAV_MIME,
     "video/x-msvideo",
+    "video/mp4",
 )
-#: mimes whose decoders require absent libraries → stubbed (only mp4
-#: remains since round 9's native baseline-JFIF codec; every other
-#: modality — including lossy JPEG — has a real in-container path)
-STUBBED_MIMES = ("video/mp4",)
+#: kept for backward compatibility — EMPTY since round 10: MP4 gained
+#: a native MJPEG-in-BMFF container parse (purepy_codecs.decode_mp4)
+#: reusing the round-9 JPEG codec, so every documented mime now has a
+#: real pure-stdlib decoder. (H.264 *bitstream* decode remains out of
+#: scope — a non-MJPEG mp4 raises a clear ValueError from the
+#: container parse, not NotImplementedError.)
+STUBBED_MIMES: tuple[str, ...] = ()
 
 _MIME_SUFFIX = {
     "image/png": ".png",
@@ -85,15 +89,16 @@ _MIME_SUFFIX = {
     "image/jpeg": ".jpg",
     "application/dicom": ".dcm",
     "video/x-msvideo": ".avi",
+    "video/mp4": ".mp4",
 }
 
 
 def decode_media_bytes(data: bytes, mime: str) -> np.ndarray:
     """Decode one media payload to ndarray [h][w][frames]. Images
-    (png/tiff/gif/bmp/jpeg/dicom) and AVI video decode via the
-    pure-stdlib codecs (multi-page TIFF pages and AVI frames land on
-    the frame axis); WAV audio decodes to [channels][1][samples]. Only
-    mp4 needs an absent library and stays a clearly-marked stub."""
+    (png/tiff/gif/bmp/jpeg/dicom) and video (AVI, MJPEG-in-MP4)
+    decode via the pure-stdlib codecs (multi-page TIFF pages and
+    video frames land on the frame axis); WAV audio decodes to
+    [channels][1][samples]. No stubs remain since round 10."""
     if mime == NPY_MIME:
         return np.load(io.BytesIO(bytes(data)), allow_pickle=False)
     if mime == WAV_MIME:
@@ -107,11 +112,11 @@ def decode_media_bytes(data: bytes, mime: str) -> np.ndarray:
         from spark_ij_spark.sources.codecs import decode_bytes
 
         return decode_bytes(bytes(data), f"payload{_MIME_SUFFIX[mime]}")
-    if mime in STUBBED_MIMES:
+    if mime in STUBBED_MIMES:  # empty since round 10 — kept for plugins
         raise NotImplementedError(
             f"decoder for {mime!r} requires a codec library not present in "
-            "this container (PIL/librosa/av); the Spark-side plumbing is "
-            "real — swap this body when the library is available"
+            "this container; the Spark-side plumbing is real — swap this "
+            "body when the library is available"
         )
     raise ValueError(f"unknown mime {mime!r}")
 

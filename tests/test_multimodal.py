@@ -64,11 +64,31 @@ def test_frame_sample_stride(spark):
     assert r.m.meta.n_frames == 4  # frames 0,3,6,9 of 10
 
 
-def test_stubbed_mime_raises_not_implemented():
-    with pytest.raises(NotImplementedError, match="plumbing is real"):
+def test_no_stubbed_mimes_remain_and_unknown_mime_raises():
+    """STUBBED_MIMES emptied in round 10 (MP4 went native): every
+    documented mime has a real decoder, a malformed payload fails with
+    a clear ValueError from its parser, and unknown mimes still raise."""
+    assert mm.STUBBED_MIMES == ()
+    with pytest.raises(ValueError, match="MP4"):
         mm.decode_media_bytes(b"xx", "video/mp4")
     with pytest.raises(ValueError):
         mm.decode_media_bytes(b"xx", "application/unknown")
+
+
+def test_mp4_mime_decodes_natively():
+    """video/mp4 left STUBBED_MIMES in round 10: an MJPEG-in-MP4
+    payload decodes through the pure-stdlib BMFF container parse and
+    frames land on the frame axis like AVI."""
+    import numpy as np
+
+    from spark_ij_spark.sources.purepy_codecs import encode_mp4_mjpeg
+
+    vid = np.stack(
+        [np.full((6, 9), v, np.uint8) for v in (5, 128, 250)], axis=2
+    )
+    arr = mm.decode_media_bytes(encode_mp4_mjpeg(vid, quality=100), "video/mp4")
+    assert arr.shape == (6, 9, 3)
+    assert np.array_equal(arr, vid)
 
 
 def test_jpeg_mime_decodes_natively():
