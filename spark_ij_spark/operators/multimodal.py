@@ -6,11 +6,10 @@ so Spark shuffles/persists it natively and kernels view it zero-copy.
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas UDFs (mapInPandas-style plumbing). Every modality has a REAL
 in-container codec path: npy/png/tiff/gif/bmp/jpeg/dicom images, PCM
-WAV audio, and uncompressed-DIB AVI video (all pure-stdlib,
-``sources/purepy_codecs``; baseline JFIF went native in round 9).
-Only mp4/h264 remains a clearly-marked stub (NotImplementedError)
-behind an import-try — schema, partitioning, UDF signatures and batch
-shapes are real there too.
+WAV audio, uncompressed-DIB AVI and MJPEG-in-MP4 video (all
+pure-stdlib, ``sources/purepy_codecs``; baseline JFIF went native in
+round 9, progressive JFIF and the MP4 container in round 10 — no
+stubs remain).
 
 Scale: all ops are map-only over binary payloads; the only shuffles
 are the analyst's own groupBys. Arrow batch size bounds executor
@@ -970,9 +969,78 @@ ORDER BY doc_id
 """
 
 
+MP4_FRAMES_SCHEMA = StructType(
+    [
+        StructField("sum_f0", LongType()),
+        StructField("sum_f1", LongType()),
+    ]
+)
+
+
+def q_media_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-in-MP4 codec proof (the container that left STUBBED_MIMES
+    in round 10): per document, a 2-frame 8x16 flat-gray video
+    (frame 0 value v1 = (id·41+17) mod 256, frame 1 v2 = (id·59+31)
+    mod 256) is encoded to a REAL ISO BMFF stream (sample tables +
+    per-frame JFIF samples at quality=100) and decoded back through
+    the media mime path; emits per-frame pixel sums. Flat frames make
+    the DCT path exact, so the sums are closed-form (128·v) and any
+    drift in the container walk (stsz/stsc/stco, box sizes) or the
+    JPEG codec breaks the hash. Map-only Arrow hop; same doc_id
+    domain guard as the JPEG proofs (see q_media_jpeg_roundtrip)."""
+    from spark_ij_spark.sources.purepy_codecs import encode_mp4_mjpeg
+
+    @F.pandas_udf(MP4_FRAMES_SCHEMA)
+    def feats(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i in ids:
+            v1 = int((int(i) * 41 + 17) % 256)
+            v2 = int((int(i) * 59 + 31) % 256)
+            vid = np.stack(
+                [np.full((8, 16), v1, np.uint8), np.full((8, 16), v2, np.uint8)],
+                axis=2,
+            )
+            arr = decode_media_bytes(
+                encode_mp4_mjpeg(vid, quality=100), "video/mp4"
+            )
+            a = arr.astype(np.int64)
+            rows.append(
+                {"sum_f0": int(a[:, :, 0].sum()), "sum_f1": int(a[:, :, 1].sum())}
+            )
+        return pd.DataFrame(rows, columns=["sum_f0", "sum_f1"])
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(
+            F.expr("doc_id IS NOT NULL AND doc_id >= 0 AND doc_id < 281474976710656")
+        )
+    )
+    return (
+        docs.select("doc_id", feats("doc_id").alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.sum_f0").alias("sum_f0"),
+            F.col("f.sum_f1").alias("sum_f1"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_MEDIA_MP4_FRAMES_SQL = """
+SELECT doc_id,
+       CAST(128 * ((doc_id * 41 + 17) % 256) AS BIGINT) AS sum_f0,
+       CAST(128 * ((doc_id * 59 + 31) % 256) AS BIGINT) AS sum_f1
+FROM documents
+WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id < 281474976710656
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
     "media_jpeg_progressive": q_media_jpeg_progressive,
+    "media_mp4_frames": q_media_mp4_frames,
     "media_phash_dedup": q_media_phash_dedup,
     "media_frame_sample": q_media_frame_sample,
     "media_audio_energy": q_media_audio_energy,
@@ -982,6 +1050,7 @@ QUERIES = {
 ORACLES = {
     "media_jpeg_roundtrip": Q_MEDIA_JPEG_ROUNDTRIP_SQL,
     "media_jpeg_progressive": Q_MEDIA_JPEG_ROUNDTRIP_SQL,
+    "media_mp4_frames": Q_MEDIA_MP4_FRAMES_SQL,
     "media_phash_dedup": Q_MEDIA_PHASH_SQL,
     "media_frame_sample": Q_MEDIA_FRAME_SAMPLE_SQL,
     "media_audio_energy": Q_MEDIA_AUDIO_ENERGY_SQL,
