@@ -43,11 +43,18 @@ HEADLINE_N = 40
 def _plan_order(names: list[str], repo: str) -> tuple[list[str], set[str]]:
     """Return (run order, headline set): heaviest-by-prior-run headline
     tier first, then never-benched tail queries, then the known tail
-    rotated by round index."""
+    rotated by round index. Ranking uses WARM prior timings only — a
+    query cold-timed last run (degraded_names) re-enters as
+    never-benched, so a cold-inflated 5x number can't evict a genuine
+    heavy query from the headline tier (round-10 review)."""
     prior: dict[str, float] = {}
     try:
         with open(os.path.join(repo, "BENCH_FULL.json")) as fh:
-            prior = json.load(fh).get("queries", {})
+            full = json.load(fh)
+        cold = set(full.get("degraded_names", []))
+        prior = {
+            n: t for n, t in full.get("queries", {}).items() if n not in cold
+        }
     except (OSError, ValueError):
         pass
     known = [n for n in names if n in prior]

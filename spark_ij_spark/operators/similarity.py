@@ -282,23 +282,45 @@ cand AS (
 {_LSH_RESCORE_TAIL_DUCK}"""
 
 
-def _lsh_capped_members(
-    buckets: DataFrame, counts: DataFrame, cap: int
-) -> DataFrame:
-    """Deterministic per-bucket candidate sample: keep a member iff
-    hash60(t:vec_id) lands on the stride ceil(cnt/cap) — ≈cap members
-    per (t, bucket), the identical subset on both engines. The counts
-    frame is provably bounded (≤ 2^LSH_NBITS × LSH_NTABLES rows), so
-    the explicit broadcast is within the runtime-size-only policy; the
-    filter then applies map-side BEFORE the probe join, so the join's
-    output (and the exact-rescore fan-in) is what gets bounded — a
-    post-join filter would materialize the unbounded candidate set
-    first, which is the 19.6x/100x curve this cap exists to cut."""
+def _lsh_member_index(buckets: DataFrame) -> DataFrame:
+    """(vec_id, t, bucket, cnt, mh): bucket membership enriched with
+    its bucket's occupancy and the member's selection hash — the ONE
+    frame both cap branches filter, so the per-member md5 is computed
+    once per corpus row, not once per branch (round-10 review; the
+    DuckDB mirror is the `mem` CTE). The counts frame is provably
+    bounded (≤ 2^LSH_NBITS × LSH_NTABLES rows), so the explicit
+    broadcast is within the runtime-size-only policy."""
+    counts = buckets.groupBy("t", "bucket").agg(F.count("*").alias("cnt"))
     mh = hash60_spark("concat(t, ':', vec_id)")
-    return (
-        buckets.join(F.broadcast(counts), ["t", "bucket"])
-        .filter(F.expr(f"({mh}) % ((cnt + {cap} - 1) DIV {cap}) = 0"))
-        .select("vec_id", "t", "bucket")
+    return buckets.join(F.broadcast(counts), ["t", "bucket"]).withColumn(
+        "mh", F.expr(mh)
+    )
+
+
+def _lsh_cap_pred(cap: int) -> str:
+    """Deterministic per-bucket sample predicate over a member-index
+    row: keep a member iff its hash lands on the stride ceil(cnt/cap)
+    — ≈cap members per (t, bucket), the identical subset on both
+    engines (integer DIV on BIGINTs, hash non-negative). Applied
+    map-side BEFORE the probe join, so the join's output (and the
+    exact-rescore fan-in) is what gets bounded — a post-join filter
+    would materialize the unbounded candidate set first, which is the
+    19.6x/100x curve this cap exists to cut. Spark form; the DuckDB
+    twin is _lsh_cap_pred_duck and their set-identity when the cap
+    FIRES is pinned by test_lsh_cap_spark_duckdb_identity (dormant on
+    all graded SFs: max occupancy 26 < both caps)."""
+    return f"mh % ((cnt + {cap} - 1) DIV {cap}) = 0"
+
+
+def _lsh_cap_pred_duck(cap: int) -> str:
+    return f"m.mh % ((m.cnt + {cap} - 1) // {cap}) = 0"
+
+
+def _lsh_capped_members(mem: DataFrame, cap: int) -> DataFrame:
+    """The ≈cap-per-bucket deterministic sample of a member index
+    (see _lsh_member_index / _lsh_cap_pred)."""
+    return mem.filter(F.expr(_lsh_cap_pred(cap))).select(
+        "vec_id", "t", "bucket"
     )
 
 
@@ -324,11 +346,13 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Operating point (see LSH_NTABLES note): measured recall@5 ≈ 0.66
     at sf0.01 / 0.64 at sf0.1 — vs ≈ 0.12 single-table r8 — floor
-    asserted by test_ann_recall_floors. Buckets cached: probes, both
-    join sides and the counts agg all read it (see q_ann_lsh)."""
-    buckets = lsh_buckets(spark, sf_dir).cache()
-    counts = buckets.groupBy("t", "bucket").agg(F.count("*").alias("cnt"))
-    qrows = buckets.filter(F.col("vec_id") < N_QUERIES)
+    asserted by test_ann_recall_floors. The CACHED frame is the member
+    index (buckets + cnt + mh): probes and both cap branches read it,
+    so the per-member selection hash is computed once (the counts agg
+    re-derives the map-only bucket computation once more — one extra
+    corpus map pass beats caching the frame twice)."""
+    mem = _lsh_member_index(lsh_buckets(spark, sf_dir)).cache()
+    qrows = mem.filter(F.col("vec_id") < N_QUERIES)
     own_probes = qrows.select(
         F.col("vec_id").alias("ia"), "t", F.col("bucket").alias("probe")
     )
@@ -346,7 +370,7 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def probe_join(probes: DataFrame, cap: int) -> DataFrame:
-        qb = _lsh_capped_members(buckets, counts, cap).alias("qb")
+        qb = _lsh_capped_members(mem, cap).alias("qb")
         return (
             probes.alias("pa")
             .join(
@@ -380,7 +404,7 @@ own_cand AS (
   SELECT DISTINCT q.vec_id AS ia, m.vec_id AS ib
   FROM buckets q JOIN mem m ON q.t = m.t AND q.bucket = m.bucket
   WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> m.vec_id
-    AND m.mh % ((m.cnt + {LSH_OWN_CAP} - 1) // {LSH_OWN_CAP}) = 0),
+    AND {_lsh_cap_pred_duck(LSH_OWN_CAP)}),
 h1 AS (
   SELECT vec_id AS ia, t,
          unnest(list_transform(range(0, {LSH_NBITS}),
@@ -390,7 +414,7 @@ h1_cand AS (
   SELECT DISTINCT h1.ia, m.vec_id AS ib
   FROM h1 JOIN mem m ON h1.t = m.t AND h1.probe = m.bucket
   WHERE h1.ia <> m.vec_id
-    AND m.mh % ((m.cnt + {LSH_PROBE_CAP} - 1) // {LSH_PROBE_CAP}) = 0),
+    AND {_lsh_cap_pred_duck(LSH_PROBE_CAP)}),
 cand AS (SELECT ia, ib FROM own_cand UNION SELECT ia, ib FROM h1_cand),
 {_LSH_RESCORE_TAIL_DUCK}"""
 

@@ -227,14 +227,22 @@ def test_bench_two_tier_plan_order():
     subset and poisoned cross-round per-query comparison)."""
     import bench
 
-    prior = json.load(open(os.path.join(REPO, "BENCH_FULL.json")))["queries"]
+    full = json.load(open(os.path.join(REPO, "BENCH_FULL.json")))
+    prior, cold = full["queries"], set(full.get("degraded_names", []))
     names = list(prior) + ["zz_new_query"]
     order, head = bench._plan_order(names, REPO)
     assert sorted(order) == sorted(names) and len(set(order)) == len(order)
     assert len(head) == bench.HEADLINE_N
     assert set(order[: bench.HEADLINE_N]) == head
     assert "zz_new_query" not in head
-    assert order[bench.HEADLINE_N] == "zz_new_query"
-    # headline = the N heaviest by the prior artifact
-    heaviest = sorted(prior, key=lambda n: -prior[n])[: bench.HEADLINE_N]
+    # ranking ignores cold (degraded) prior timings — a cold-inflated
+    # 5x number must not evict a genuinely heavy warm query (r10
+    # review), and cold-timed queries re-enter as never-benched
+    assert not (head & cold), "cold-timed queries leaked into headline"
+    fresh_seg = order[bench.HEADLINE_N : bench.HEADLINE_N + 1 + len(cold)]
+    assert "zz_new_query" in fresh_seg
+    assert set(fresh_seg) <= cold | {"zz_new_query"}
+    # headline = the N heaviest by the prior artifact's WARM timings
+    warm = {n: t for n, t in prior.items() if n not in cold}
+    heaviest = sorted(warm, key=lambda n: -warm[n])[: bench.HEADLINE_N]
     assert head == set(heaviest)

@@ -720,3 +720,43 @@ def test_ann_recall_floors(spark, sf_dir):
     ip = similarity.q_ann_ivfpq_recall(spark, sf_dir).collect()
     mean_ip = sum(r.recall_at_k for r in ip) / len(ip)
     assert mean_ip >= 0.7, f"IVF-PQ recall collapsed: {mean_ip}"
+
+
+def test_lsh_cap_spark_duckdb_identity(spark):
+    """The multiprobe candidate cap is DORMANT on every graded dataset
+    (max bucket occupancy 26 < both caps), so without this test a
+    drift between the Spark stride/hash form and its DuckDB mirror
+    would pass every sweep green and only diverge at >=10x data
+    (round-10 review). Inject bucket occupancies that FIRE both caps
+    and assert the selected member sets are identical across engines."""
+    import duckdb
+    import pandas as pd
+
+    rows = []
+    rows += [(v * 17 + 3, 0, 5) for v in range(600)]   # fires OWN (256) + PROBE (64)
+    rows += [(10000 + v * 7, 1, 7) for v in range(65)]  # fires PROBE only
+    rows += [(20000 + v, 2, 9) for v in range(10)]      # dormant
+    rows += [(30000, 3, 11)]                            # singleton
+    sdf = spark.createDataFrame(rows, "vec_id BIGINT, t INT, bucket BIGINT")
+    mem = similarity._lsh_member_index(sdf)
+    con = duckdb.connect()
+    con.register("inj", pd.DataFrame(rows, columns=["vec_id", "t", "bucket"]))
+    for cap in (similarity.LSH_OWN_CAP, similarity.LSH_PROBE_CAP):
+        got = {
+            (r.vec_id, r.t, r.bucket)
+            for r in similarity._lsh_capped_members(mem, cap).collect()
+        }
+        q = (
+            f"WITH buckets AS (SELECT * FROM inj), {similarity._LSH_MEM_DUCK} "
+            f"SELECT m.vec_id, m.t, m.bucket FROM mem m "
+            f"WHERE {similarity._lsh_cap_pred_duck(cap)}"
+        )
+        duck = {tuple(r) for r in con.execute(q).fetchall()}
+        assert got == duck, f"cap {cap}: engines disagree on the sample"
+        # the cap actually FIRED on the 600-member bucket and the
+        # sample size is near the target (hash-stride, not exact)
+        big = [r for r in got if r[1] == 0]
+        assert len(big) < 600 and abs(len(big) - cap) <= cap // 2 + 16
+        # dormant buckets keep every member
+        assert len([r for r in got if r[1] == 2]) == 10
+        assert len([r for r in got if r[1] == 3]) == 1
