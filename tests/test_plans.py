@@ -904,3 +904,17 @@ def test_dsir_scoring_map_only_topk(spark):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_lsh_member_index_counts_join_is_broadcast(spark):
+    """The per-(t,bucket) occupancy join inside the LSH member index
+    (round-10 candidate budget) must plan as a broadcast hash join —
+    the counts side is provably bounded (≤ 2^NBITS × NTABLES rows);
+    dropping the explicit hint would re-shuffle the corpus-sized
+    bucket frame on (t,bucket) for a ≤2048-row side."""
+    from spark_ij_spark.operators import similarity
+
+    plan = _plan(similarity.q_ann_lsh(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
