@@ -231,13 +231,19 @@ buckets AS (
 # Member index (bucket membership + occupancy + selection hash), the
 # DuckDB mirror of _lsh_member_index — defined here, above every
 # oracle f-string that splices it (module-level f-strings evaluate in
-# file order; the r7 NameError class).
-_LSH_MEM_DUCK = f"""counts AS (
-  SELECT t, bucket, COUNT(*) AS cnt FROM buckets GROUP BY t, bucket),
+# file order; the r7 NameError class). Parameterized on the source
+# CTE: the retrievers index `buckets`, the incremental ingest indexes
+# the corpus-only subset (its stride must not depend on the delta).
+def _lsh_mem_duck(src: str = "buckets") -> str:
+    return f"""counts AS (
+  SELECT t, bucket, COUNT(*) AS cnt FROM {src} GROUP BY t, bucket),
 mem AS (
   SELECT b.vec_id, b.t, b.bucket, c.cnt,
          {hash60_duck("b.t || ':' || b.vec_id")} AS mh
-  FROM buckets b JOIN counts c ON b.t = c.t AND b.bucket = c.bucket)"""
+  FROM {src} b JOIN counts c ON b.t = c.t AND b.bucket = c.bucket)"""
+
+
+_LSH_MEM_DUCK = _lsh_mem_duck()
 
 
 def _lsh_member_index(buckets: DataFrame) -> DataFrame:
@@ -282,6 +288,27 @@ def _lsh_capped_members(mem: DataFrame, cap: int) -> DataFrame:
     )
 
 
+def _lsh_own_cand(mem: DataFrame) -> DataFrame:
+    """Own-bucket candidates (ia, ib): query rows (vec_id < N_QUERIES)
+    equi-joined to the ≈LSH_OWN_CAP capped member sample of their own
+    (t, bucket), self-pairs excluded — ONE implementation shared by
+    q_ann_lsh and q_ann_lsh_multiprobe's own-bucket branch (round-10
+    review: the two copies could desync on a cap retune; same
+    single-source rule as _rescore_topk). DuckDB twin:
+    _LSH_OWN_CAND_DUCK."""
+    qa = mem.filter(F.col("vec_id") < N_QUERIES).alias("qa")
+    qb = _lsh_capped_members(mem, LSH_OWN_CAP).alias("qb")
+    return (
+        qa.join(
+            qb,
+            (F.col("qa.t") == F.col("qb.t"))
+            & (F.col("qa.bucket") == F.col("qb.bucket"))
+            & (F.col("qa.vec_id") != F.col("qb.vec_id")),
+        )
+        .select(F.col("qa.vec_id").alias("ia"), F.col("qb.vec_id").alias("ib"))
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: candidates share the query's bucket in ANY of
     the LSH_NTABLES tables; exact cosine re-rank over the deduplicated
@@ -298,18 +325,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncapped own-bucket join at 3.95x/100x, the family's steepest
     curve once multiprobe was budgeted."""
     mem = _lsh_member_index(lsh_buckets(spark, sf_dir)).cache()
-    qa = mem.filter(F.col("vec_id") < N_QUERIES).alias("qa")
-    qb = _lsh_capped_members(mem, LSH_OWN_CAP).alias("qb")
-    cand = (
-        qa.join(
-            qb,
-            (F.col("qa.t") == F.col("qb.t"))
-            & (F.col("qa.bucket") == F.col("qb.bucket"))
-            & (F.col("qa.vec_id") != F.col("qb.vec_id")),
-        )
-        .select(F.col("qa.vec_id").alias("ia"), F.col("qb.vec_id").alias("ib"))
-        .distinct()
-    )
+    cand = _lsh_own_cand(mem).distinct()
     return _rescore_topk(spark, sf_dir, cand, LSH_TOPK)
 
 
@@ -330,15 +346,21 @@ ranked AS (
 SELECT ia, ib, rank, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= {LSH_TOPK}
 """
 
-Q_ANN_LSH_SQL = f"""
-WITH {_LSH_BUCKETS_DUCK},
-{_LSH_MEM_DUCK},
-cand AS (
+# Own-bucket candidate CTE body — the DuckDB twin of _lsh_own_cand,
+# spliced (as `own_cand`) into BOTH the exact-bucket and multiprobe
+# oracles so a cap retune can't desync them (round-10 review).
+_LSH_OWN_CAND_DUCK = f"""own_cand AS (
   SELECT DISTINCT qa.vec_id AS ia, m.vec_id AS ib
   FROM buckets qa JOIN mem m
     ON qa.t = m.t AND qa.bucket = m.bucket AND qa.vec_id <> m.vec_id
   WHERE qa.vec_id < {N_QUERIES}
-    AND {_lsh_cap_pred_duck(LSH_OWN_CAP)}),
+    AND {_lsh_cap_pred_duck(LSH_OWN_CAP)})"""
+
+Q_ANN_LSH_SQL = f"""
+WITH {_LSH_BUCKETS_DUCK},
+{_LSH_MEM_DUCK},
+{_LSH_OWN_CAND_DUCK},
+cand AS (SELECT ia, ib FROM own_cand),
 {_LSH_RESCORE_TAIL_DUCK}"""
 
 
@@ -370,52 +392,41 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the map-only bucket computation once more — one extra
     corpus map pass beats caching the frame twice)."""
     mem = _lsh_member_index(lsh_buckets(spark, sf_dir)).cache()
-    qrows = mem.filter(F.col("vec_id") < N_QUERIES)
-    own_probes = qrows.select(
-        F.col("vec_id").alias("ia"), "t", F.col("bucket").alias("probe")
-    )
-    h1_probes = qrows.select(
-        F.col("vec_id").alias("ia"),
-        "t",
-        F.explode(
-            F.array(
-                *[
-                    F.expr(f"bucket ^ CAST({1 << i} AS BIGINT)")
-                    for i in range(LSH_NBITS)
-                ]
-            )
-        ).alias("probe"),
-    )
-
-    def probe_join(probes: DataFrame, cap: int) -> DataFrame:
-        qb = _lsh_capped_members(mem, cap).alias("qb")
-        return (
-            probes.alias("pa")
-            .join(
-                qb,
-                (F.col("pa.t") == F.col("qb.t"))
-                & (F.col("pa.probe") == F.col("qb.bucket"))
-                & (F.col("pa.ia") != F.col("qb.vec_id")),
-            )
-            .select(F.col("pa.ia").alias("ia"), F.col("qb.vec_id").alias("ib"))
+    h1_probes = (
+        mem.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("ia"),
+            "t",
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(f"bucket ^ CAST({1 << i} AS BIGINT)")
+                        for i in range(LSH_NBITS)
+                    ]
+                )
+            ).alias("probe"),
         )
-
-    cand = (
-        probe_join(own_probes, LSH_OWN_CAP)
-        .union(probe_join(h1_probes, LSH_PROBE_CAP))
-        .distinct()
+        .alias("pa")
     )
+    qb = _lsh_capped_members(mem, LSH_PROBE_CAP).alias("qb")
+    h1_cand = (
+        h1_probes.join(
+            qb,
+            (F.col("pa.t") == F.col("qb.t"))
+            & (F.col("pa.probe") == F.col("qb.bucket"))
+            & (F.col("pa.ia") != F.col("qb.vec_id")),
+        )
+        .select(F.col("pa.ia").alias("ia"), F.col("qb.vec_id").alias("ib"))
+    )
+    # own-bucket branch = the SAME _lsh_own_cand q_ann_lsh runs
+    cand = _lsh_own_cand(mem).union(h1_cand).distinct()
     return _rescore_topk(spark, sf_dir, cand, LSH_TOPK)
 
 
 Q_ANN_LSH_MULTIPROBE_SQL = f"""
 WITH {_LSH_BUCKETS_DUCK},
 {_LSH_MEM_DUCK},
-own_cand AS (
-  SELECT DISTINCT q.vec_id AS ia, m.vec_id AS ib
-  FROM buckets q JOIN mem m ON q.t = m.t AND q.bucket = m.bucket
-  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> m.vec_id
-    AND {_lsh_cap_pred_duck(LSH_OWN_CAP)}),
+{_LSH_OWN_CAND_DUCK},
 h1 AS (
   SELECT vec_id AS ia, t,
          unnest(list_transform(range(0, {LSH_NBITS}),
@@ -1102,19 +1113,22 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_dedup_incremental``); since round 10 the probed corpus side is
     additionally candidate-budgeted at ≈LSH_OWN_CAP per bucket
     (_lsh_capped_members, dormant at graded SFs — see the cap note),
-    bounding per-delta-vector rescore fan-in by a constant.
-    Exact-cosine rescore + top LSH_TOPK per delta vector, same
-    rank/tie semantics as the other retrievers. The member index is
-    cached: delta and corpus sides both read it (q_ann_lsh)."""
-    mem = _lsh_member_index(lsh_buckets(spark, sf_dir)).cache()
-    delta = mem.filter(
+    bounding per-delta-vector rescore fan-in by a constant. The
+    member index is built over CORPUS-ONLY membership — a stride
+    computed from counts that include the incoming delta would shrink
+    (and re-shuffle) the standing-index sample as a function of the
+    batch being ingested (round-10 review). Exact-cosine rescore +
+    top LSH_TOPK per delta vector, same rank/tie semantics as the
+    other retrievers. The buckets frame is cached: the delta filter,
+    the corpus counts agg and the corpus join side all read it."""
+    buckets = lsh_buckets(spark, sf_dir).cache()
+    delta = buckets.filter(
         F.col("vec_id") % ANN_DELTA_MOD == ANN_DELTA_RESIDUE
     ).alias("da")
-    corpus = (
-        _lsh_capped_members(mem, LSH_OWN_CAP)
-        .filter(F.col("vec_id") % ANN_DELTA_MOD != ANN_DELTA_RESIDUE)
-        .alias("cb")
+    mem = _lsh_member_index(
+        buckets.filter(F.col("vec_id") % ANN_DELTA_MOD != ANN_DELTA_RESIDUE)
     )
+    corpus = _lsh_capped_members(mem, LSH_OWN_CAP).alias("cb")
     cand = (
         delta.join(
             corpus,
@@ -1131,13 +1145,14 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_ANN_INCREMENTAL_SQL = f"""
 WITH {_LSH_BUCKETS_DUCK},
-{_LSH_MEM_DUCK},
+corpus AS (
+  SELECT * FROM buckets WHERE vec_id % {ANN_DELTA_MOD} <> {ANN_DELTA_RESIDUE}),
+{_lsh_mem_duck("corpus")},
 cand AS (
   SELECT DISTINCT da.vec_id AS ia, m.vec_id AS ib
   FROM buckets da JOIN mem m
     ON da.t = m.t AND da.bucket = m.bucket
   WHERE da.vec_id % {ANN_DELTA_MOD} = {ANN_DELTA_RESIDUE}
-    AND m.vec_id % {ANN_DELTA_MOD} <> {ANN_DELTA_RESIDUE}
     AND {_lsh_cap_pred_duck(LSH_OWN_CAP)}),
 {_LSH_RESCORE_TAIL_DUCK}"""
 

@@ -914,7 +914,13 @@ def test_lsh_member_index_counts_join_is_broadcast(spark):
     bucket frame on (t,bucket) for a ≤2048-row side."""
     from spark_ij_spark.operators import similarity
 
+    # plan the member index ALONE: in the full query another legitimate
+    # broadcast hint could mask a dropped counts hint (round-10 review)
+    mem_plan = _plan(
+        similarity._lsh_member_index(similarity.lsh_buckets(spark, SF_DIR))
+    )
+    assert "BroadcastHashJoin" in mem_plan
+    assert "SortMergeJoin" not in mem_plan and "ShuffledHashJoin" not in mem_plan
     plan = _plan(similarity.q_ann_lsh(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan

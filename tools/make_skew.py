@@ -13,11 +13,12 @@ leaves dormant:
   salted-agg, co-occurrence paths).
 - lineitem: ~20% of rows re-keyed to one hot part and one hot
   supplier (skewed joins; AQE skew handling).
-- embeddings: ~20% of vectors replaced by copies of vector 0 (a dense
+- embeddings: ~60% of vectors replaced by copies of vector 0 (a dense
   cell for SemDeDup/IVF/LSH bucket hotness; raised from 10% in round
-  10 so the densest LSH bucket exceeds LSH_PROBE_CAP=64 and the
-  retrieval candidate caps FIRE live under the skew hash sweep —
-  at 10% the max occupancy was 57, one short of the cap).
+  10 so the densest LSH bucket exceeds BOTH retrieval candidate caps
+  (LSH_PROBE_CAP=64 and LSH_OWN_CAP=256) and every cap branch runs
+  live end-to-end under the skew hash sweep — at 10% the max
+  occupancy was 57, below even the probe cap's 64).
 
 Everything is DETERMINISTIC (modular rules on ids, no RNG) and
 applied identically nowhere — the point is that Spark and DuckDB read
@@ -169,7 +170,7 @@ def main() -> int:
         .select(
             "vec_id",
             F.expr(
-                "CASE WHEN vec_id % 5 = 2 THEN e0 ELSE embedding END"
+                "CASE WHEN vec_id % 5 IN (0, 1, 2) THEN e0 ELSE embedding END"
             ).alias("embedding"),
             "label",
         )
