@@ -35,6 +35,45 @@ import zlib
 
 import numpy as np
 
+
+def _codec_errors(fmt: str):
+    """Normalize a decoder's failure contract to ValueError: a corrupt
+    or truncated stream must never escape as IndexError, KeyError,
+    StopIteration, struct.error, zlib.error or an arithmetic error —
+    a crawl-scale ingest quarantines on the documented ValueError and
+    should not have to enumerate every internal slip a mangled byte
+    can trigger (round-10 fuzz: 3-byte mutations of valid streams
+    escaped as 4 distinct non-ValueError types). The original
+    exception stays chained for debugging; real resource errors
+    (MemoryError, KeyboardInterrupt, ...) pass through untouched."""
+
+    def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(data, *args, **kwargs):
+            try:
+                return fn(data, *args, **kwargs)
+            except (
+                IndexError,
+                KeyError,
+                StopIteration,
+                EOFError,
+                struct.error,
+                zlib.error,
+                ZeroDivisionError,
+                OverflowError,
+                UnicodeDecodeError,
+            ) as e:
+                raise ValueError(
+                    f"{fmt}: malformed stream ({type(e).__name__}: {e})"
+                ) from e
+
+        return wrapped
+
+    return deco
+
+
 # ---------------------------------------------------------------------------
 # PNG
 # ---------------------------------------------------------------------------
@@ -158,6 +197,7 @@ def _deinterlace_adam7(
     return out.reshape(height, width * bpp)
 
 
+@_codec_errors("PNG")
 def decode_png(data: bytes) -> np.ndarray:
     if data[:8] != PNG_SIG:
         raise ValueError("PNG: bad signature")
@@ -390,6 +430,7 @@ def tiff_is_color(data: bytes) -> bool:
     return tags.get(_T_SPP, [1])[0] == 3
 
 
+@_codec_errors("TIFF")
 def decode_tiff(data: bytes) -> np.ndarray:
     if data[:4] == b"MM\x00*":
         bo = ">"
@@ -552,6 +593,7 @@ def _dcm_skip_undefined(data: bytes, pos: int) -> int:
     raise ValueError("DICOM: unterminated undefined-length sequence")
 
 
+@_codec_errors("DICOM")
 def decode_dicom(data: bytes) -> np.ndarray:
     """Minimal single-frame DICOM: 128-byte preamble + 'DICM', explicit
     or implicit VR little endian, uncompressed PixelData. Returns raw
@@ -683,6 +725,7 @@ def encode_dicom(arr: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+@_codec_errors("PNM")
 def decode_pnm(data: bytes) -> np.ndarray:
     if data[:2] not in (b"P5", b"P6"):
         raise ValueError("PNM: only binary P5/P6 supported")
@@ -736,6 +779,7 @@ def encode_pnm(arr: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+@_codec_errors("BMP")
 def decode_bmp(data: bytes) -> np.ndarray:
     """Uncompressed BI_RGB Windows bitmaps: 24-bit BGR and 32-bit BGRA
     (alpha stripped) to RGB, 8-bit paletted (grayscale palettes become
@@ -875,6 +919,7 @@ def _gif_deinterlace(idx: np.ndarray) -> np.ndarray:
     return out
 
 
+@_codec_errors("GIF")
 def decode_gif(data: bytes) -> np.ndarray:
     """First frame of a GIF87a/89a stream: global or local color
     table, optional interlace; grayscale palettes become gray (h, w),
@@ -991,6 +1036,7 @@ def encode_gif(arr: np.ndarray) -> bytes:
 # --------------------------------------------------------------------------
 
 
+@_codec_errors("WAV")
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM to (samples[n][channels] int16, sample_rate).
 
@@ -1002,14 +1048,20 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     import io
     import wave
 
-    with wave.open(io.BytesIO(data), "rb") as w:
-        nch, sw, sr, nf = (
-            w.getnchannels(),
-            w.getsampwidth(),
-            w.getframerate(),
-            w.getnframes(),
-        )
-        raw = w.readframes(nf)
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            nch, sw, sr, nf = (
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getframerate(),
+                w.getnframes(),
+            )
+            raw = w.readframes(nf)
+    except (wave.Error, EOFError, RuntimeError) as e:
+        # the stdlib parser's corrupt-stream vocabulary (incl. a bare
+        # RuntimeError from its internal chunk seek) → the documented
+        # ValueError, same failure contract as the native decoders
+        raise ValueError(f"WAV: malformed stream ({e or type(e).__name__})") from e
     if sw == 1:
         arr = (np.frombuffer(raw, np.uint8).astype(np.int16) - 128) * 256
     elif sw == 2:
@@ -1054,6 +1106,7 @@ def encode_wav(arr: np.ndarray, sample_rate: int = 16000) -> bytes:
 # covers the uncompressed container path end-to-end.
 
 
+@_codec_errors("AVI")
 def decode_avi(data: bytes) -> np.ndarray:
     """Uncompressed 8-bit-palette AVI → [h][w][frames] uint8.
 
@@ -1117,6 +1170,10 @@ def decode_avi(data: bytes) -> np.ndarray:
                 pal = np.arange(256, dtype=np.uint8)
                 pal[:n_pal] = pal_[:, 0]
             elif cid in (b"00db", b"00dc") and size:
+                if w is None:
+                    # a frame chunk before (or with a corrupted) strf:
+                    # dims unknown — malformed, not a TypeError site
+                    raise ValueError("AVI: frame chunk before stream format")
                 stride = ((8 * w + 31) // 32) * 4
                 if size < h * stride or body + h * stride > len(data):
                     # respect the chunk's declared size: a short chunk
@@ -1237,6 +1294,7 @@ def _mp4_find(data: bytes, start: int, end: int, path: str):
     return None
 
 
+@_codec_errors("MP4")
 def decode_mp4(data: bytes) -> np.ndarray:
     """MJPEG-in-MP4 → [h][w][frames] uint8 (grayscale frames; color
     JPEG samples raise, matching decode_avi's palette rule). Container
@@ -2331,6 +2389,7 @@ def _progressive_scan(
     return pos
 
 
+@_codec_errors("JPEG")
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline/extended-sequential AND progressive (SOF0/SOF1/SOF2)
     Huffman JFIF → uint8 [h][w] (gray) or [h][w][3] (RGB). Supports
