@@ -1390,3 +1390,27 @@ def test_corrupt_streams_raise_valueerror_only():
             except ValueError:
                 pass
             # any other exception type fails the test by propagating
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arrays(
+        dtype=st.just(np.uint8),
+        shape=st.one_of(
+            st.tuples(st.integers(1, 40), st.integers(1, 40)),
+            st.tuples(st.integers(1, 24), st.integers(1, 24), st.just(3)),
+        ),
+    ),
+    st.sampled_from([10, 50, 90, 100]),
+    st.sampled_from([0, 1, 3]),
+)
+def test_jpeg_progressive_equals_baseline_property(arr, quality, dri):
+    """Property form of the progressive==baseline invariant: for ANY
+    uint8 image, quality and restart cadence, the multi-scan SOF2
+    stream decodes to the SAME pixels as the single-scan baseline
+    (both deliver identical quantized coefficients)."""
+    base = pp.decode_jpeg(pp.encode_jpeg(arr, quality=quality))
+    prog = pp.decode_jpeg(
+        pp.encode_jpeg_progressive(arr, quality=quality, dri=dri)
+    )
+    np.testing.assert_array_equal(base, prog)
