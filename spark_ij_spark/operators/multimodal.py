@@ -99,7 +99,11 @@ def decode_media_bytes(data: bytes, mime: str) -> np.ndarray:
     video frames land on the frame axis); WAV audio decodes to
     [channels][1][samples]. No stubs remain since round 10."""
     if mime == NPY_MIME:
-        return np.load(io.BytesIO(bytes(data)), allow_pickle=False)
+        try:
+            return np.load(io.BytesIO(bytes(data)), allow_pickle=False)
+        except (EOFError, OSError) as e:
+            # same ValueError failure contract as every codec path
+            raise ValueError(f"npy: malformed stream ({e})") from e
     if mime == WAV_MIME:
         from spark_ij_spark.sources.purepy_codecs import decode_wav
 

@@ -62,7 +62,13 @@ def decode_bytes(data: bytes, path: str) -> np.ndarray:
     # its header; AVI is grayscale frames; .npy provenance is unknown,
     # so only it keeps the uint8/uint16 heuristic (rgb=None).
     if sfx == ".npy":
-        arr = np.load(io.BytesIO(data), allow_pickle=False)
+        try:
+            arr = np.load(io.BytesIO(data), allow_pickle=False)
+        except (EOFError, OSError) as e:
+            # np.load's corrupt/truncated-stream vocabulary → the same
+            # ValueError contract every other format honors (round-10
+            # review: an empty payload escaped as EOFError)
+            raise ValueError(f"npy: malformed stream ({e})") from e
         return ensure_3d(coerce_ingest(arr))
     if sfx == ".png":
         return ensure_3d(coerce_ingest(pp.decode_png(data)), rgb=True)

@@ -63,7 +63,7 @@ def _codec_errors(fmt: str):
                 zlib.error,
                 ZeroDivisionError,
                 OverflowError,
-                UnicodeDecodeError,
+                RecursionError,  # data-controlled nesting (AVI/DICOM)
             ) as e:
                 raise ValueError(
                     f"{fmt}: malformed stream ({type(e).__name__}: {e})"
@@ -577,9 +577,15 @@ _DCM_IMPLICIT_LE = "1.2.840.10008.1.2"
 _DCM_LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
 
 
-def _dcm_skip_undefined(data: bytes, pos: int) -> int:
+def _dcm_skip_undefined(data: bytes, pos: int, depth: int = 0) -> int:
     """Skip an undefined-length sequence: scan item-by-item to the
-    Sequence Delimitation Item (FFFE,E0DD)."""
+    Sequence Delimitation Item (FFFE,E0DD). Nesting depth is
+    data-controlled, so it is capped: a real DICOM SQ tree is a few
+    levels deep, while a corrupt stream of repeated undefined-length
+    item headers would otherwise recurse to RecursionError (round-10
+    review)."""
+    if depth > 32:
+        raise ValueError("DICOM: sequence nesting too deep (corrupt stream)")
     while pos < len(data):
         group, elem = struct.unpack_from("<HH", data, pos)
         (length,) = struct.unpack_from("<I", data, pos + 4)
@@ -587,7 +593,7 @@ def _dcm_skip_undefined(data: bytes, pos: int) -> int:
         if (group, elem) == (0xFFFE, 0xE0DD):
             return pos
         if (group, elem) == (0xFFFE, 0xE000) and length == 0xFFFFFFFF:
-            pos = _dcm_skip_undefined(data, pos)  # undefined-length item
+            pos = _dcm_skip_undefined(data, pos, depth + 1)
         else:
             pos += length
     raise ValueError("DICOM: unterminated undefined-length sequence")
@@ -1061,7 +1067,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         # the stdlib parser's corrupt-stream vocabulary (incl. a bare
         # RuntimeError from its internal chunk seek) → the documented
         # ValueError, same failure contract as the native decoders
-        raise ValueError(f"WAV: malformed stream ({e or type(e).__name__})") from e
+        raise ValueError(
+            f"WAV: malformed stream ({str(e) or type(e).__name__})"
+        ) from e
     if sw == 1:
         arr = (np.frombuffer(raw, np.uint8).astype(np.int16) - 128) * 256
     elif sw == 2:
@@ -1121,15 +1129,20 @@ def decode_avi(data: bytes) -> np.ndarray:
     bottom_up = True
     frames: list[np.ndarray] = []
 
-    def walk(start: int, end: int) -> None:
+    def walk(start: int, end: int, depth: int = 0) -> None:
         nonlocal w, h, bpp, pal, bottom_up
+        if depth > 16:
+            # LIST nesting is data-controlled; a real AVI is ~3 levels
+            # (hdrl/strl, movi/rec) — a corrupt stream of repeated LIST
+            # headers would otherwise recurse to RecursionError
+            raise ValueError("AVI: LIST nesting too deep (corrupt stream)")
         pos = start
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             (size,) = struct.unpack_from("<I", data, pos + 4)
             body = pos + 8
             if cid == b"LIST":
-                walk(body + 4, body + size)  # skip the 4-byte list type
+                walk(body + 4, body + size, depth + 1)  # skip the 4-byte list type
             elif cid == b"strf" and w is None:
                 w_, h_ = struct.unpack_from("<ii", data, body + 4)
                 (bpp_,) = struct.unpack_from("<H", data, body + 14)
@@ -1324,6 +1337,15 @@ def decode_mp4(data: bytes) -> np.ndarray:
             raise ValueError("MP4: jpeg track missing stsz")
         _, fixed, count = struct.unpack_from(">III", data, stsz[0])
         if fixed:
+            # bound BEFORE materializing: a corrupt count near 2^32
+            # would allocate a multi-GB list here (the non-fixed path
+            # is naturally bounded — unpack_from raises struct.error
+            # on a short buffer); count*fixed can never exceed the
+            # file's own size
+            if count > len(data) // max(1, fixed):
+                raise ValueError(
+                    "MP4: stsz sample count exceeds file size (corrupt)"
+                )
             sizes = [fixed] * count
         else:
             sizes = list(struct.unpack_from(f">{count}I", data, stsz[0] + 12))

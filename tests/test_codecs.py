@@ -1414,3 +1414,40 @@ def test_jpeg_progressive_equals_baseline_property(arr, quality, dri):
         pp.encode_jpeg_progressive(arr, quality=quality, dri=dri)
     )
     np.testing.assert_array_equal(base, prog)
+
+
+def test_adversarial_nesting_and_allocation_bombs_raise_valueerror():
+    """Shapes random byte flips never construct (round-10 review):
+    deep LIST/SQ nesting (RecursionError class), a fixed-size stsz
+    whose count implies more bytes than the file holds (multi-GB
+    allocation before any check), and empty/truncated .npy payloads."""
+    import struct as st
+
+    # AVI: 5000 nested LIST headers
+    bomb = b"RIFF" + st.pack("<I", 70000) + b"AVI " + (b"LIST" + st.pack("<I", 60000) + b"xxxx") * 5000
+    with pytest.raises(ValueError, match="AVI"):
+        pp.decode_avi(bomb)
+    # DICOM: repeated undefined-length item headers
+    items = (st.pack("<HHI", 0xFFFE, 0xE000, 0xFFFFFFFF)) * 2000
+    dcm = b"\x00" * 128 + b"DICM" + st.pack("<HH", 0x0008, 0x0000) + b"SQ\x00\x00" + st.pack("<I", 0xFFFFFFFF) + items
+    with pytest.raises(ValueError, match="DICOM"):
+        pp.decode_dicom(dcm)
+    # MP4: fixed-size stsz with count near 2^32
+    blob = bytearray(pp.encode_mp4_mjpeg(np.zeros((8, 8), np.uint8)))
+    at = blob.find(b"stsz")
+    # stsz payload: fullbox(4) + fixed(4) + count(4)
+    blob[at + 8 : at + 16] = st.pack(">II", 1 << 20, 0xFFFF0000)
+    with pytest.raises(ValueError, match="MP4"):
+        pp.decode_mp4(bytes(blob))
+    # npy: empty and truncated payloads through both dispatch layers
+    from spark_ij_spark.operators import multimodal as mm
+    from spark_ij_spark.sources import codecs
+
+    # empty payload raised EOFError before the wrap; the truncated
+    # header already raises numpy's own ValueError — both must be
+    # ValueError, whatever the message source
+    for payload in (b"", b"\x93NUMPY\x01\x00"):
+        with pytest.raises(ValueError):
+            codecs.decode_bytes(payload, "x.npy")
+        with pytest.raises(ValueError):
+            mm.decode_media_bytes(payload, mm.NPY_MIME)
