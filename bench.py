@@ -3,22 +3,32 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Two-tier timing protocol (round 10 — the 172-query flat protocol blew
-its own budget in r9 and cold-degraded a nondeterministic subset,
-making per-query cross-round comparison impossible):
+Tiered timing protocol (round 11 — deterministic warm cadence):
 
 - HEADLINE tier: the HEADLINE_N heaviest queries by the previous
-  committed BENCH_FULL.json run FIRST and are ALWAYS timed warm
-  (untimed warmup pass + min-of-3), budget notwithstanding. These are
-  the numbers cross-round regressions are adjudicated on, so they must
-  never silently change regime.
-- TAIL tier: everything else, ordered never-benched-first then rotated
-  by round index (count of BENCH_r*.json files — deterministic, each
-  round starts the rotation further along so the whole tail gets a
-  warm timing every few rounds). Warm min-of-3 while inside the
-  wall-clock budget; past it, a single COLD run, recorded per-query as
-  cold and listed by name in "degraded_names" so the artifact is
-  self-adjudicating (VERDICT r9 "What's wrong #1").
+  committed BENCH_FULL.json run FIRST and are timed warm (untimed
+  warmup pass + min-of-3). These are the numbers cross-round
+  regressions are adjudicated on. A hard secondary ceiling (2x the
+  budget — ADVICE r10) degrades even headline queries to warmup + one
+  timed run if the box is pathologically loaded, recorded in
+  degraded_names so the artifact stays self-adjudicating.
+- FRESH tier: never-warm-benched queries (new this round, or
+  cold-timed last round) run warm next, so new work always gets a
+  warm baseline.
+- COHORT tier: the remaining tail is split into WARM_EVERY_K_ROUNDS
+  deterministic cohorts by a stable hash of the query NAME (crc32 %
+  K), and the cohort matching the round index (count of BENCH_r*.json
+  files) runs warm. A query's cohort slot never changes, so every
+  tail query gets a warm timing every K rounds BY CONSTRUCTION
+  (VERDICT r10 #3 — the rotation protocol left 109/174 cold in r10
+  and a tail regression could hide 4-5 rounds).
+- COLD remainder: everything else gets a single cold timed run for
+  coverage, listed in degraded_names (cold timings are never used for
+  ranking or cross-round comparison).
+
+Soft wall-clock budget: past it, remaining FRESH/COHORT queries
+degrade to single cold runs (recorded) so the harness always finishes
+inside the driver's capture window.
 
 Cache is cleared after each query: cached frames (dedup postings, CC
 loop frames, ...) accumulate across the run otherwise, and the
@@ -34,19 +44,36 @@ import json
 import os
 import sys
 import time
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE_N = 40
+WARM_EVERY_K_ROUNDS = 5
 
 
-def _plan_order(names: list[str], repo: str) -> tuple[list[str], set[str]]:
-    """Return (run order, headline set): heaviest-by-prior-run headline
-    tier first, then never-benched tail queries, then the known tail
-    rotated by round index. Ranking uses WARM prior timings only — a
-    query cold-timed last run (degraded_names) re-enters as
-    never-benched, so a cold-inflated 5x number can't evict a genuine
-    heavy query from the headline tier (round-10 review)."""
+def _round_index(repo: str) -> int:
+    return len(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+
+
+def _cohort_slot(name: str) -> int:
+    """Stable cohort assignment: depends only on the query NAME, so a
+    query keeps its warm-round slot even as the tail's membership
+    shifts around it (an index-based split would reshuffle slots
+    whenever a query enters/leaves the headline tier)."""
+    return zlib.crc32(name.encode("utf-8")) % WARM_EVERY_K_ROUNDS
+
+
+def _plan_order(
+    names: list[str], repo: str
+) -> tuple[list[str], set[str], set[str]]:
+    """Return (run order, headline set, warm set): heaviest-by-prior-run
+    headline tier first, then never-warm-benched queries, then this
+    round's tail cohort (all warm), then the cold remainder. Ranking
+    uses WARM prior timings only — a query cold-timed last run
+    (degraded_names) re-enters as never-benched, so a cold-inflated 5x
+    number can't evict a genuine heavy query from the headline tier
+    (round-10 review)."""
     prior: dict[str, float] = {}
     try:
         with open(os.path.join(repo, "BENCH_FULL.json")) as fh:
@@ -61,13 +88,12 @@ def _plan_order(names: list[str], repo: str) -> tuple[list[str], set[str]]:
     headline = sorted(known, key=lambda n: -prior[n])[:HEADLINE_N]
     head_set = set(headline)
     fresh = [n for n in names if n not in prior]
-    tail = [n for n in known if n not in head_set]
-    tail.sort(key=lambda n: -prior[n])
-    rounds = len(glob.glob(os.path.join(repo, "BENCH_r*.json")))
-    if tail:
-        k = (rounds * 37) % len(tail)  # 37 coprime-ish stride: spread starts
-        tail = tail[k:] + tail[:k]
-    return headline + fresh + tail, head_set
+    tail = sorted(n for n in known if n not in head_set)
+    slot = _round_index(repo) % WARM_EVERY_K_ROUNDS
+    cohort = [n for n in tail if _cohort_slot(n) == slot]
+    cold_rest = [n for n in tail if _cohort_slot(n) != slot]
+    warm_set = head_set | set(fresh) | set(cohort)
+    return headline + fresh + cohort + cold_rest, head_set, warm_set
 
 
 def main() -> None:
@@ -83,7 +109,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    order, head_set = _plan_order(list(qs), repo)
+    order, head_set, warm_set = _plan_order(list(qs), repo)
 
     # Warmup: absorb one-time JVM/codegen startup (q1, pure JVM) and
     # Python-worker pool startup (a pandas-UDF query) so timed runs
@@ -94,31 +120,46 @@ def main() -> None:
     # under the same isolated-cache protocol as the rest
     spark.catalog.clearCache()
 
-    # Soft wall-clock budget: past it, remaining TAIL queries degrade
-    # from warmup+min-of-3 to a single COLD timed run (no warmup pass —
-    # r9: warmup+1 still overran a 10-minute capture window on a loaded
-    # box) so the harness ALWAYS finishes inside the driver's window
-    # even when the shared box is 2x loaded. Headline queries never
-    # degrade — the budget is sized so the headline tier fits even at
-    # 2x load (~280 s of a 480 s budget at r9 timings).
+    # Soft wall-clock budget: past it, remaining warm-tier TAIL queries
+    # (fresh/cohort) degrade to a single COLD timed run (no warmup pass
+    # — r9: warmup+1 still overran a 10-minute capture window on a
+    # loaded box). Hard ceiling at 2x budget: even HEADLINE queries
+    # fall back to warmup + ONE timed run past it (ADVICE r10 — prior
+    # timings understating current cost must not blow the driver's
+    # capture window), recorded in degraded_names either way.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
     t_start = time.monotonic()
-    degraded_names: list[str] = []
+    degraded_names: list[str] = []  # every name whose timing is not warm min-of-3
+    budget_degraded: list[str] = []  # the subset degraded by budget overrun
 
     timings: dict[str, float] = {}
     for name in order:
         fn = qs[name]
-        # one untimed pass absorbs per-query cold costs (codegen, cache
-        # materialization, Python-worker reuse), then min-of-3 timed
-        # runs measures steady-state throughput — the box this runs on
-        # is shared, and cold-run noise was ±20% run-to-run.
-        over = name not in head_set and time.monotonic() - t_start > budget
-        if over:
+        elapsed = time.monotonic() - t_start
+        if name not in warm_set:
+            # cold-by-design remainder: single run, never used for
+            # ranking/comparison (flagged via degraded_names)
             degraded_names.append(name)
-            reps = 1
+            warmup, reps = False, 1
+        elif name in head_set:
+            if elapsed > 2 * budget:
+                degraded_names.append(name)
+                budget_degraded.append(name)
+                warmup, reps = True, 1
+            else:
+                warmup, reps = True, 3
+        elif elapsed > budget:
+            degraded_names.append(name)
+            budget_degraded.append(name)
+            warmup, reps = False, 1
         else:
-            fn(spark, sf_dir).count()  # untimed warmup pass
-            reps = 3
+            warmup, reps = True, 3
+        if warmup:
+            # one untimed pass absorbs per-query cold costs (codegen,
+            # cache materialization, Python-worker reuse); min-of-3
+            # then measures steady-state — the box is shared and
+            # cold-run noise was ±20% run-to-run.
+            fn(spark, sf_dir).count()
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -144,8 +185,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "headline": sorted(head_set),
+        "warm": sorted(warm_set - set(budget_degraded)),
+        "warm_every_k_rounds": WARM_EVERY_K_ROUNDS,
+        "round_index": _round_index(repo),
         "degraded": len(degraded_names),
         "degraded_names": degraded_names,
+        "budget_degraded": budget_degraded,
         "sf": sf_val,
     }
     with open(os.path.join(repo, "BENCH_FULL.json"), "w") as fh:
@@ -159,7 +204,10 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": slowest,
+                "n_warm": len(warm_set - set(budget_degraded)),
+                "warm_every_k_rounds": WARM_EVERY_K_ROUNDS,
                 "degraded": len(degraded_names),
+                "budget_degraded": len(budget_degraded),
                 "sf": sf_val,
                 "full": "BENCH_FULL.json",
             }

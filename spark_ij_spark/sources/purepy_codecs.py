@@ -1307,6 +1307,18 @@ def _mp4_find(data: bytes, start: int, end: int, path: str):
     return None
 
 
+def _mp4_table_fits(
+    box: tuple[int, int], hdr: int, count: int, width: int, name: str
+) -> None:
+    """Entry tables must fit inside their declaring box. unpack_from
+    against the whole file would otherwise silently read neighboring
+    boxes' bytes as table entries when a corrupt count overruns the
+    box, deferring the failure to an arbitrary later check (ADVICE
+    r10). `count * width` is computed in Python ints — no overflow."""
+    if box[0] + hdr > box[1] or count * width > box[1] - box[0] - hdr:
+        raise ValueError(f"MP4: {name} entry count exceeds its box (corrupt)")
+
+
 @_codec_errors("MP4")
 def decode_mp4(data: bytes) -> np.ndarray:
     """MJPEG-in-MP4 → [h][w][frames] uint8 (grayscale frames; color
@@ -1335,23 +1347,25 @@ def decode_mp4(data: bytes) -> np.ndarray:
         stsz = _mp4_find(data, *stbl, "stsz")
         if stsz is None:
             raise ValueError("MP4: jpeg track missing stsz")
+        if stsz[0] + 12 > stsz[1]:
+            raise ValueError("MP4: stsz box too short")
         _, fixed, count = struct.unpack_from(">III", data, stsz[0])
         if fixed:
             # bound BEFORE materializing: a corrupt count near 2^32
-            # would allocate a multi-GB list here (the non-fixed path
-            # is naturally bounded — unpack_from raises struct.error
-            # on a short buffer); count*fixed can never exceed the
-            # file's own size
+            # would allocate a multi-GB list here; count*fixed can
+            # never exceed the file's own size
             if count > len(data) // max(1, fixed):
                 raise ValueError(
                     "MP4: stsz sample count exceeds file size (corrupt)"
                 )
             sizes = [fixed] * count
         else:
+            _mp4_table_fits(stsz, 12, count, 4, "stsz")
             sizes = list(struct.unpack_from(f">{count}I", data, stsz[0] + 12))
         stco = _mp4_find(data, *stbl, "stco")
         if stco is not None:
             (_, nchunks) = struct.unpack_from(">II", data, stco[0])
+            _mp4_table_fits(stco, 8, nchunks, 4, "stco")
             offsets = list(
                 struct.unpack_from(f">{nchunks}I", data, stco[0] + 8)
             )
@@ -1360,6 +1374,7 @@ def decode_mp4(data: bytes) -> np.ndarray:
             if co64 is None:
                 raise ValueError("MP4: jpeg track missing stco/co64")
             (_, nchunks) = struct.unpack_from(">II", data, co64[0])
+            _mp4_table_fits(co64, 8, nchunks, 8, "co64")
             offsets = list(
                 struct.unpack_from(f">{nchunks}Q", data, co64[0] + 8)
             )
@@ -1367,20 +1382,27 @@ def decode_mp4(data: bytes) -> np.ndarray:
         if stsc is None:
             raise ValueError("MP4: jpeg track missing stsc")
         (_, nruns) = struct.unpack_from(">II", data, stsc[0])
+        _mp4_table_fits(stsc, 8, nruns, 12, "stsc")
         runs = [
             struct.unpack_from(">III", data, stsc[0] + 8 + 12 * i)[:2]
             for i in range(nruns)
         ]  # (first_chunk 1-based, samples_per_chunk)
-        # chunk index → samples-per-chunk via the stsc run table
+        # ISO 14496-12 §8.7.4: runs start at chunk 1 with strictly
+        # increasing first_chunk — validate once, then walk runs and
+        # chunks in LOCKSTEP. The previous per-chunk rescan of the
+        # whole run list was O(nchunks x nruns): quadratic on a
+        # chunk-heavy or crafted file (ADVICE r10).
+        if nchunks and (not runs or runs[0][0] != 1):
+            raise ValueError("MP4: stsc first run must start at chunk 1")
+        if any(b[0] <= a[0] for a, b in zip(runs, runs[1:])):
+            raise ValueError("MP4: stsc first_chunk not strictly increasing")
         frames: list[np.ndarray] = []
         si = 0
+        ri = 0
         for ci in range(nchunks):
-            spc = 0
-            for first, n in runs:
-                if first <= ci + 1:
-                    spc = n
-                else:
-                    break
+            while ri + 1 < len(runs) and runs[ri + 1][0] <= ci + 1:
+                ri += 1
+            spc = runs[ri][1]
             off = offsets[ci]
             for _ in range(spc):
                 if si >= count:
@@ -1429,6 +1451,11 @@ def encode_mp4_mjpeg(arr: np.ndarray, fps: int = 30, quality: int = 90) -> bytes
             f"MP4 encode: need [h][w][frames] uint8, got {a.shape} {a.dtype}"
         )
     h, w, nf = a.shape
+    if nf == 0:
+        # fail at the producing site: a zero-frame blob is structurally
+        # valid MP4 (stsz count 0) but decode_mp4 rejects it with
+        # "jpeg track has no samples", far from this code (ADVICE r10)
+        raise ValueError("MP4 encode: zero frames (shape (h, w, 0))")
     samples = [encode_jpeg(a[:, :, i], quality=quality) for i in range(nf)]
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
     mdat_payload = b"".join(samples)
@@ -1511,9 +1538,14 @@ def encode_mp4_mjpeg(arr: np.ndarray, fps: int = 30, quality: int = 90) -> bytes
 # Spiji.java:1571-1614). Scope: decode baseline/extended-sequential
 # Huffman JPEG (SOF0/SOF1) — grayscale and YCbCr with h/v sampling
 # factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, multi-table
-# DQT/DHT segments; progressive (SOF2) and arithmetic coding raise a
-# clear error. Encode: baseline 4:4:4, standard Annex K quantization
-# (quality-scaled) and Huffman tables, grayscale and RGB uint8.
+# DQT/DHT segments — AND progressive Huffman JPEG (SOF2: spectral
+# selection + successive approximation, EOBn run lengths; decoder at
+# decode_jpeg below, multi-scan encoder at encode_jpeg_progressive);
+# arithmetic coding (SOF9/SOF10) raises a clear error. Encode:
+# baseline 4:4:4, standard Annex K quantization (quality-scaled) and
+# Huffman tables, grayscale and RGB uint8; progressive grayscale via
+# encode_jpeg_progressive (round trip bit-identical to baseline at
+# equal quality — proven by the media_jpeg_progressive oracle query).
 
 
 def _zigzag_pairs() -> list[tuple[int, int]]:
@@ -2398,16 +2430,29 @@ def _progressive_scan(
                 raise ValueError("JPEG: scan references undefined AC table")
             ((_, blk),) = blocks_of(u)
             eobrun = _refine_ac_block(r, acd, blk, ss, se, al, eobrun)
-    # resync to the next marker segment (skip trailing pad bits /
-    # stuffed bytes; tolerate a stray restart after the last interval)
+    # resync to the next marker segment — STRICT, mirroring the
+    # E.2.4-strict expect_rst (ADVICE r10: the old loop skipped
+    # arbitrary non-marker bytes, so garbage injected between two SOS
+    # segments decoded silently). Legal bytes here are only: an unread
+    # stuffed pad byte FF 00 (pad bits of the last entropy byte made it
+    # 0xFF and the MCU loop finished without reading it), 0xFF fill
+    # bytes (B.1.1.2), and a stray restart after the last interval.
     pos = r.pos
     while pos + 1 < len(data):
-        if data[pos] == 0xFF and data[pos + 1] != 0x00:
-            if 0xD0 <= data[pos + 1] <= 0xD7:
-                pos += 2
-                continue
-            break
-        pos += 1
+        if data[pos] != 0xFF:
+            raise ValueError(
+                f"JPEG: garbage byte {data[pos]:#04x} between scans "
+                f"at offset {pos}"
+            )
+        nxt = data[pos + 1]
+        if nxt == 0x00:
+            pos += 2  # stuffed pad byte
+        elif 0xD0 <= nxt <= 0xD7:
+            pos += 2  # stray restart after the final interval
+        elif nxt == 0xFF:
+            pos += 1  # fill byte before the marker code
+        else:
+            break  # next marker segment
     return pos
 
 

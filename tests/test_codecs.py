@@ -1346,6 +1346,121 @@ def test_mp4_errors_are_clear():
         pp.decode_mp4(bytes(blob))
 
 
+def test_mp4_encode_zero_frames_raises():
+    """ADVICE r10: a zero-frame input produced a structurally valid
+    blob (stsz count 0) that decode_mp4 rejected far from the producer
+    — the failure must surface at encode time."""
+    with pytest.raises(ValueError, match="zero frames"):
+        pp.encode_mp4_mjpeg(np.zeros((8, 8, 0), np.uint8))
+
+
+def test_mp4_table_counts_bounded_by_declaring_box():
+    """ADVICE r10: stsz/stco/stsc entry tables were unpack_from'd
+    against the whole file — a corrupt count that overran the box
+    silently read NEIGHBORING boxes' bytes as table entries before any
+    error fired. Each table's declared count must now fit inside its
+    own box or raise immediately."""
+    import struct as st
+
+    vid = np.stack([np.full((8, 8), v, np.uint8) for v in (5, 99, 200)], axis=2)
+    base = pp.encode_mp4_mjpeg(vid, quality=90)
+
+    def corrupt(tag: bytes, hdr_off: int, new_count: int) -> bytes:
+        b = bytearray(base)
+        at = b.find(tag)
+        assert at > 0
+        # payload starts at at+4: fullbox(4) then per-tag header fields
+        b[at + 4 + hdr_off : at + 8 + hdr_off] = st.pack(">I", new_count)
+        return bytes(b)
+
+    # stsz (variable-size path): count at payload offset 8; +2 entries
+    # would read the next box's header bytes as sample sizes
+    with pytest.raises(ValueError, match="stsz.*box"):
+        pp.decode_mp4(corrupt(b"stsz", 8, 5))
+    # stco: entry_count at payload offset 4
+    with pytest.raises(ValueError, match="stco.*box"):
+        pp.decode_mp4(corrupt(b"stco", 4, 3))
+    # stsc: entry_count at payload offset 4 (12-byte runs)
+    with pytest.raises(ValueError, match="stsc.*box"):
+        pp.decode_mp4(corrupt(b"stsc", 4, 2))
+
+
+def test_mp4_multirun_stsc_lockstep_decode():
+    """The r11 lockstep run walk (replacing the O(nchunks x nruns)
+    rescan) must honor a REAL multi-run stsc: 3 samples laid out as
+    chunk1=[s0,s1] + chunk2=[s2] with runs [(1,2),(2,1)] decodes to
+    the same frames as the single-chunk encoder output; malformed run
+    tables (first run not at chunk 1 / non-increasing first_chunk)
+    raise."""
+    import struct as st
+
+    frames = [np.full((8, 8), v, np.uint8) for v in (5, 99, 200)]
+    samples = [pp.encode_jpeg(f, quality=100) for f in frames]
+    ftyp = pp._mp4_box(b"ftyp", b"isom" + st.pack(">I", 0x200) + b"isomiso2mp41")
+    data_off = len(ftyp) + 8
+    chunk2_off = data_off + len(samples[0]) + len(samples[1])
+
+    def build(stsc_runs, stco_offsets):
+        name = b"t"
+        compressor = bytes([len(name)]) + name + b"\x00" * (31 - len(name))
+        jpeg_entry = pp._mp4_box(
+            b"jpeg",
+            b"\x00" * 6 + st.pack(">H", 1) + b"\x00" * 16
+            + st.pack(">HH", 8, 8) + st.pack(">II", 0x00480000, 0x00480000)
+            + b"\x00" * 4 + st.pack(">H", 1) + compressor
+            + st.pack(">Hh", 24, -1),
+        )
+        stbl = (
+            pp._mp4_full(b"stsd", 0, 0, st.pack(">I", 1) + jpeg_entry)
+            + pp._mp4_full(b"stts", 0, 0, st.pack(">III", 1, 3, 1))
+            + pp._mp4_full(
+                b"stsc", 0, 0,
+                st.pack(">I", len(stsc_runs))
+                + b"".join(st.pack(">III", f, n, 1) for f, n in stsc_runs),
+            )
+            + pp._mp4_full(
+                b"stsz", 0, 0,
+                st.pack(">II", 0, 3)
+                + b"".join(st.pack(">I", len(s)) for s in samples),
+            )
+            + pp._mp4_full(
+                b"stco", 0, 0,
+                st.pack(">I", len(stco_offsets))
+                + b"".join(st.pack(">I", o) for o in stco_offsets),
+            )
+        )
+        minf = pp._mp4_box(b"minf", pp._mp4_box(b"stbl", stbl))
+        mdia = pp._mp4_box(b"mdia", minf)
+        trak = pp._mp4_box(b"trak", mdia)
+        moov = pp._mp4_box(b"moov", trak)
+        return ftyp + pp._mp4_box(b"mdat", b"".join(samples)) + moov
+
+    good = build([(1, 2), (2, 1)], [data_off, chunk2_off])
+    out = pp.decode_mp4(good)
+    assert np.array_equal(out, np.stack(frames, axis=2))
+    with pytest.raises(ValueError, match="chunk 1"):
+        pp.decode_mp4(build([(2, 2), (3, 1)], [data_off, chunk2_off]))
+    with pytest.raises(ValueError, match="increasing"):
+        pp.decode_mp4(build([(1, 2), (1, 1)], [data_off, chunk2_off]))
+
+
+def test_jpeg_progressive_interscan_garbage_raises():
+    """ADVICE r10: the post-scan resync skipped ARBITRARY non-marker
+    bytes between scans, so garbage injected between two SOS segments
+    decoded silently — inconsistent with the strict E.2.4 restart
+    handling. A non-0xFF byte between scan end and the next marker
+    must now raise."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = pp.encode_jpeg_progressive(img, quality=90)
+    second_sos = blob.find(b"\xff\xda", blob.find(b"\xff\xda") + 2)
+    assert second_sos > 0, "progressive stream should have >= 2 scans"
+    corrupted = blob[:second_sos] + b"A" + blob[second_sos:]
+    with pytest.raises(ValueError, match="garbage"):
+        pp.decode_jpeg(corrupted)
+    # control: the untouched stream still decodes
+    assert pp.decode_jpeg(blob).shape == (8, 8)
+
+
 def test_codec_dispatch_mp4_suffix():
     from spark_ij_spark.sources import codecs
 

@@ -222,15 +222,15 @@ def test_no_case_folding_in_graded_oracle_sql():
 def test_bench_two_tier_plan_order():
     """The headline tier (heaviest-by-prior-run) must run FIRST and be
     exactly HEADLINE_N known queries; never-benched queries precede the
-    rotated tail so new work always gets a warm timing (round-10
-    protocol — r9's flat protocol cold-degraded a nondeterministic
-    subset and poisoned cross-round per-query comparison)."""
+    tail so new work always gets a warm timing (round-10 protocol —
+    r9's flat protocol cold-degraded a nondeterministic subset and
+    poisoned cross-round per-query comparison)."""
     import bench
 
     full = json.load(open(os.path.join(REPO, "BENCH_FULL.json")))
     prior, cold = full["queries"], set(full.get("degraded_names", []))
     names = list(prior) + ["zz_new_query"]
-    order, head = bench._plan_order(names, REPO)
+    order, head, warm_set = bench._plan_order(names, REPO)
     assert sorted(order) == sorted(names) and len(set(order)) == len(order)
     assert len(head) == bench.HEADLINE_N
     assert set(order[: bench.HEADLINE_N]) == head
@@ -246,3 +246,30 @@ def test_bench_two_tier_plan_order():
     warm = {n: t for n, t in prior.items() if n not in cold}
     heaviest = sorted(warm, key=lambda n: -warm[n])[: bench.HEADLINE_N]
     assert head == set(heaviest)
+    # warm set = headline + never-benched + this round's cohort
+    assert head <= warm_set and "zz_new_query" in warm_set
+    assert cold <= warm_set, "cold-timed last round must re-enter warm"
+
+
+def test_bench_cohort_cadence_is_deterministic():
+    """Round-11 protocol: every tail query gets a warm timing every
+    WARM_EVERY_K_ROUNDS rounds BY CONSTRUCTION (VERDICT r10 #3 — the
+    rotation protocol left 109/174 cold in r10, so a tail regression
+    could hide 4-5 rounds). The cohort slot is a stable hash of the
+    NAME, so membership churn around a query never shifts its slot;
+    over K consecutive round indices each tail query is warm exactly
+    once. Simulated with a synthetic prior artifact in tmp."""
+    import bench
+
+    full = json.load(open(os.path.join(REPO, "BENCH_FULL.json")))
+    names = list(full["queries"])
+    k = bench.WARM_EVERY_K_ROUNDS
+    slots = {n: bench._cohort_slot(n) for n in names}
+    assert set(slots.values()) <= set(range(k))
+    # slot depends only on the name — recomputing is identical
+    assert slots == {n: bench._cohort_slot(n) for n in names}
+    # cohorts partition the names: each name in exactly one slot, and
+    # no slot is pathologically empty/overfull for the real query set
+    sizes = [sum(1 for s in slots.values() if s == i) for i in range(k)]
+    assert sum(sizes) == len(names)
+    assert min(sizes) > 0
