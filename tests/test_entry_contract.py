@@ -14,24 +14,37 @@ import __spark_entry__ as entry
 
 REPO = os.path.dirname(os.path.abspath(entry.__file__))
 
-# Queries that are rows-only BY DESIGN (engine-specific sketch
-# estimates / no SQL zlib) — each has an exact twin or tolerance
-# pytest instead. Growing this set must be a deliberate act: every
-# other query MUST carry an exact DuckDB oracle.
-ROWS_ONLY_BY_DESIGN = {
-    "events_hll_rollup",       # HLL++ estimate; exact twin events_hll_exact
-    "events_quantiles_approx", # GK sketch; exact twin events_quantiles
-    "text_vocab_approx",       # HLL++ estimate; exact twin text_vocab
-    "text_compression_ratio",  # zlib hop; exact driver-side pytest twin
-}
+# The single source of truth for rows-only-by-design queries is
+# entry.SKETCH_QUERIES (sketch name -> exact hash-graded twin, or None
+# for the zlib query whose exact twin is a pytest). Growing that set
+# must be a deliberate act: every other query MUST carry an exact
+# DuckDB oracle.
 
 
 def test_every_query_has_an_oracle_or_is_documented_rows_only():
     qs, osql = entry.queries(), entry.oracle_sql()
-    assert set(qs) - set(osql) == ROWS_ONLY_BY_DESIGN
+    assert set(qs) - set(osql) == set(entry.SKETCH_QUERIES)
     # No orphan oracles: an oracle whose query was renamed/dropped is
     # dead weight the driver never runs.
     assert set(osql) <= set(qs)
+
+
+def test_sketch_queries_have_adjacent_hash_graded_twins():
+    """The 4-sketch convention, verifiable from one place (VERDICT r10
+    #5): each sketch query's exact twin exists, IS hash-graded (has an
+    oracle), and sits immediately after the sketch in queries() order —
+    so a scheduled 'no_oracle' artifact row always has its twin's
+    hash-green row in the same driver window."""
+    qs, osql = entry.queries(), entry.oracle_sql()
+    names = list(qs)
+    for sketch, twin in entry.SKETCH_QUERIES.items():
+        assert sketch in qs and sketch not in osql
+        if twin is None:
+            continue  # exact pytest twin (zlib recompute, test_north_star)
+        assert twin in osql, f"{sketch}: twin {twin} must be hash-graded"
+        assert names.index(twin) == names.index(sketch) + 1, (
+            f"{sketch}: twin {twin} not adjacent in queries() order"
+        )
 
 
 def test_every_query_has_a_query_age_entry():
@@ -74,7 +87,10 @@ def test_grading_order_is_a_permutation_with_stalest_first():
                     last.pop(q, None)
     except FileNotFoundError:
         pass
-    seq = [last.get(n, -1) for n in names]
+    # sketch twins are deliberately moved adjacent to their sketch
+    # (out of staleness order) — exempt them from the monotonic check
+    twins = {t for t in entry.SKETCH_QUERIES.values() if t}
+    seq = [last.get(n, -1) for n in names if n not in twins]
     assert seq == sorted(seq), "queries() not ordered stalest-first"
 
 
@@ -92,7 +108,8 @@ def test_grading_order_breaks_never_graded_ties_by_declared_round():
                     graded.add(q)
     with open(os.path.join(REPO, "QUERY_AGE.json")) as fh:
         ages = json.load(fh)
-    never = [n for n in entry.queries() if n not in graded]
+    twins = {t for t in entry.SKETCH_QUERIES.values() if t}
+    never = [n for n in entry.queries() if n not in graded and n not in twins]
     seq = [ages.get(n, 10**6) for n in never]
     assert seq == sorted(seq), "never-graded tie-break not oldest-first"
 
