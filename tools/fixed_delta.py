@@ -64,10 +64,13 @@ def build_fixed_delta(spark, k: int) -> str:
         emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
         # replicas (vec_id >= OFFSET) contribute corpus rows only; the
         # base copy keeps its residue-3 rows as the (fixed-size) delta
+        # repartition(2) matches the scale10 replica's embeddings file
+        # layout exactly, so fixed-vs-grown timing differences can't
+        # hide in scan parallelism
         emb.filter(
             f"NOT (vec_id >= {OFFSET}"
             f" AND vec_id % {ANN_DELTA_MOD} = {ANN_DELTA_RESIDUE})"
-        ).repartition(8).write.mode("overwrite").parquet(dst)
+        ).repartition(2).write.mode("overwrite").parquet(dst)
     return out
 
 
