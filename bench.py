@@ -12,9 +12,13 @@ Tiered timing protocol (round 11 — deterministic warm cadence):
   budget — ADVICE r10) degrades even headline queries to warmup + one
   timed run if the box is pathologically loaded, recorded in
   degraded_names so the artifact stays self-adjudicating.
-- FRESH tier: never-warm-benched queries (new this round, or
-  cold-timed last round) run warm next, so new work always gets a
-  warm baseline.
+- FRESH tier: never-warm-benched queries (no entry in the artifact's
+  "warm_queries" carry-forward map — i.e. genuinely new, or degraded
+  by budget overrun before ever getting a warm number) run warm next,
+  so new work always gets a warm baseline. Scheduled colds keep their
+  last warm timing in "warm_queries", so they do NOT re-enter this
+  tier (r11 review: without the carry-forward, ~4/5 of the tail
+  bounced through FRESH every round and the cohort cadence was moot).
 - COHORT tier: the remaining tail is split into WARM_EVERY_K_ROUNDS
   deterministic cohorts by a stable hash of the query NAME (crc32 %
   K), and the cohort matching the round index (count of BENCH_r*.json
@@ -64,26 +68,65 @@ def _cohort_slot(name: str) -> int:
     return zlib.crc32(name.encode("utf-8")) % WARM_EVERY_K_ROUNDS
 
 
+def session_warmup(spark, qs, sf_dir: str) -> None:
+    """Absorb one-time JVM/codegen startup (q1, pure JVM) and
+    Python-worker pool startup (a pandas-UDF query) so timed runs
+    measure steady-state throughput, not process spawning. Shared by
+    bench.py / tools/headline_run.py / tools/fixed_delta.py so their
+    artifacts stay protocol-comparable (r11 review)."""
+    qs["q1_pricing_summary"](spark, sf_dir).count()
+    qs["img_order_stats"](spark, sf_dir).count()
+    # drop the warmups' cached frames so the first timed query runs
+    # under the same isolated-cache protocol as the rest
+    spark.catalog.clearCache()
+
+
+def warm_time(spark, fn, sf_dir: str, reps: int = 3, warmup: bool = True) -> float:
+    """The one timing protocol: optional untimed warm pass (absorbs
+    per-query cold costs — codegen, cache materialization, Python-
+    worker reuse), then min-of-reps timed runs, then clearCache so the
+    next query starts isolated (leftover plan-matched cache entries
+    caused phantom 2-3x swings; SCALING.md "Measurement noise")."""
+    if warmup:
+        fn(spark, sf_dir).count()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    spark.catalog.clearCache()
+    return best
+
+
+def _prior_warm(repo: str) -> dict[str, float]:
+    """Last-known WARM timing per query from the committed artifact.
+    Artifacts since r11 carry these forward explicitly in
+    "warm_queries" (a query cold-timed on its scheduled off-round
+    keeps its last warm number for ranking/cohort purposes — without
+    this, every scheduled cold re-entered the FRESH warm tier the
+    next round and the tier sizes oscillated, r11 review). Older
+    artifacts: reconstruct as this-run warm timings only."""
+    try:
+        with open(os.path.join(repo, "BENCH_FULL.json")) as fh:
+            full = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    if isinstance(full.get("warm_queries"), dict):
+        return dict(full["warm_queries"])
+    cold = set(full.get("degraded_names", []))
+    return {n: t for n, t in full.get("queries", {}).items() if n not in cold}
+
+
 def _plan_order(
     names: list[str], repo: str
 ) -> tuple[list[str], set[str], set[str]]:
     """Return (run order, headline set, warm set): heaviest-by-prior-run
     headline tier first, then never-warm-benched queries, then this
     round's tail cohort (all warm), then the cold remainder. Ranking
-    uses WARM prior timings only — a query cold-timed last run
-    (degraded_names) re-enters as never-benched, so a cold-inflated 5x
-    number can't evict a genuine heavy query from the headline tier
+    uses WARM timings only (_prior_warm) — a cold-inflated 5x number
+    can't evict a genuine heavy query from the headline tier
     (round-10 review)."""
-    prior: dict[str, float] = {}
-    try:
-        with open(os.path.join(repo, "BENCH_FULL.json")) as fh:
-            full = json.load(fh)
-        cold = set(full.get("degraded_names", []))
-        prior = {
-            n: t for n, t in full.get("queries", {}).items() if n not in cold
-        }
-    except (OSError, ValueError):
-        pass
+    prior = _prior_warm(repo)
     known = [n for n in names if n in prior]
     headline = sorted(known, key=lambda n: -prior[n])[:HEADLINE_N]
     head_set = set(headline)
@@ -110,15 +153,9 @@ def main() -> None:
 
     qs = entrymod.queries()
     order, head_set, warm_set = _plan_order(list(qs), repo)
+    prior_warm = _prior_warm(repo)
 
-    # Warmup: absorb one-time JVM/codegen startup (q1, pure JVM) and
-    # Python-worker pool startup (a pandas-UDF query) so timed runs
-    # measure steady-state throughput, not process spawning.
-    qs["q1_pricing_summary"](spark, sf_dir).count()
-    qs["img_order_stats"](spark, sf_dir).count()
-    # drop the warmups' cached frames so the FIRST timed query runs
-    # under the same isolated-cache protocol as the rest
-    spark.catalog.clearCache()
+    session_warmup(spark, qs, sf_dir)
 
     # Soft wall-clock budget: past it, remaining warm-tier TAIL queries
     # (fresh/cohort) degrade to a single COLD timed run (no warmup pass
@@ -154,23 +191,18 @@ def main() -> None:
             warmup, reps = False, 1
         else:
             warmup, reps = True, 3
-        if warmup:
-            # one untimed pass absorbs per-query cold costs (codegen,
-            # cache materialization, Python-worker reuse); min-of-3
-            # then measures steady-state — the box is shared and
-            # cold-run noise was ±20% run-to-run.
-            fn(spark, sf_dir).count()
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        # drop this query's cached frames before the next query: the
-        # cache-manager matches by canonicalized plan, so leftover
-        # entries are never reused across queries — they only add
-        # memory pressure and eviction churn to later timings.
-        spark.catalog.clearCache()
+        timings[name] = round(warm_time(spark, fn, sf_dir, reps, warmup), 4)
+
+    # Carry each query's last-known WARM timing forward: this run's
+    # warm min-of-3 where we have one, else the prior artifact's
+    # number (scheduled colds and budget-degraded queries keep their
+    # ranking/cohort standing instead of re-entering the fresh tier).
+    truly_warm = warm_set - set(budget_degraded)
+    warm_queries = {
+        n: (timings[n] if n in truly_warm else prior_warm[n])
+        for n in order
+        if n in truly_warm or n in prior_warm
+    }
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -185,7 +217,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "headline": sorted(head_set),
-        "warm": sorted(warm_set - set(budget_degraded)),
+        "warm": sorted(truly_warm),
+        "warm_queries": warm_queries,
         "warm_every_k_rounds": WARM_EVERY_K_ROUNDS,
         "round_index": _round_index(repo),
         "degraded": len(degraded_names),
@@ -204,7 +237,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": slowest,
-                "n_warm": len(warm_set - set(budget_degraded)),
+                "n_warm": len(truly_warm),
                 "warm_every_k_rounds": WARM_EVERY_K_ROUNDS,
                 "degraded": len(degraded_names),
                 "budget_degraded": len(budget_degraded),

@@ -47,6 +47,34 @@ def test_sketch_queries_have_adjacent_hash_graded_twins():
         )
 
 
+def test_sketch_pair_never_straddles_graded_window():
+    """The pair placement is window-safe (r11 review): a sketch whose
+    staleness lands it at exactly index GRADED_WINDOW-1 would put its
+    twin at GRADED_WINDOW — graded no_oracle row, ungraded twin, the
+    exact artifact shape the adjacency exists to prevent. The pure
+    placement function must nudge the pair fully inside; a voided twin
+    at the FRONT must pull its sketch forward, not be dragged back."""
+    w = entry.GRADED_WINDOW
+    sketch, twin = "events_hll_rollup", "events_hll_exact"
+    # sketch sorted at the window's last slot, twin far behind
+    ordered = [f"q{i:03d}" for i in range(200)]
+    ordered[w - 1] = sketch
+    ordered[150] = twin
+    placed = entry._place_sketch_pairs(ordered)
+    si, ti = placed.index(sketch), placed.index(twin)
+    assert ti == si + 1
+    assert ti < w or si >= w, "pair straddles the graded window"
+    # voided twin at the very front: sketch must come TO it
+    ordered2 = [f"q{i:03d}" for i in range(200)]
+    ordered2[0] = twin
+    ordered2[150] = sketch
+    placed2 = entry._place_sketch_pairs(ordered2)
+    assert placed2.index(sketch) == 0 and placed2.index(twin) == 1
+    # permutation preserved in both scenarios
+    assert sorted(placed) == sorted(ordered)
+    assert sorted(placed2) == sorted(ordered2)
+
+
 def test_every_query_has_a_query_age_entry():
     """A missing QUERY_AGE entry silently sorts the query NEWEST among
     never-graded — exactly the starvation `_grading_order` exists to
@@ -87,10 +115,13 @@ def test_grading_order_is_a_permutation_with_stalest_first():
                     last.pop(q, None)
     except FileNotFoundError:
         pass
-    # sketch twins are deliberately moved adjacent to their sketch
-    # (out of staleness order) — exempt them from the monotonic check
-    twins = {t for t in entry.SKETCH_QUERIES.values() if t}
-    seq = [last.get(n, -1) for n in names if n not in twins]
+    # sketch/twin pairs are deliberately co-located at the stalest of
+    # their two positions (either member may move) — exempt both from
+    # the monotonic check
+    pairs = set(entry.SKETCH_QUERIES) | {
+        t for t in entry.SKETCH_QUERIES.values() if t
+    }
+    seq = [last.get(n, -1) for n in names if n not in pairs]
     assert seq == sorted(seq), "queries() not ordered stalest-first"
 
 
@@ -108,8 +139,10 @@ def test_grading_order_breaks_never_graded_ties_by_declared_round():
                     graded.add(q)
     with open(os.path.join(REPO, "QUERY_AGE.json")) as fh:
         ages = json.load(fh)
-    twins = {t for t in entry.SKETCH_QUERIES.values() if t}
-    never = [n for n in entry.queries() if n not in graded and n not in twins]
+    pairs = set(entry.SKETCH_QUERIES) | {
+        t for t in entry.SKETCH_QUERIES.values() if t
+    }
+    never = [n for n in entry.queries() if n not in graded and n not in pairs]
     seq = [ages.get(n, 10**6) for n in never]
     assert seq == sorted(seq), "never-graded tie-break not oldest-first"
 
@@ -237,35 +270,69 @@ def test_no_case_folding_in_graded_oracle_sql():
 
 
 def test_bench_two_tier_plan_order():
-    """The headline tier (heaviest-by-prior-run) must run FIRST and be
-    exactly HEADLINE_N known queries; never-benched queries precede the
-    tail so new work always gets a warm timing (round-10 protocol —
-    r9's flat protocol cold-degraded a nondeterministic subset and
-    poisoned cross-round per-query comparison)."""
+    """The headline tier (heaviest-by-carried-warm-timing) must run
+    FIRST and be exactly HEADLINE_N known queries; never-warm-benched
+    queries follow immediately so new work always gets a warm timing.
+    Ranking uses the warm_queries carry-forward map — this-run COLD
+    timings never rank (r10 review: a cold-inflated 5x number must not
+    evict a genuine heavy query), and scheduled colds do NOT re-enter
+    the fresh tier (r11 review: without the carry-forward, tier sizes
+    oscillated and the cohort cadence was moot)."""
     import bench
 
     full = json.load(open(os.path.join(REPO, "BENCH_FULL.json")))
-    prior, cold = full["queries"], set(full.get("degraded_names", []))
-    names = list(prior) + ["zz_new_query"]
+    prior = bench._prior_warm(REPO)
+    names = list(full["queries"]) + ["zz_new_query"]
     order, head, warm_set = bench._plan_order(names, REPO)
     assert sorted(order) == sorted(names) and len(set(order)) == len(order)
     assert len(head) == bench.HEADLINE_N
     assert set(order[: bench.HEADLINE_N]) == head
     assert "zz_new_query" not in head
-    # ranking ignores cold (degraded) prior timings — a cold-inflated
-    # 5x number must not evict a genuinely heavy warm query (r10
-    # review), and cold-timed queries re-enter as never-benched
-    assert not (head & cold), "cold-timed queries leaked into headline"
-    fresh_seg = order[bench.HEADLINE_N : bench.HEADLINE_N + 1 + len(cold)]
-    assert "zz_new_query" in fresh_seg
-    assert set(fresh_seg) <= cold | {"zz_new_query"}
-    # headline = the N heaviest by the prior artifact's WARM timings
-    warm = {n: t for n, t in prior.items() if n not in cold}
-    heaviest = sorted(warm, key=lambda n: -warm[n])[: bench.HEADLINE_N]
+    # headline = the N heaviest by carried WARM timings
+    known = [n for n in names if n in prior]
+    heaviest = sorted(known, key=lambda n: -prior[n])[: bench.HEADLINE_N]
     assert head == set(heaviest)
-    # warm set = headline + never-benched + this round's cohort
-    assert head <= warm_set and "zz_new_query" in warm_set
-    assert cold <= warm_set, "cold-timed last round must re-enter warm"
+    # fresh tier (no warm carry) comes right after headline, is warm,
+    # and contains ONLY genuinely never-warm-benched names
+    fresh = [n for n in names if n not in prior]
+    assert "zz_new_query" in fresh
+    assert set(order[bench.HEADLINE_N : bench.HEADLINE_N + len(fresh)]) == set(
+        fresh
+    )
+    assert set(fresh) <= warm_set
+    # a scheduled cold from last run stays ranked (not fresh) as long
+    # as it has a carried warm timing
+    carried_colds = [n for n in full.get("degraded_names", []) if n in prior]
+    assert not (set(carried_colds) & set(fresh))
+
+
+def test_bench_warm_carry_forward(tmp_path):
+    """Scheduled colds keep their last WARM timing via the artifact's
+    "warm_queries" map (r11 review): without the carry-forward, every
+    cold-by-design tail query re-entered the FRESH warm tier the next
+    round, tier sizes oscillated, and the K-round cohort cadence was
+    moot. A query missing from warm_queries (genuinely new) is the
+    only thing that should land in the fresh tier."""
+    import bench
+
+    art = {
+        "queries": {"a": 5.0, "b": 1.0, "c": 0.5},  # c cold this run
+        "degraded_names": ["c"],
+        "warm_queries": {"a": 5.0, "b": 1.0, "c": 2.0},  # c's last warm
+    }
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(art))
+    prior = bench._prior_warm(str(tmp_path))
+    assert prior == {"a": 5.0, "b": 1.0, "c": 2.0}
+    order, head, warm = bench._plan_order(["a", "b", "c", "new"], str(tmp_path))
+    # c ranks by its carried-forward warm timing, NOT as never-benched;
+    # only the genuinely new query is fresh (warm regardless of cohort)
+    assert "new" in warm
+    assert order[: len(prior)] == ["a", "c", "b"]  # headline by warm rank
+    # legacy artifact (no warm_queries): cold names re-enter as fresh
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"queries": art["queries"], "degraded_names": ["c"]})
+    )
+    assert bench._prior_warm(str(tmp_path)) == {"a": 5.0, "b": 1.0}
 
 
 def test_bench_cohort_cadence_is_deterministic():

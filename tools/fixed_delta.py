@@ -29,7 +29,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -48,29 +47,51 @@ def build_fixed_delta(spark, k: int) -> str:
         )
     out = os.path.join(REPO, ".scratch", f"fixed_delta_k{k}")
     os.makedirs(out, exist_ok=True)
+    # symlink every table EXCEPT embeddings (which gets the filtered
+    # rewrite below). The first committed version of this loop had the
+    # condition inverted — it symlinked ONLY embeddings (the grown
+    # file) and the exists-guard then skipped the rewrite, so "fixed"
+    # silently measured grown data (caught by the r11 mid-round code
+    # review; the self-check below makes that class of bug loud).
     for name in os.listdir(src):
-        if not name.endswith(".parquet") or name == "embeddings.parquet":
+        if name.endswith(".parquet") and name != "embeddings.parquet":
             link = os.path.join(out, name)
-            if name.endswith(".parquet") and not os.path.exists(link):
+            if not os.path.exists(link):
                 os.symlink(os.path.join(src, name), link)
-            continue
+    from spark_ij_spark.operators.similarity import (
+        ANN_DELTA_MOD,
+        ANN_DELTA_RESIDUE,
+    )
+
+    delta_pred = (
+        f"vec_id % {ANN_DELTA_MOD} = {ANN_DELTA_RESIDUE}"
+    )
     dst = os.path.join(out, "embeddings.parquet")
     if not os.path.exists(dst):
-        from spark_ij_spark.operators.similarity import (
-            ANN_DELTA_MOD,
-            ANN_DELTA_RESIDUE,
-        )
-
         emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
         # replicas (vec_id >= OFFSET) contribute corpus rows only; the
-        # base copy keeps its residue-3 rows as the (fixed-size) delta
+        # base copy keeps its residue-3 rows as the (fixed-size) delta.
         # repartition(2) matches the scale10 replica's embeddings file
         # layout exactly, so fixed-vs-grown timing differences can't
         # hide in scan parallelism
         emb.filter(
-            f"NOT (vec_id >= {OFFSET}"
-            f" AND vec_id % {ANN_DELTA_MOD} = {ANN_DELTA_RESIDUE})"
+            f"NOT (vec_id >= {OFFSET} AND {delta_pred})"
         ).repartition(2).write.mode("overwrite").parquet(dst)
+    # self-check EVERY run (cached builds included): the fixed
+    # dataset's delta must be exactly the BASE delta — if it matches
+    # the grown dataset's delta instead, we're about to time the wrong
+    # experiment.
+    n_fixed = spark.read.parquet(dst).filter(delta_pred).count()
+    n_base = (
+        spark.read.parquet(os.path.join(SRC_SF, "embeddings.parquet"))
+        .filter(delta_pred)
+        .count()
+    )
+    if n_fixed != n_base:
+        raise SystemExit(
+            f"fixed-delta build invalid: delta rows {n_fixed} != base "
+            f"{n_base} — delete {out} and rebuild"
+        )
     return out
 
 
@@ -87,22 +108,18 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import bench
     import __spark_entry__ as mod
 
-    fn = mod.queries()[QUERY]
+    qs = mod.queries()
+    fn = qs[QUERY]
 
     def timed(sf_dir: str) -> float:
-        best = None
-        for _ in range(args.reps):
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        spark.catalog.clearCache()
-        return round(best, 4)
+        # bench.py's exact protocol: untimed warm pass + min-of-reps,
+        # isolated caches (shared helper, r11 review)
+        return round(bench.warm_time(spark, fn, sf_dir, reps=args.reps), 4)
 
-    fn(spark, SRC_SF).count()  # warmup
-    spark.catalog.clearCache()
+    bench.session_warmup(spark, qs, SRC_SF)
     result = {"query": QUERY, "base_sf01": timed(SRC_SF)}
     for k in args.k:
         fixed = build_fixed_delta(spark, k)

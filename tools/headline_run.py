@@ -19,7 +19,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -33,13 +32,7 @@ def main() -> None:
 
     import bench
 
-    with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
-        full = json.load(fh)
-    prior = {
-        n: t
-        for n, t in full["queries"].items()
-        if n not in set(full.get("degraded_names", []))
-    }
+    prior = bench._prior_warm(REPO)
 
     from spark_ij_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -50,22 +43,14 @@ def main() -> None:
     order, head_set = bench._plan_order(list(qs), REPO)[:2]
     headline = [n for n in order if n in head_set]
 
-    # same steady-state warmups as bench.py
-    qs["q1_pricing_summary"](spark, args.sf_dir).count()
-    qs["img_order_stats"](spark, args.sf_dir).count()
-    spark.catalog.clearCache()
-
+    # bench.py's exact protocol (shared helpers): session warmup, then
+    # per-query warm min-of-3 with isolated caches
+    bench.session_warmup(spark, qs, args.sf_dir)
     timings: dict[str, float] = {}
     for name in headline:
-        fn = qs[name]
-        fn(spark, args.sf_dir).count()  # untimed warm pass
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, args.sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        spark.catalog.clearCache()
+        timings[name] = round(
+            bench.warm_time(spark, qs[name], args.sf_dir), 4
+        )
 
     rows = []
     for name in sorted(timings, key=lambda n: -timings[n]):
@@ -79,7 +64,9 @@ def main() -> None:
         "queries": timings,
         "prior": {n: prior.get(n) for n in timings},
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    out_dir = os.path.dirname(args.out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"{'query':38s} {'prior':>8s} {'quiet':>8s} {'ratio':>6s}")
