@@ -44,26 +44,59 @@ def _place_sketch_pairs(ordered: list[str]) -> list[str]:
     (immediately after it): when the sketch's scheduled "no_oracle"
     rows-only row lands in a CORRECTNESS artifact, the twin's
     hash-green row is in the same window, so the convention is
-    verifiable from the artifact alone. The PAIR is placed at the
-    stalest of the two sorted positions — a revision-voided twin pulls
-    its sketch forward instead of being dragged behind a fresh sketch
-    to the back — and nudged off the window edge so the pair can never
-    straddle it (sketch graded at index 49, twin ungraded at 50 would
-    be exactly the lone-no_oracle artifact row this exists to prevent;
-    r11 review)."""
-    ordered = list(ordered)
+    verifiable from the artifact alone. Each PAIR sits at the position
+    of its STALEST member — a revision-voided twin pulls its sketch
+    forward instead of being dragged behind a fresh sketch to the
+    back. Implemented as a single merge pass over (singleton | pair)
+    units, NOT per-pair remove/insert index arithmetic: the first
+    version placed pairs sequentially and a later placement could
+    shift an earlier pair across the graded-window edge (second r11
+    review, confirmed by execution). A pair whose first element would
+    land at index GRADED_WINDOW-1 (sketch graded, twin just outside)
+    is swapped earlier unit-by-unit until fully inside."""
+    member_of: dict[str, tuple[str, str]] = {}
     names = set(ordered)
     for sketch, twin in SKETCH_QUERIES.items():
-        if twin is None or sketch not in names or twin not in names:
-            continue
-        at = min(ordered.index(sketch), ordered.index(twin))
-        if at == GRADED_WINDOW - 1:
-            at -= 1
-        for n in (twin, sketch):
-            ordered.remove(n)
-        ordered.insert(at, sketch)
-        ordered.insert(at + 1, twin)
-    return ordered
+        if twin is not None and sketch in names and twin in names:
+            member_of[sketch] = member_of[twin] = (sketch, twin)
+    # one pass: a pair materializes (sketch, twin) at its first
+    # (stalest) member's position; the other member is skipped later
+    units: list[list[str]] = []
+    placed: set[tuple[str, str]] = set()
+    for n in ordered:
+        pair = member_of.get(n)
+        if pair is None:
+            units.append([n])
+        elif pair not in placed:
+            placed.add(pair)
+            units.append(list(pair))
+    # Window-edge fix at the UNIT level. A pair straddles only when it
+    # starts exactly at GRADED_WINDOW-1. Swapping with a preceding
+    # PAIR just trades which pair straddles (oscillates), so instead
+    # rotate the nearest preceding SINGLETON to just after the
+    # straddler: the straddler and every pair between shift one slot
+    # earlier (fully inside — a start can only decrease, never become
+    # GRADED_WINDOW-1 from below it), the singleton lands outside, and
+    # units after the rotation keep their positions. A preceding
+    # singleton always exists when a straddle occurs: with an even
+    # window, an all-pairs prefix gives an even start, never the odd
+    # GRADED_WINDOW-1.
+    while True:
+        start, bad = 0, -1
+        for i, u in enumerate(units):
+            if len(u) == 2 and start == GRADED_WINDOW - 1:
+                bad = i
+                break
+            start += len(u)
+        if bad < 0:
+            break
+        j = bad - 1
+        while j >= 0 and len(units[j]) == 2:
+            j -= 1
+        if j < 0:
+            break  # unreachable for even GRADED_WINDOW (parity)
+        units[j : bad + 1] = units[j + 1 : bad + 1] + [units[j]]
+    return [n for u in units for n in u]
 
 
 def _grading_order(names: list[str]) -> list[str]:

@@ -118,15 +118,17 @@ def _prior_warm(repo: str) -> dict[str, float]:
 
 
 def _plan_order(
-    names: list[str], repo: str
+    names: list[str], repo: str, prior: dict[str, float] | None = None
 ) -> tuple[list[str], set[str], set[str]]:
     """Return (run order, headline set, warm set): heaviest-by-prior-run
     headline tier first, then never-warm-benched queries, then this
     round's tail cohort (all warm), then the cold remainder. Ranking
-    uses WARM timings only (_prior_warm) — a cold-inflated 5x number
-    can't evict a genuine heavy query from the headline tier
-    (round-10 review)."""
-    prior = _prior_warm(repo)
+    uses WARM timings only (`prior`, defaulting to _prior_warm(repo) —
+    pass it in when the caller already parsed the artifact) — a
+    cold-inflated 5x number can't evict a genuine heavy query from the
+    headline tier (round-10 review)."""
+    if prior is None:
+        prior = _prior_warm(repo)
     known = [n for n in names if n in prior]
     headline = sorted(known, key=lambda n: -prior[n])[:HEADLINE_N]
     head_set = set(headline)
@@ -152,8 +154,8 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    order, head_set, warm_set = _plan_order(list(qs), repo)
     prior_warm = _prior_warm(repo)
+    order, head_set, warm_set = _plan_order(list(qs), repo, prior_warm)
 
     session_warmup(spark, qs, sf_dir)
 

@@ -42,8 +42,18 @@ def test_sketch_queries_have_adjacent_hash_graded_twins():
         if twin is None:
             continue  # exact pytest twin (zlib recompute, test_north_star)
         assert twin in osql, f"{sketch}: twin {twin} must be hash-graded"
-        assert names.index(twin) == names.index(sketch) + 1, (
+        si, ti = names.index(sketch), names.index(twin)
+        assert ti == si + 1, (
             f"{sketch}: twin {twin} not adjacent in queries() order"
+        )
+        # window-safety on the ACTUAL ordering (second r11 review: the
+        # synthetic tests alone let a multi-pair interaction straddle
+        # the real order silently): the pair is fully inside or fully
+        # outside the driver's graded window, never split by it
+        w = entry.GRADED_WINDOW
+        assert ti < w or si >= w, (
+            f"{sketch}/{twin} straddle the {w}-entry graded window "
+            f"at ({si}, {ti})"
         )
 
 
@@ -73,6 +83,37 @@ def test_sketch_pair_never_straddles_graded_window():
     # permutation preserved in both scenarios
     assert sorted(placed) == sorted(ordered)
     assert sorted(placed2) == sorted(ordered2)
+
+
+def test_sketch_pair_placement_multi_pair_interference():
+    """Second r11 review (confirmed by execution on the old
+    implementation): placing pair B could shift already-placed pair A
+    across the window edge, or split its adjacency. With pairs seeded
+    so A sits right at the edge and B's placement perturbs indices
+    around it, EVERY pair must still end adjacent and window-safe."""
+    w = entry.GRADED_WINDOW
+    pairs = [(s, t) for s, t in entry.SKETCH_QUERIES.items() if t]
+    assert len(pairs) >= 2
+    (s_a, t_a), (s_b, t_b) = pairs[0], pairs[1]
+    ordered = [f"q{i:03d}" for i in range(200)]
+    # A adjacent right before the edge; B's members bracket it so B's
+    # placement (at index 20) shifts everything after by +1
+    ordered[w - 2], ordered[w - 1] = s_a, t_a
+    ordered[20], ordered[60] = t_b, s_b
+    placed = entry._place_sketch_pairs(ordered)
+    assert sorted(placed) == sorted(ordered)
+    for s, t in ((s_a, t_a), (s_b, t_b)):
+        si, ti = placed.index(s), placed.index(t)
+        assert ti == si + 1, f"{s}/{t} adjacency broken"
+        assert ti < w or si >= w, f"{s}/{t} straddle at ({si}, {ti})"
+    # stacked pairs at the edge: both must resolve inside
+    ordered2 = [f"q{i:03d}" for i in range(200)]
+    ordered2[w - 3], ordered2[w - 2] = s_b, t_b
+    ordered2[w - 1], ordered2[150] = s_a, t_a
+    placed2 = entry._place_sketch_pairs(ordered2)
+    for s, t in ((s_a, t_a), (s_b, t_b)):
+        si, ti = placed2.index(s), placed2.index(t)
+        assert ti == si + 1 and (ti < w or si >= w), (s, t, si, ti)
 
 
 def test_every_query_has_a_query_age_entry():

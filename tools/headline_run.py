@@ -40,7 +40,7 @@ def main() -> None:
     spark = get_spark("spark_ij_spark-headline")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    order, head_set = bench._plan_order(list(qs), REPO)[:2]
+    order, head_set = bench._plan_order(list(qs), REPO, prior)[:2]
     headline = [n for n in order if n in head_set]
 
     # bench.py's exact protocol (shared helpers): session warmup, then
