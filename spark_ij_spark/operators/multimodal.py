@@ -527,30 +527,53 @@ FROM w GROUP BY event_type ORDER BY event_type
 # --- feature retrieval (media → embedding → top-k) --------------------
 
 RETRIEVAL_BINS = 10  # quantity histogram bins (1..50 → width 5)
-RETRIEVAL_PROBE_MOD = 997  # ~1/997 of orders serve as the query batch
+RETRIEVAL_PROBE_MOD = 997  # ~1/997 of orders pre-select as probe candidates
+# The probe BATCH is capped at a fixed size (smallest-hash-first among
+# the pre-selected candidates, k tie-break): a fixed FRACTION of the
+# corpus is not "tiny by construction" — at 10x data the uncapped
+# batch made the scoring pass |probes| x |corpus| ~ N^2/997, measured
+# 97.7x per 10x data (round 11), and put a corpus-scaling side behind
+# an explicit broadcast. With the cap, the batch is a constant-size
+# deterministic sample (the LSH candidate-budget discipline), the
+# broadcast is provably bounded, and scoring is linear in the corpus.
+RETRIEVAL_PROBE_CAP = 64
 RETRIEVAL_TOPK = 3
+# Per-probe top-k runs as a salted two-stage window: stage 1 ranks
+# within (probe, k % SALTS) buckets, stage 2 merges the <= SALTS*TOPK
+# survivors per probe — without the salt, each probe's full corpus
+# candidate list lands on ONE reducer (the global-window straggler
+# class from the calibrate-then-apply rule). Exact: the global top-k
+# is inside its salt bucket's top-k, and the rank order is total
+# (score desc, k asc), so the two-stage result is identical.
+RETRIEVAL_SALTS = 32
 
 
 def q_media_feature_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-to-embedding retrieval, end to end: decode each order's
     quantity image (real bytes→numpy via the pandas UDF), reduce it to
     a 10-bin integer histogram feature vector, then rank the corpus
-    against a hash-selected probe batch by cosine and keep the top-3
-    positive matches per probe.
+    against a capped hash-selected probe batch by cosine and keep the
+    top-3 positive matches per probe.
 
     Determinism: features are integer counts, the dot product and
-    norms are exact int64s (zip_with/aggregate, JVM-side), and the
-    cosine² score is ONE double division of identical int64s in both
-    engines — bit-identical, no quantization step needed. Ties break
-    on candidate key; zero-overlap candidates are excluded so rank is
-    total.
+    norms are exact int64s (JVM-side codegen), and the cosine² score
+    is ONE double division of identical int64s in both engines —
+    bit-identical, no quantization step needed. Ties break on
+    candidate key; zero-overlap candidates are excluded so rank is
+    total. The probe batch is the RETRIEVAL_PROBE_CAP smallest
+    (hash60, k) among the %-selected candidates — the same 60-bit
+    hash on both engines, so the set is identical.
 
-    Scale shape: the probe batch is tiny by construction (a query
-    batch always is), so it broadcasts and the scoring pass is
-    map-only over the corpus — no corpus×corpus pair join, no shuffle
-    besides the per-probe top-k window over ≤ |probes|×|corpus| scored
-    rows. The image decode happens once per order on the flat
-    projected data column (struct→Python conversion avoided).
+    Scale shape (REVISED round 11): the probe batch is capped at a
+    CONSTANT size, so the broadcast is provably bounded (the policy's
+    requirement for an explicit hint) and the scoring pass is map-only
+    and LINEAR in the corpus. The uncapped version sampled a fixed
+    1/997 FRACTION — measured 97.7x per 10x data (SCALING.md r11) with
+    a corpus-scaling broadcast. Per-probe top-k is a salted two-stage
+    window (see RETRIEVAL_SALTS) so no reducer ever sees one probe's
+    full corpus candidate list. The image decode happens once per
+    order on the flat projected data column (struct→Python conversion
+    avoided).
     """
     from pyspark.sql.types import ArrayType
 
@@ -589,10 +612,20 @@ def q_media_feature_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe_h = hash60_spark("concat('r:', CAST(k AS STRING))")
     probe_pred = f"({probe_h}) % {RETRIEVAL_PROBE_MOD} = 0"
-    probes = feats.where(F.expr(probe_pred)).select(
-        F.col("k").alias("pk"),
-        *[F.col(f"h{b}").alias(f"p{b}") for b in range(RETRIEVAL_BINS)],
-        F.col("nn").alias("pn"),
+    # cap: smallest (hash, k) first — orderBy().limit() plans as
+    # TakeOrderedAndProject (partial per-partition top-K, bounded
+    # driver state), so probes is <= RETRIEVAL_PROBE_CAP rows and the
+    # explicit broadcast below is policy-legal
+    probes = (
+        feats.where(F.expr(probe_pred))
+        .withColumn("ph", F.expr(probe_h))
+        .orderBy("ph", "k")
+        .limit(RETRIEVAL_PROBE_CAP)
+        .select(
+            F.col("k").alias("pk"),
+            *[F.col(f"h{b}").alias(f"p{b}") for b in range(RETRIEVAL_BINS)],
+            F.col("nn").alias("pn"),
+        )
     )
     from pyspark.sql import Window
 
@@ -606,12 +639,20 @@ def q_media_feature_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score", F.expr("round(CAST(dot * dot AS DOUBLE) / (nn * pn), 6)")
         )
     )
-    # rank on the unrounded score expression; emit the rounded value
-    w = Window.partitionBy("pk").orderBy(
-        F.expr("CAST(dot * dot AS DOUBLE) / (nn * pn)").desc(), F.col("k").asc()
-    )
+    # rank on the unrounded score expression; emit the rounded value.
+    # Two-stage salted top-k (exact — see RETRIEVAL_SALTS note): the
+    # stage-1 window keys on (pk, k % SALTS) so a probe's corpus-sized
+    # candidate list spreads over SALTS reducers; stage 2 merges the
+    # <= SALTS*TOPK survivors per probe.
+    rank_expr = F.expr("CAST(dot * dot AS DOUBLE) / (nn * pn)")
+    w1 = Window.partitionBy(
+        "pk", F.pmod(F.col("k"), F.lit(RETRIEVAL_SALTS))
+    ).orderBy(rank_expr.desc(), F.col("k").asc())
+    w2 = Window.partitionBy("pk").orderBy(rank_expr.desc(), F.col("k").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= RETRIEVAL_TOPK)
+        .withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= RETRIEVAL_TOPK)
         .select(
             F.col("pk").alias("probe"),
@@ -629,6 +670,8 @@ def _retrieval_sql() -> str:
 
     probe_h = hash60_duck("'r:' || CAST(k AS VARCHAR)")
     probe = f"({probe_h}) % {RETRIEVAL_PROBE_MOD} = 0"
+    # probe CAP mirrors the Spark orderBy(hash,k).limit() exactly: the
+    # shared 60-bit hash rule makes the selected sets identical
     return f"""
 WITH h AS (
   SELECT l_orderkey AS k,
@@ -637,7 +680,8 @@ WITH h AS (
          CAST(COUNT(*) AS BIGINT) AS c
   FROM lineitem GROUP BY 1, 2),
 norms AS (SELECT k, SUM(c * c) AS nn FROM h GROUP BY k),
-probes AS (SELECT k FROM norms WHERE {probe}),
+probes AS (SELECT k FROM norms WHERE {probe}
+           ORDER BY ({probe_h}), k LIMIT {RETRIEVAL_PROBE_CAP}),
 dots AS (
   SELECT p.k AS pk, c.k AS ck, CAST(SUM(p.c * c.c) AS BIGINT) AS dot
   FROM h p JOIN h c USING (bin)

@@ -436,13 +436,19 @@ def test_covariance_single_partial_agg_shuffle(spark):
 def test_retrieval_probe_batch_broadcasts(spark):
     """Feature retrieval: the probe batch joins as a broadcast (the
     query-batch shape), never a partitioned corpus-pair join; image
-    decode+histogram is a single Arrow hop over the flat data column."""
+    decode+histogram is a single Arrow hop over the flat data column.
+    Since round 11 the probe side must ALSO be capped via orderBy().
+    limit() (TakeOrdered — partial per-partition top-K): a fixed
+    FRACTION of the corpus behind an explicit broadcast was the N²/997
+    scale bug measured at 97.7x per 10x data, so the bounded-side
+    requirement of the broadcast policy is asserted structurally."""
     from spark_ij_spark.operators import multimodal as mm
 
     plan = _plan(mm.q_media_feature_retrieval(spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" in plan  # deliberate: tiny probe side
+    assert "BroadcastNestedLoopJoin" in plan  # probe side bounded by cap
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+    assert "TakeOrdered" in plan, "probe batch must be cap-limited"
 
 
 def test_transitions_no_join_two_keyed_shuffles(spark):

@@ -51,6 +51,10 @@ def main() -> int:
     ap.add_argument("--bare", action="store_true",
                     help="bare default SparkSession (driver-like)")
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--skip", nargs="*", default=None,
+                    help="exclude queries (e.g. the labeled quadratic "
+                         "exactness baselines on 10x+ replicas, where "
+                         "their all-pairs DuckDB oracles are the cost)")
     args = ap.parse_args()
 
     import duckdb
@@ -85,6 +89,10 @@ def main() -> int:
 
     qs, osql = mod.queries(), mod.oracle_sql()
     names = args.only or list(qs)
+    if args.skip:
+        skipped = [n for n in names if n in set(args.skip)]
+        names = [n for n in names if n not in set(args.skip)]
+        print(f"  (skipped by request: {' '.join(skipped)})")
     bad = 0
     for name in names:
         if name not in qs:
