@@ -38,6 +38,26 @@ SKETCH_QUERIES: dict[str, str | None] = {
     "text_compression_ratio": None,  # exact pytest twin (zlib recompute)
 }
 
+# Labeled QUADRATIC exactness baselines: all-pairs / brute-force twins
+# that the approximate family's audits are graded against. Fine at
+# graded SFs; at 10x+ replica volumes their all-pairs DuckDB oracles
+# are the cost (25+ min stalls), so at-volume sweeps exclude them via
+# `oracle_sim --skip-quadratic` (single-sourced here — a hand-typed
+# skip list stalled the first r11 at-volume attempt on a typo-class
+# risk; oracle_sim validates names against this tuple at import).
+QUADRATIC_BASELINES: tuple[str, ...] = (
+    "ann_topk",
+    "ann_recall",
+    "ann_lsh_recall",
+    "ann_lsh_multiprobe_recall",
+    "ann_pq_recall",
+    "ann_pq_refine_recall",
+    "ann_ivfpq_recall",
+    "ann_retrieval_metrics",
+    "dedup_embedding",
+    "dedup_pagerank_exact",
+)
+
 
 def _place_sketch_pairs(ordered: list[str]) -> list[str]:
     """Keep each sketch query's exact hash-graded twin ADJACENT

@@ -548,6 +548,45 @@ RETRIEVAL_TOPK = 3
 RETRIEVAL_SALTS = 32
 
 
+def _capped_probes(feats: DataFrame) -> DataFrame:
+    """Production probe selection, single-sourced for the injected-data
+    identity test: %-predicate pre-select over a frame carrying a
+    BIGINT `k` column, then the RETRIEVAL_PROBE_CAP smallest (hash60,
+    k). orderBy().limit() plans as TakeOrderedAndProject (partial
+    per-partition top-K, bounded driver state), so the result is
+    <= RETRIEVAL_PROBE_CAP rows and the broadcast downstream is
+    policy-legal. The cutoff only FIRES when > CAP candidates survive
+    the % predicate (sf0.1+ organically; the dormant-branch rule says
+    the suite must fire it with injected data — see
+    test_retrieval_probe_cap_spark_duckdb_identity, which matches this
+    exact path against `_capped_probes_duck`)."""
+    from spark_ij_spark.operators.text import hash60_spark
+
+    probe_h = hash60_spark("concat('r:', CAST(k AS STRING))")
+    probe_pred = f"({probe_h}) % {RETRIEVAL_PROBE_MOD} = 0"
+    return (
+        feats.where(F.expr(probe_pred))
+        .withColumn("ph", F.expr(probe_h))
+        .orderBy("ph", "k")
+        .limit(RETRIEVAL_PROBE_CAP)
+    )
+
+
+def _capped_probes_duck(from_clause: str) -> str:
+    """DuckDB mirror of `_capped_probes` (same % predicate, same
+    (hash60, k) ascending cutoff — the shared 60-bit hash rule makes
+    the selected sets identical). Spliced into the graded oracle AND
+    exercised by the injected-data identity test."""
+    from spark_ij_spark.operators.text import hash60_duck
+
+    probe_h = hash60_duck("'r:' || CAST(k AS VARCHAR)")
+    return (
+        f"SELECT k FROM {from_clause} "
+        f"WHERE ({probe_h}) % {RETRIEVAL_PROBE_MOD} = 0 "
+        f"ORDER BY ({probe_h}), k LIMIT {RETRIEVAL_PROBE_CAP}"
+    )
+
+
 def q_media_feature_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-to-embedding retrieval, end to end: decode each order's
     quantity image (real bytes→numpy via the pandas UDF), reduce it to
@@ -610,22 +649,10 @@ def q_media_feature_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nn", F.expr(nn))
         .persist()
     )
-    probe_h = hash60_spark("concat('r:', CAST(k AS STRING))")
-    probe_pred = f"({probe_h}) % {RETRIEVAL_PROBE_MOD} = 0"
-    # cap: smallest (hash, k) first — orderBy().limit() plans as
-    # TakeOrderedAndProject (partial per-partition top-K, bounded
-    # driver state), so probes is <= RETRIEVAL_PROBE_CAP rows and the
-    # explicit broadcast below is policy-legal
-    probes = (
-        feats.where(F.expr(probe_pred))
-        .withColumn("ph", F.expr(probe_h))
-        .orderBy("ph", "k")
-        .limit(RETRIEVAL_PROBE_CAP)
-        .select(
-            F.col("k").alias("pk"),
-            *[F.col(f"h{b}").alias(f"p{b}") for b in range(RETRIEVAL_BINS)],
-            F.col("nn").alias("pn"),
-        )
+    probes = _capped_probes(feats).select(
+        F.col("k").alias("pk"),
+        *[F.col(f"h{b}").alias(f"p{b}") for b in range(RETRIEVAL_BINS)],
+        F.col("nn").alias("pn"),
     )
     from pyspark.sql import Window
 
@@ -666,12 +693,9 @@ def q_media_feature_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _retrieval_sql() -> str:
-    from spark_ij_spark.operators.text import hash60_duck
-
-    probe_h = hash60_duck("'r:' || CAST(k AS VARCHAR)")
-    probe = f"({probe_h}) % {RETRIEVAL_PROBE_MOD} = 0"
-    # probe CAP mirrors the Spark orderBy(hash,k).limit() exactly: the
-    # shared 60-bit hash rule makes the selected sets identical
+    # probe selection is the shared `_capped_probes_duck` fragment —
+    # the exact mirror of the Spark `_capped_probes` path, so the
+    # identity test and the graded oracle exercise ONE rule
     return f"""
 WITH h AS (
   SELECT l_orderkey AS k,
@@ -680,12 +704,16 @@ WITH h AS (
          CAST(COUNT(*) AS BIGINT) AS c
   FROM lineitem GROUP BY 1, 2),
 norms AS (SELECT k, SUM(c * c) AS nn FROM h GROUP BY k),
-probes AS (SELECT k FROM norms WHERE {probe}
-           ORDER BY ({probe_h}), k LIMIT {RETRIEVAL_PROBE_CAP}),
+probes AS ({_capped_probes_duck("norms")}),
 dots AS (
+  -- probes joined FIRST, not `p.k IN (subquery)`: DuckDB does not
+  -- push the IN filter below the bin join, and bin has only 10
+  -- distinct values, so the IN-form explodes to |h|^2/10 pairs
+  -- before filtering (measured at the 10x replica: >450 s vs 90 s
+  -- for this form, identical rows — r11)
   SELECT p.k AS pk, c.k AS ck, CAST(SUM(p.c * c.c) AS BIGINT) AS dot
-  FROM h p JOIN h c USING (bin)
-  WHERE p.k IN (SELECT k FROM probes) AND c.k <> p.k
+  FROM probes pr JOIN h p ON p.k = pr.k JOIN h c USING (bin)
+  WHERE c.k <> p.k
   GROUP BY 1, 2),
 scored AS (
   SELECT pk, ck, dot,

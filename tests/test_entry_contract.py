@@ -398,3 +398,21 @@ def test_bench_cohort_cadence_is_deterministic():
     sizes = [sum(1 for s in slots.values() if s == i) for i in range(k)]
     assert sum(sizes) == len(names)
     assert min(sizes) > 0
+
+
+def test_quadratic_baselines_are_real_hash_graded_queries():
+    """__spark_entry__.QUADRATIC_BASELINES is the single source for
+    the at-volume sweep exclusion (`oracle_sim --skip-quadratic`): a
+    name that drifts out of queries() would silently shrink the
+    exclusion set and re-stall the sweep on an all-pairs oracle (the
+    first r11 at-volume attempt stalled 25+ min exactly this way, on
+    a hand-typed list). Each baseline must exist, carry a DuckDB
+    oracle (they are the exactness twins the approximate family is
+    audited against), and not be a sketch query."""
+    import __spark_entry__ as m
+
+    qs, osql = m.queries(), m.oracle_sql()
+    for name in m.QUADRATIC_BASELINES:
+        assert name in qs, f"{name} not in queries()"
+        assert name in osql, f"{name} has no oracle (not an exactness twin?)"
+        assert name not in m.SKETCH_QUERIES

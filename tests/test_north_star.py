@@ -760,3 +760,37 @@ def test_lsh_cap_spark_duckdb_identity(spark):
         # dormant buckets keep every member
         assert len([r for r in got if r[1] == 2]) == 10
         assert len([r for r in got if r[1] == 3]) == 1
+
+
+def test_retrieval_probe_cap_spark_duckdb_identity(spark):
+    """The feature-retrieval probe cap (RETRIEVAL_PROBE_CAP smallest
+    (hash60, k) among the %-selected candidates) is DORMANT below
+    sf0.1 — pytest's SFs yield far fewer than CAP candidates, so a
+    drift in the cutoff rule (tie-break dropped, a sort direction
+    flipped, the hash forms diverging) would pass the suite green and
+    only surface in a manual at-volume sweep (round-11 review; the
+    LSH-cap precedent above). Inject enough keys that the cutoff
+    FIRES through the PRODUCTION helpers on both engines and assert
+    the selected sets are identical and exactly CAP-sized."""
+    import duckdb
+    import pandas as pd
+
+    from spark_ij_spark.operators import multimodal as mm
+
+    # ~80k keys -> ~80 candidates pass the 1/997 predicate > CAP=64.
+    # Non-contiguous keys so hash order is unrelated to key order.
+    ks = [(3 * v + 1,) for v in range(80_000)]
+    sdf = spark.createDataFrame(ks, "k BIGINT")
+    got = [r.k for r in mm._capped_probes(sdf).collect()]
+    con = duckdb.connect()
+    con.register("inj", pd.DataFrame(ks, columns=["k"]))
+    duck = [r[0] for r in con.execute(mm._capped_probes_duck("inj")).fetchall()]
+    assert len(got) == mm.RETRIEVAL_PROBE_CAP, "cutoff did not fire"
+    assert got == duck, "engines disagree on the capped probe set/order"
+    # sanity: the cutoff actually discarded surviving candidates
+    n_cand = con.execute(
+        "SELECT COUNT(*) FROM (" +
+        mm._capped_probes_duck("inj").replace(
+            f"LIMIT {mm.RETRIEVAL_PROBE_CAP}", "LIMIT 100000") + ")"
+    ).fetchone()[0]
+    assert n_cand > mm.RETRIEVAL_PROBE_CAP

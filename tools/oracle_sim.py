@@ -55,6 +55,9 @@ def main() -> int:
                     help="exclude queries (e.g. the labeled quadratic "
                          "exactness baselines on 10x+ replicas, where "
                          "their all-pairs DuckDB oracles are the cost)")
+    ap.add_argument("--skip-quadratic", action="store_true",
+                    help="exclude __spark_entry__.QUADRATIC_BASELINES "
+                         "(the single-sourced at-volume skip list)")
     args = ap.parse_args()
 
     import duckdb
@@ -89,9 +92,26 @@ def main() -> int:
 
     qs, osql = mod.queries(), mod.oracle_sql()
     names = args.only or list(qs)
-    if args.skip:
-        skipped = [n for n in names if n in set(args.skip)]
-        names = [n for n in names if n not in set(args.skip)]
+    skip = list(args.skip or [])
+    if args.skip_quadratic:
+        missing = sorted(set(mod.QUADRATIC_BASELINES) - set(qs))
+        if missing:
+            # the single-sourced list drifted from queries() — fail
+            # loudly rather than sweep with a stale exclusion set
+            print(f"QUADRATIC_BASELINES not in queries(): {' '.join(missing)}")
+            return 2
+        skip += list(mod.QUADRATIC_BASELINES)
+    if skip:
+        sset = set(skip)
+        unknown = sorted(sset - set(qs))
+        if unknown:
+            # a typo'd skip name would silently leave the quadratic
+            # baseline IN the sweep — the exact stall the flag exists
+            # to prevent (r11 review)
+            print(f"UNKNOWN --skip names: {' '.join(unknown)}")
+            return 2
+        skipped = [n for n in names if n in sset]
+        names = [n for n in names if n not in sset]
         print(f"  (skipped by request: {' '.join(skipped)})")
     bad = 0
     for name in names:

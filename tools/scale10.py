@@ -63,6 +63,10 @@ DEFAULT_QUERIES = [
     "text_tfidf",
     "text_bm25",
     "media_phash_dedup",
+    # in the sample since r11: its fixed-fraction probe batch was
+    # 97.7x/decade for 4 rounds and NO sweep ever sampled it — the
+    # capped version must stay observed (4.36x/decade measured r11)
+    "media_feature_retrieval",
     "layout_bloom_prejoin",
     "pipeline_leakage_split",
     "pipeline_pack_sequences",
