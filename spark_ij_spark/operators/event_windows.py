@@ -125,11 +125,18 @@ FROM events GROUP BY user_id
 
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-type value percentiles. Spark `percentile` and DuckDB
-    `quantile_cont` share the linear-interpolation definition and are
-    bit-identical on this data. Exact percentile is a full-sort-per-
-    group aggregate — at 100 TB swap in approx_percentile (t-digest)
-    and accept the documented error bound; this query is the exactness
-    baseline for that tradeoff."""
+    `quantile_cont` share the linear-interpolation definition but NOT
+    the interpolation formula's floating-point evaluation order: at
+    the 10x replica the r11 at-volume sweep caught a 1-ulp p99 drift
+    (227.41 vs 227.40999999999997 — the v[lo]+d*(v[hi]-v[lo]) vs
+    (1-d)*v[lo]+d*v[hi] class). Both sides therefore round(…, 6),
+    which is deterministically safe here: values carry 2 decimals and
+    the interpolation fraction ((q*100)*(n-1) mod 100)/100 carries 2,
+    so the exact result has <= 4 decimals — >= 5e-7 from any 6-decimal
+    rounding boundary, which 1e-14 noise cannot cross. Exact
+    percentile is a full-sort-per-group aggregate — at 100 TB swap in
+    approx_percentile and accept the documented error bound; this
+    query is the exactness baseline for that tradeoff."""
     return (
         _events(spark, sf_dir)
         # order statistics are over VALID readings only: engines
@@ -138,9 +145,9 @@ def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("value IS NOT NULL AND NOT isnan(value)")
         .groupBy("event_type")
         .agg(
-            F.expr("percentile(value, 0.5)").alias("p50"),
-            F.expr("percentile(value, 0.95)").alias("p95"),
-            F.expr("percentile(value, 0.99)").alias("p99"),
+            F.expr("round(percentile(value, 0.5), 6)").alias("p50"),
+            F.expr("round(percentile(value, 0.95), 6)").alias("p95"),
+            F.expr("round(percentile(value, 0.99), 6)").alias("p99"),
             F.count("*").alias("n_events"),
         )
     )
@@ -148,9 +155,9 @@ def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_EVENTS_QUANTILES_SQL = """
 SELECT event_type,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.95) AS p95,
-       quantile_cont(value, 0.99) AS p99,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
        COUNT(*) AS n_events
 FROM events
 WHERE value IS NOT NULL AND NOT isnan(value)
