@@ -1129,11 +1129,16 @@ p{k} AS (
     steps = ",".join(
         step.format(k=k + 1, j=k, damp=damp) for k in range(PR_ITERS)
     )
+    # MATERIALIZED is load-bearing, same rule as _kcore_sql: DuckDB
+    # inlines plain CTEs, and sym/deg are referenced by EVERY loop
+    # step (12 references) — inlined, the whole LSH-edge pipeline
+    # re-evaluates per step (observed at the 10x replica: >30 min and
+    # 56 GB of spill vs 42 s materialized, identical rows — r11)
     return f"""
 WITH {edges_prefix},
-sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
-consts AS (
+sym AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+consts AS MATERIALIZED (
   SELECT {PR_SCALE} // COUNT(*) AS base,
          (1000 - {damp}) * ({PR_SCALE} // COUNT(*)) // 1000 AS tele
   FROM deg),
@@ -1154,7 +1159,7 @@ ORDER BY {id_col}
 _PR_LSH_EDGES_DUCK = f"""{_MINHASH_SIG_DUCK.strip()},
 {_LSH_CAND_DUCK.strip()},
 {_JACCARD_PAIRS_DUCK.strip()},
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT cand.da AS src, cand.db AS dst
   FROM cand JOIN jac ON cand.da = jac.da AND cand.db = jac.db
   WHERE jac.jaccard >= {JACCARD_THRESHOLD})"""
@@ -1167,7 +1172,7 @@ n AS (
   SELECT vec_id, qv,
          sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) AS nrm
   FROM q),
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT a.vec_id AS src, b.vec_id AS dst
   FROM n a JOIN n b ON a.vec_id < b.vec_id
   WHERE {_QCOS_DUCK} >= {EMBED_COS_THRESHOLD})"""
