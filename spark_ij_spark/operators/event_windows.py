@@ -513,8 +513,8 @@ def q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_EVENTS_SALTED_AGG_SQL = f"""
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(COALESCE(SUM(TRY_CAST({finite_or_null('value')} AS DECIMAL(28,6))), 0) AS DOUBLE) AS sum_value,
-       round(CAST(COALESCE(SUM(TRY_CAST({finite_or_null('value')} AS DECIMAL(28,6))), 0) AS DOUBLE) / COUNT(*), 6)
+       CAST(CAST(COALESCE(SUM(TRY_CAST({finite_or_null('value')} AS DECIMAL(28,6))), 0) AS STRING) AS DOUBLE) AS sum_value,
+       round(CAST(CAST(COALESCE(SUM(TRY_CAST({finite_or_null('value')} AS DECIMAL(28,6))), 0) AS STRING) AS DOUBLE) / COUNT(*), 6)
          AS avg_value
 FROM events
 GROUP BY event_type

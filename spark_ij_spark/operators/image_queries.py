@@ -428,7 +428,7 @@ WITH ordered AS (
          COUNT(*) OVER (PARTITION BY l_orderkey) AS n
   FROM lineitem)
 SELECT n AS n_pixels, rn - 1 AS pixel_idx,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_qty
 FROM ordered GROUP BY n, rn
 """
 

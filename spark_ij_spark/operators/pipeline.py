@@ -335,7 +335,7 @@ kept AS (
     AND doc_id NOT IN (SELECT train_doc FROM contam))
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-       round(CAST(SUM(CAST(quality_score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+       round(CAST(CAST(SUM(CAST(quality_score AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / COUNT(*), 6) AS avg_quality
 FROM kept GROUP BY lang
 """
 
@@ -485,8 +485,8 @@ k AS (
               THEN 1 ELSE 0 END AS keep
   FROM m)
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept,
-       round(CAST(SUM(CAST(top_frac AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_top_frac,
-       round(CAST(SUM(CAST(dup_bi AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dup_bigram
+       round(CAST(CAST(SUM(CAST(top_frac AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / COUNT(*), 6) AS avg_top_frac,
+       round(CAST(CAST(SUM(CAST(dup_bi AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / COUNT(*), 6) AS avg_dup_bigram
 FROM k GROUP BY lang
 """
 

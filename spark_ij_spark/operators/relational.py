@@ -81,10 +81,24 @@ def dsum(expr: str, scale: int = 6, alias: str | None = None):
 
 
 def dsum_sql(expr: str, scale: int = 6) -> str:
-    """The oracle-SQL twin of :func:`dsum` (identical text in DuckDB)."""
+    """The oracle-SQL twin of :func:`dsum`.
+
+    Carries a STRING hop around the final double cast: DuckDB's
+    direct DECIMAL(28,s)→DOUBLE cast is not correctly rounded for
+    int128-backed decimals (measured r11 at the 10x replica:
+    35591213907.498270 → ...498276, 1.5 ulp off, while Spark's
+    BigDecimal cast and Python's Decimal both give ...49827), so the
+    exact decimal sum silently lost its cross-engine guarantee the
+    moment the total outgrew double's 15.95 exact digits. The hop —
+    exact decimal digits, then strtod — is correctly rounded on both
+    engines, so the text stays shared (STRING, not VARCHAR: Spark
+    rejects bare VARCHAR, and some graded queries execute this very
+    text via spark.sql). On the Spark side the hop is value-identical
+    to the old direct cast (both correctly rounded). Apply the same
+    hop to EVERY oracle-side wide-DECIMAL→DOUBLE cast."""
     return (
-        f"COALESCE(CAST(SUM(TRY_CAST({finite_or_null(expr)} "
-        f"AS DECIMAL(28,{scale}))) AS DOUBLE), CAST(0 AS DOUBLE))"
+        f"COALESCE(CAST(CAST(SUM(TRY_CAST({finite_or_null(expr)} "
+        f"AS DECIMAL(28,{scale}))) AS STRING) AS DOUBLE), CAST(0 AS DOUBLE))"
     )
 
 
@@ -126,8 +140,8 @@ SELECT l_returnflag, l_linestatus,
        {dsum_sql('l_extendedprice', 2)} AS sum_base_price,
        {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
        {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
@@ -339,9 +353,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_MARKET_SHARE_SQL = f"""
 SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
-       CAST(SUM(CASE WHEN n_name = 'NATION_3'
+       CAST(CAST(SUM(CASE WHEN n_name = 'NATION_3'
                 THEN CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(28,6))
-                ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS nation_volume,
+                ELSE CAST(0 AS DECIMAL(28,6)) END) AS STRING) AS DOUBLE) AS nation_volume,
        {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS total_volume
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -395,9 +409,9 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_PROMO_SQL = f"""
-SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+SELECT CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
               THEN CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(28,6))
-              ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS promo_revenue,
+              ELSE CAST(0 AS DECIMAL(28,6)) END) AS STRING) AS DOUBLE) AS promo_revenue,
        {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """
@@ -628,7 +642,7 @@ SELECT {dsum_sql('l_extendedprice', 2)} AS small_qty_revenue,
        COUNT(*) AS n_items
 FROM lineitem l
 WHERE l_quantity < 0.5 * (
-  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+  SELECT CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS STRING) AS DOUBLE) / COUNT(*)
   FROM lineitem WHERE l_partkey = l.l_partkey)
 """
 
@@ -1310,6 +1324,15 @@ def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir, ["customer"])
     t["customer"].createOrReplaceTempView("_hier_customer")
+    # The recursion frame holds |customer| x depth rows — linear in
+    # the corpus (depth is log10-bounded), but Spark's default
+    # cteRecursionRowLimit of 1e6 is an absolute-row safety valve
+    # that a 10x replica already exceeds (150k customers x 9 levels,
+    # RECURSION_ROW_LIMIT_EXCEEDED at the r11 at-volume sweep). The
+    # query self-provisions the conf's maximum (an Int conf, so
+    # 2^31-1); the level limit (the real runaway guard for this
+    # acyclic, strictly-shrinking recursion) stays at its default.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
     return spark.sql(
         f"""
 WITH RECURSIVE chain(custkey, anc, depth) AS (

@@ -309,7 +309,7 @@ scored AS (
   JOIN bgc USING (bg)
   JOIN w1c ON string_split(db.bg, ' ')[1] = w1c.w1)
 SELECT doc_id, COUNT(*) AS n_bigrams,
-       round(CAST(SUM(CAST(surprisal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal
+       round(CAST(CAST(SUM(CAST(surprisal AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal
 FROM scored GROUP BY doc_id
 """
 
