@@ -44,7 +44,10 @@ SKETCH_QUERIES: dict[str, str | None] = {
 # are the cost (25+ min stalls), so at-volume sweeps exclude them via
 # `oracle_sim --skip-quadratic` (single-sourced here — a hand-typed
 # skip list stalled the first r11 at-volume attempt on a typo-class
-# risk; oracle_sim validates names against this tuple at import).
+# risk). Guards: oracle_sim cross-checks the tuple against queries()
+# when --skip-quadratic is passed, and the contract test
+# test_quadratic_baselines_are_real_hash_graded_queries pins every
+# name on every commit.
 QUADRATIC_BASELINES: tuple[str, ...] = (
     "ann_topk",
     "ann_recall",

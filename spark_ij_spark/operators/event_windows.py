@@ -578,12 +578,12 @@ monthly AS (
          SUM(pv) AS pv
   FROM daily GROUP BY 1)
 SELECT 'hour' AS level, bucket, CAST(n AS BIGINT) AS n_events,
-       CAST(COALESCE(pv, 0) AS DOUBLE) AS sum_value FROM hourly
+       CAST(CAST(COALESCE(pv, 0) AS STRING) AS DOUBLE) AS sum_value FROM hourly
 UNION ALL
-SELECT 'day', bucket, CAST(n AS BIGINT), CAST(COALESCE(pv, 0) AS DOUBLE)
+SELECT 'day', bucket, CAST(n AS BIGINT), CAST(CAST(COALESCE(pv, 0) AS STRING) AS DOUBLE)
 FROM daily
 UNION ALL
-SELECT 'month', bucket, CAST(n AS BIGINT), CAST(COALESCE(pv, 0) AS DOUBLE)
+SELECT 'month', bucket, CAST(n AS BIGINT), CAST(CAST(COALESCE(pv, 0) AS STRING) AS DOUBLE)
 FROM monthly
 """
 

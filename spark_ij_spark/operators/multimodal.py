@@ -616,8 +616,6 @@ def q_media_feature_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.types import ArrayType
 
-    from spark_ij_spark.operators.text import hash60_spark
-
     imgs = order_quantity_images(spark, sf_dir).select(
         "l_orderkey", F.col("image.data").alias("data")
     )
@@ -696,14 +694,17 @@ def _retrieval_sql() -> str:
     # probe selection is the shared `_capped_probes_duck` fragment —
     # the exact mirror of the Spark `_capped_probes` path, so the
     # identity test and the graded oracle exercise ONE rule
+    # h (3 refs) and norms (3 refs) are MATERIALIZED: DuckDB inlines
+    # plain CTEs and re-runs the lineitem group-by per reference (the
+    # pagerank sym/deg rule, r11 review)
     return f"""
-WITH h AS (
+WITH h AS MATERIALIZED (
   SELECT l_orderkey AS k,
          CAST(LEAST((CAST(l_quantity AS BIGINT) - 1) // 5,
                     {RETRIEVAL_BINS - 1}) AS INT) AS bin,
          CAST(COUNT(*) AS BIGINT) AS c
   FROM lineitem GROUP BY 1, 2),
-norms AS (SELECT k, SUM(c * c) AS nn FROM h GROUP BY k),
+norms AS MATERIALIZED (SELECT k, SUM(c * c) AS nn FROM h GROUP BY k),
 probes AS ({_capped_probes_duck("norms")}),
 dots AS (
   -- probes joined FIRST, not `p.k IN (subquery)`: DuckDB does not

@@ -1322,18 +1322,24 @@ def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of this pattern is the CC loop in operators/dedup.py; this is
     the declarative form for bounded-depth hierarchies.
     """
-    t = load_tables(spark, sf_dir, ["customer"])
-    t["customer"].createOrReplaceTempView("_hier_customer")
     # The recursion frame holds |customer| x depth rows — linear in
     # the corpus (depth is log10-bounded), but Spark's default
     # cteRecursionRowLimit of 1e6 is an absolute-row safety valve
     # that a 10x replica already exceeds (150k customers x 9 levels,
     # RECURSION_ROW_LIMIT_EXCEEDED at the r11 at-volume sweep). The
-    # query self-provisions the conf's maximum (an Int conf, so
-    # 2^31-1); the level limit (the real runaway guard for this
-    # acyclic, strictly-shrinking recursion) stays at its default.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
-    return spark.sql(
+    # query self-provisions the conf's maximum (an Int conf, 2^31-1)
+    # on an ISOLATED child session (newSession: own SQL conf + temp
+    # views, shared context/cache), so the valve stays at its default
+    # for every other query in the caller's session — the conf is
+    # read at EXECUTION time, so a set/restore around the lazy
+    # spark.sql() build would not cover the actual run (r11 review).
+    # The level limit (the real runaway guard for this acyclic,
+    # strictly-shrinking recursion) stays at its default.
+    ns = spark.newSession()
+    t = load_tables(ns, sf_dir, ["customer"])
+    t["customer"].createOrReplaceTempView("_hier_customer")
+    ns.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
+    return ns.sql(
         f"""
 WITH RECURSIVE chain(custkey, anc, depth) AS (
   SELECT c_custkey, c_custkey, 0 FROM _hier_customer
