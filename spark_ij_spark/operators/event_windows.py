@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_ij_spark.operators.relational import dsum, dsum_sql, finite_or_null
+from spark_ij_spark.operators.relational import (
+    dec_double_sql,
+    dsum,
+    dsum_sql,
+    finite_or_null,
+)
 from spark_ij_spark.session import load_tables
 
 SESSION_GAP_MIN = 30
@@ -578,12 +583,12 @@ monthly AS (
          SUM(pv) AS pv
   FROM daily GROUP BY 1)
 SELECT 'hour' AS level, bucket, CAST(n AS BIGINT) AS n_events,
-       CAST(CAST(COALESCE(pv, 0) AS STRING) AS DOUBLE) AS sum_value FROM hourly
+       {dec_double_sql('COALESCE(pv, 0)')} AS sum_value FROM hourly
 UNION ALL
-SELECT 'day', bucket, CAST(n AS BIGINT), CAST(CAST(COALESCE(pv, 0) AS STRING) AS DOUBLE)
+SELECT 'day', bucket, CAST(n AS BIGINT), {dec_double_sql('COALESCE(pv, 0)')}
 FROM daily
 UNION ALL
-SELECT 'month', bucket, CAST(n AS BIGINT), CAST(CAST(COALESCE(pv, 0) AS STRING) AS DOUBLE)
+SELECT 'month', bucket, CAST(n AS BIGINT), {dec_double_sql('COALESCE(pv, 0)')}
 FROM monthly
 """
 

@@ -102,6 +102,17 @@ def dsum_sql(expr: str, scale: int = 6) -> str:
     )
 
 
+def dec_double_sql(expr: str) -> str:
+    """Wide-DECIMAL → DOUBLE with the STRING hop, as a shared fragment
+    for oracle SQL whose decimal flows through an ALIAS (re-summed
+    CTE columns like the rollup's pv) rather than sitting adjacent to
+    its DECIMAL cast: the r11 sweep that added the hop was grep-driven
+    and missed exactly those alias-flow sites, so any new one must
+    splice this helper instead of hand-writing the cast (r11 third
+    review). Rationale for the hop itself: dsum_sql docstring."""
+    return f"CAST(CAST({expr} AS STRING) AS DOUBLE)"
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -1309,6 +1320,40 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+_HIER_NS: "weakref.WeakKeyDictionary" = None  # populated lazily
+
+
+def _hier_session(spark: SparkSession) -> SparkSession:
+    """One MEMOIZED child session per parent for the recursive-CTE
+    query (a fresh JVM SessionState per invocation would accumulate
+    across bench's warm reps and the 174-query sims — r11 third
+    review). The child is created once; per-call state (the temp view,
+    and the runtime confs below) is refreshed by the caller/here every
+    time because it can change between calls:
+
+    - shuffle partitions are COPIED from the parent at every call —
+      newSession merges only builder-time conf, so a runtime
+      `--partitions 7` (the merge-order-independence axis) would
+      otherwise silently stop covering this query;
+    - cteRecursionRowLimit is re-pinned to the Int max (see the
+      caller's rationale)."""
+    global _HIER_NS
+    import weakref
+
+    if _HIER_NS is None:
+        _HIER_NS = weakref.WeakKeyDictionary()
+    ns = _HIER_NS.get(spark)
+    if ns is None:
+        ns = spark.newSession()
+        _HIER_NS[spark] = ns
+    ns.conf.set(
+        "spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    ns.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
+    return ns
+
+
 def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4.1's WITH RECURSIVE): walk an org-chart
     hierarchy derived from the customer table — parent(k) = k DIV 10,
@@ -1334,11 +1379,11 @@ def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read at EXECUTION time, so a set/restore around the lazy
     # spark.sql() build would not cover the actual run (r11 review).
     # The level limit (the real runaway guard for this acyclic,
-    # strictly-shrinking recursion) stays at its default.
-    ns = spark.newSession()
+    # strictly-shrinking recursion) stays at its default. Pinned by
+    # test_recursive_hierarchy_conf_is_session_scoped.
+    ns = _hier_session(spark)
     t = load_tables(ns, sf_dir, ["customer"])
     t["customer"].createOrReplaceTempView("_hier_customer")
-    ns.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
     return ns.sql(
         f"""
 WITH RECURSIVE chain(custkey, anc, depth) AS (

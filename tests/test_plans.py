@@ -930,3 +930,33 @@ def test_lsh_member_index_counts_join_is_broadcast(spark):
     plan = _plan(similarity.q_ann_lsh(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_recursive_hierarchy_conf_is_session_scoped(spark):
+    """q_recursive_hierarchy self-provisions cteRecursionRowLimit to
+    the Int max (its recursion frame is corpus-linear and trips the
+    1e6 default at 10x data) — but on an ISOLATED memoized child
+    session, so the caller's safety valve stays default for every
+    other query (r11 review: the conf is read at execution time, so
+    an unscoped set would have disabled the valve session-wide).
+    Also pins that the partition-independence axis reaches the child:
+    runtime shuffle-partition changes on the parent must propagate
+    (newSession only merges builder-time conf)."""
+    from spark_ij_spark.operators import relational as rel
+
+    default_limit = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    df = rel.q_recursive_hierarchy(spark, SF_DIR)
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit") == default_limit
+    child = df.sparkSession
+    assert child is not spark
+    assert child.conf.get("spark.sql.cteRecursionRowLimit") == str(2**31 - 1)
+    # memoized: a second build reuses the same child session
+    assert rel.q_recursive_hierarchy(spark, SF_DIR).sparkSession is child
+    # runtime conf propagation (the --partitions axis)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        df2 = rel.q_recursive_hierarchy(spark, SF_DIR)
+        assert df2.sparkSession.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
