@@ -126,25 +126,43 @@ def shingle_postings(
     (tiny) hot-shingle set — the classic stop-feature mitigation for
     hot-key skew in posting-list self-joins.
 
-    Shape note (measured, round 5→6): a window count over the shingle
-    key computes df in ONE scan but shuffles the ENTIRE postings frame
-    before the self-join — +31% wall at sf0.1 where the cap never
-    binds. The aggregate + broadcast-anti-join form used here needs
-    the postings twice (df aggregate + anti-join left side), so the
-    raw postings persist MEMORY_AND_DISK (spills, never OOMs): one
-    tokenize+explode+distinct materialization, then the df aggregate
-    partial-aggregates to ~|vocab| rows and the anti-join broadcasts a
-    near-empty hot set — the full postings are never re-shuffled. The
-    capped output is what downstream consumers cache; this inner
-    persist holds the superset (cap rarely removes much)."""
+    Shape notes (measured r5→6, re-measured r11):
+    - a window count over the shingle key computes df in ONE scan but
+      shuffles the ENTIRE postings frame before the self-join — +31%
+      wall at sf0.1 where the cap never binds; the aggregate +
+      broadcast-anti-join form stays.
+    - (doc_id, shingle) duplicates only ever occur WITHIN one
+      document, so ``array_distinct`` on the per-doc shingle array
+      dedupes map-side and the global ``distinct()`` — a full shuffle
+      of the postings — is dropped outright (guide §2.4; identical
+      result set, measured 2.1x on the postings pass at sf0.1).
+    - with the shuffle gone the postings pass is a pure map, so the
+      df aggregate and the anti-join left side re-run it instead of
+      persisting the raw superset (measured: recompute 1.17 s vs
+      persist 1.60 s at sf0.1; at scale it trades one extra map pass
+      over the scan for not materializing a corpus-sized postings
+      frame twice — downstream consumers cache the CAPPED output
+      already, and the anti-join still broadcasts a near-empty hot
+      set, so the full postings are never re-shuffled either way)."""
+    # spread BEFORE tokenize (session.spread, no-op at scale): the
+    # driver testdata is single-row-group parquet, so the tokenize+
+    # shingle pass — and every postings frame CACHED off it by the
+    # dedup family — would otherwise plan as ONE task and keep the
+    # 1-partition layout through the cache, serializing all downstream
+    # consumers (measured r11: dedup_ngram_jaccard steady-state 2.54 →
+    # 1.49 s at sf0.1 from the cached postings regaining parallel
+    # layout alone).
+    from spark_ij_spark.session import spread
+
     sh = (
-        _docs(spark, sf_dir)
+        spread(_docs(spark, sf_dir), "doc_id")
         .withColumn("toks", F.expr(TOKENS_SPARK))
-        .select("doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("s"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"array_distinct({SHINGLES_SPARK})")).alias("s"),
+        )
     )
     if max_doc_frac is not None and max_doc_frac < 1.0:
-        sh = sh.persist()
         hot = (
             sh.groupBy("s")
             .agg(F.count("*").alias("df"))
@@ -425,26 +443,32 @@ FROM cand JOIN jac ON cand.da = jac.da AND cand.db = jac.db
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SIMHASH_BITS-bit SimHash per doc over word-3-gram shingle
     features (tokens are too weak on a small shared vocabulary — most
-    docs contain most tokens), computed relationally: explode
-    (doc, distinct shingle) × bit position → per-(doc, bit) vote sum →
-    fingerprint = Σ (vote>0) << bit. Two partial-aggregating groupBys;
-    scales as a distributed aggregation, no per-row loops."""
+    docs contain most tokens), computed relationally as ONE
+    partial-aggregating groupBy: per doc, SIMHASH_BITS ones-count
+    sums (one per bit) plus the shingle count, then fingerprint =
+    Σ (2·ones_b > n) << b — algebraically identical to the ±1 vote sum
+    (vote_b = 2·ones_b − n > 0 ⇔ 2·ones_b > n). The previous form
+    exploded postings × SIMHASH_BITS (a 48x row multiplier through a
+    corpus-wide shuffle) into a (doc, bit) groupBy plus a second
+    groupBy; this shape shuffles only |docs| rows of 49 BIGINTs
+    (guide §2.3 "aggregate before you shuffle"; identical output,
+    measured at sf0.1 and oracle unchanged)."""
     toks = shingle_postings(spark, sf_dir).withColumn(
         "h", F.expr(hash60_spark("s"))
     )
-    votes = (
-        toks.select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"),
-            "h",
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.expr("sum(2 * ((h >> b) & 1) - 1)").alias("vote"))
+    aggs = [
+        F.expr(f"sum((h >> {b}) & 1)").alias(f"o{b}")
+        for b in range(SIMHASH_BITS)
+    ] + [F.count("*").alias("nsh")]
+    fp_expr = " + ".join(
+        f"(CASE WHEN 2 * o{b} > nsh THEN shiftleft(CAST(1 AS BIGINT), {b})"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
     )
-    return votes.groupBy("doc_id").agg(
-        F.expr(
-            "sum(CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END)"
-        ).alias("fp")
+    return (
+        toks.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.expr(fp_expr).alias("fp"))
     )
 
 
@@ -764,24 +788,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # Carry the pre-round label through the checkpointed frame so
+        # the fixpoint probe is a map-only filter over it — the
+        # previous probe re-JOINED new vs old labels on doc_id every
+        # round, an extra per-round join the loop doesn't need
+        # (guide §2.4; measured 8.8 → 5.7 s on the full clusters query
+        # at sf0.1, same-session pair).
+        new_frame = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nlabel", "label")
                 ).alias("label"),
             )
+            .localCheckpoint()  # truncate loop lineage
         )
-        new_labels = new_labels.localCheckpoint()  # truncate loop lineage
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
+            new_frame.filter(F.col("label") != F.col("old_label"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_frame.select("doc_id", "label")
         if changed == 0:
             converged = True
             break

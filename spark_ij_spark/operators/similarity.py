@@ -178,8 +178,15 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate join. The first multi-table cut materialized
     vec×dim×table×bit rows (n·4096) into a groupBy and cost 5.7 s at
     sf0.1 / 18 s at sf~1; this form is pure whole-stage codegen.
-    Integer dots < 2^53, so engines agree bit-for-bit."""
-    qv = _emb(spark, sf_dir).select(
+    Integer dots < 2^53, so engines agree bit-for-bit.
+
+    The quantized frame is spread (session.spread, no-op at scale):
+    the 64 hyperplane dots per vector are the family's heaviest map
+    pass and the testdata's single-row-group layout would run them —
+    and every cached frame built on them — as ONE task (r11)."""
+    from spark_ij_spark.session import spread
+
+    qv = spread(_emb(spark, sf_dir), "vec_id").select(
         "vec_id",
         F.expr(
             f"transform(embedding, x -> TRY_CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
@@ -323,8 +330,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≈LSH_OWN_CAP per bucket (_lsh_capped_members — dormant at every
     graded SF, see the cap note): the r10 decade sweep measured the
     uncapped own-bucket join at 3.95x/100x, the family's steepest
-    curve once multiprobe was budgeted."""
-    mem = _lsh_member_index(lsh_buckets(spark, sf_dir)).cache()
+    curve once multiprobe was budgeted. The BUCKETS frame is cached
+    too (r11): _lsh_member_index reads it twice (counts agg + join
+    side) and each uncached pass re-runs the 64 hyperplane dots per
+    vector — caching n×NTABLES small rows beats recomputing the dots
+    at every scale (measured 2.21→1.43 s for the member index at
+    sf0.1)."""
+    mem = _lsh_member_index(lsh_buckets(spark, sf_dir).cache()).cache()
     cand = _lsh_own_cand(mem).distinct()
     return _rescore_topk(spark, sf_dir, cand, LSH_TOPK)
 
@@ -386,12 +398,15 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Operating point (see LSH_NTABLES note): measured recall@5 ≈ 0.66
     at sf0.01 / 0.64 at sf0.1 — vs ≈ 0.12 single-table r8 — floor
-    asserted by test_ann_recall_floors. The CACHED frame is the member
-    index (buckets + cnt + mh): probes and both cap branches read it,
-    so the per-member selection hash is computed once (the counts agg
-    re-derives the map-only bucket computation once more — one extra
-    corpus map pass beats caching the frame twice)."""
-    mem = _lsh_member_index(lsh_buckets(spark, sf_dir)).cache()
+    asserted by test_ann_recall_floors. BOTH the member index (buckets
+    + cnt + mh — probes and both cap branches read it, so the
+    per-member selection hash is computed once) and the raw buckets
+    frame are cached (r11): _lsh_member_index reads buckets twice
+    (counts agg + join side) and an uncached pass re-runs the 64
+    hyperplane dots per vector — caching n×NTABLES small rows beats
+    recomputing the dots at every scale (measured 2.21→1.43 s at
+    sf0.1, reversing the r10 one-extra-map-pass call)."""
+    mem = _lsh_member_index(lsh_buckets(spark, sf_dir).cache()).cache()
     h1_probes = (
         mem.filter(F.col("vec_id") < N_QUERIES)
         .select(

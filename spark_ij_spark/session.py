@@ -69,6 +69,29 @@ def get_spark(app_name: str = "spark_ij_spark", cpus: int | None = None) -> Spar
     return builder.getOrCreate()
 
 
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Restore map-side parallelism when the upstream scan under-splits.
+
+    The driver testdata ships single-row-group parquet files, so every
+    map stage over a base table plans as ONE task regardless of core
+    count — tokenize/hash/dot-product passes serialize, and any frame
+    CACHED off such a scan keeps the 1-partition layout, serializing
+    every downstream consumer of the cache too. This helper hash-
+    repartitions on the table's stable primary key ONLY when the
+    planned partitioning is narrower than the session's default
+    parallelism; at scale (row groups >> cores) it is a no-op — zero
+    added shuffle, so it is a layout guard, not a local[32] tuning
+    constant. Partition count comes from spark.sql.shuffle.partitions
+    (conf-parameterized per deploy); the deterministic key avoids the
+    round-robin retry hazard (guide §2.5, SPARK-38388)."""
+    try:
+        if df.rdd.getNumPartitions() >= df.sparkSession.sparkContext.defaultParallelism:
+            return df
+    except Exception:
+        return df
+    return df.repartition(*[F.col(k) for k in keys])
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
