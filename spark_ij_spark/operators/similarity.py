@@ -764,28 +764,70 @@ PQ_DSUB = DIM // PQ_M
 PQ_TOPK = TOPK  # rank against the same brute-force top-k
 
 
-def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[tuple[int, list[float]]]]:
-    """Per-subspace codebooks seeded from the first PQ_K vectors'
-    quantized subvectors (O(M·K·dsub) driver state, like the k-means
-    seeds; a trained variant would run Lloyd per subspace exactly as
-    embed_kmeans does). Values are int-valued doubles < 2^53, so every
-    score below is exact integer arithmetic in IEEE doubles."""
+def _pq_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[
+    list[list[tuple[int, list[float]]]],
+    list[tuple[int, list[list[float]]]],
+]:
+    """PQ model state off ONE bounded driver collect
+    (vec_id < max(PQ_K, N_QUERIES) quantized rows — r11: the separate
+    codebook and query collects were two Spark jobs per query build):
+
+    - ``books``: per-subspace codebooks seeded from the first PQ_K
+      vectors' quantized subvectors (O(M·K·dsub) driver state, like
+      the k-means seeds; a trained variant would run Lloyd per
+      subspace exactly as embed_kmeans does). Values are int-valued
+      doubles < 2^53, so every score below is exact integer
+      arithmetic in IEEE doubles.
+    - ``lut``: for each present query ia (vec_id < N_QUERIES after
+      the integrity scan) and subspace m, ||q_m − c_{m,k}||² indexed
+      by code position k. O(NQ·M·K) = 1280 bounded values — driver
+      model state exactly like the codebooks (k-means-centroid /
+      _lsh_sign literal precedent). All inputs are int-valued
+      (quantized), so the Python integer arithmetic below produces
+      EXACTLY the double either engine computes: every partial
+      (squares ≤ ~1.1e12, sums of PQ_DSUB=16 ≤ ~2e13) stays < 2^53,
+      and qn − 2·dot + cn is the same exact integer in any evaluation
+      order. Codebook positions a dropped integrity-filtered seed
+      would leave empty hold 0.0 placeholders that no encoded vector
+      can ever reference (the argmin only emits existing cids)."""
     from spark_ij_spark.operators.dedup import quantized_embeddings
 
     rows = (
         quantized_embeddings(spark, sf_dir)
-        .filter(F.col("vec_id") < PQ_K)
+        .filter(F.col("vec_id") < max(PQ_K, N_QUERIES))
         .collect()
     )
+    brows = [r for r in rows if int(r.vec_id) < PQ_K]
     books = []
     for m in range(PQ_M):
         books.append(
             [
                 (int(r.vec_id), [float(v) for v in r.qv[m * PQ_DSUB : (m + 1) * PQ_DSUB]])
-                for r in rows
+                for r in brows
             ]
         )
-    return books
+    lut = []
+    for r in sorted(rows, key=lambda r: int(r.vec_id)):
+        ia = int(r.vec_id)
+        if ia >= N_QUERIES:
+            continue
+        qv = [int(v) for v in r.qv]
+        per_m = []
+        for m in range(PQ_M):
+            qs = qv[m * PQ_DSUB : (m + 1) * PQ_DSUB]
+            qn = sum(v * v for v in qs)
+            size = max(k for k, _ in books[m]) + 1 if books[m] else 0
+            row = [0.0] * size
+            for k, cv in books[m]:
+                cvi = [int(v) for v in cv]
+                dot = sum(a * b for a, b in zip(qs, cvi))
+                cn = sum(v * v for v in cvi)
+                row[k] = float(qn - 2 * dot + cn)
+            per_m.append(row)
+        lut.append((ia, per_m))
+    return books, lut
 
 
 def q_ann_pq_pairs(
@@ -796,27 +838,34 @@ def q_ann_pq_pairs(
     (shortlist + exact re-rank) and ``q_ann_ivfpq`` (probe-pruned):
     encode every vector as PQ_M codebook codes, then score queries
     against the CODES (asymmetric distance computation) instead of the
-    raw floats. With ``cand`` (an (ia, ib) frame), only those pairs are
-    ADC-scored — the codes frame is semi-reduced by the candidate join
-    BEFORE the LUT join, so pruning actually prunes compute.
+    raw floats. With ``cand`` (an (ia, ib) frame), only those pairs
+    are ADC-scored — the encoded frame is candidate-reduced by the
+    join BEFORE any scoring, so pruning actually prunes compute.
 
-    Shapes, 100 TB lens:
-    - encode: map-only — the codebooks compile into literal argmin
-      expressions (the k-means assignment pattern), zero shuffles;
-    - ADC: the per-query lookup table (ia, m, k → partial distance,
-      NQ·M·K rows) broadcasts; scoring joins codes to the LUT on the
-      tiny (m, code) key and partial-aggregates the per-subspace
-      partials before the (ia, ib) shuffle. Linear per-query scan by
-      construction — production systems prune it with an IVF stage
-      (IVF-PQ); the compression algebra is what PQ contributes.
+    Shapes, 100 TB lens (r11 rewrite — guide §2.4 "remove shuffles
+    outright"): encode is map-only (codebooks compile into literal
+    argmin expressions, the k-means assignment pattern), and the ADC
+    lookup table — NQ·M·K = 1280 exact-integer values, bounded model
+    state — is computed on the driver (_pq_query_lut) and
+    broadcast-joined as ONE wide row per query (ia, l0..l{M-1}
+    arrays). Scoring is then 4 array lookups per (vector, query) row
+    in whole-stage codegen. The r9-r10 form exploded the codes frame
+    (M rows/vector), joined the per-(ia, m, k) LUT rows, and
+    partial-aggregated through a corpus-wide (ia, ib) groupBy; that
+    aggregation Exchange — n·NQ rows — is gone outright, leaving the
+    per-query top-k/shortlist rank as the PQ family's only shuffle.
+    Linear per-query scan by construction — production prunes it with
+    the IVF stage (q_ann_ivfpq).
+
     All distances are exact integers (quantized inputs), so the DuckDB
-    oracle — which re-derives codebooks, codes, and LUT in SQL —
-    hash-matches bit-for-bit, proving encode and ADC agree across
-    engines."""
+    oracle — which still re-derives codebooks, codes, and LUT in SQL —
+    hash-matches bit-for-bit, proving encode, LUT and ADC agree across
+    engines (the same literal-inline-vs-in-SQL proof _lsh_sign
+    carries)."""
     from spark_ij_spark.operators.clustering import _best_cluster_expr
     from spark_ij_spark.operators.dedup import quantized_embeddings
 
-    books = _pq_codebooks(spark, sf_dir)
+    books, lut = _pq_model(spark, sf_dir)
     pts = quantized_embeddings(spark, sf_dir).select(
         "vec_id", F.expr("transform(qv, v -> CAST(v AS DOUBLE))").alias("x")
     )
@@ -831,54 +880,32 @@ def q_ann_pq_pairs(
             for m in range(PQ_M)
         ],
     )
-    codes = enc.select(
-        "ib",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(m).alias("m"), F.col(f"code{m}").alias("k"))
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("mk"),
-    ).select("ib", F.col("mk.m").alias("m"), F.col("mk.k").alias("k"))
 
-    # LUT: ||q_m - c_{m,k}||^2 for every query subvector × codeword
-    cb_rows = [
-        (m, k, cv) for m in range(PQ_M) for (k, cv) in books[m]
-    ]
-    cb = spark.createDataFrame(cb_rows, "m INT, k INT, cv ARRAY<DOUBLE>")
-    qsub = (
-        pts.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("ia"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(m).alias("m"), F.col(f"x{m}").alias("qs"))
-                        for m in range(PQ_M)
-                    ]
-                )
-            ).alias("mq"),
-        )
-        .select("ia", F.col("mq.m").alias("m"), F.col("mq.qs").alias("qs"))
+    # The LUT ships as a 20-row broadcast frame, NOT as literal
+    # expression trees: a literal form (tried first, r11) added ~1300
+    # literal nodes per query plan and cost ~0.4-0.5 s of driver-side
+    # analysis per build — more than the Exchange it saved at sf0.1 —
+    # and F.lit(nested list) pays ~1.8 s of per-element Py4J
+    # conversion. The broadcast is provably bounded (N_QUERIES
+    # constant rows), the per-row work is 4 array lookups, and the
+    # plan stays small.
+    lut_rows = [tuple([ia] + per_m) for ia, per_m in lut]
+    lut_schema = "ia BIGINT, " + ", ".join(
+        f"l{m} ARRAY<DOUBLE>" for m in range(PQ_M)
     )
-    dot = "aggregate(zip_with(qs, cv, (a, b) -> a * b), 0.0D, (acc, v) -> acc + v)"
-    qn = "aggregate(qs, 0.0D, (acc, v) -> acc + v * v)"
-    cn = "aggregate(cv, 0.0D, (acc, v) -> acc + v * v)"
-    lut = qsub.join(F.broadcast(cb), "m").select(
-        "ia", "m", "k", F.expr(f"{qn} - 2.0D * ({dot}) + {cn}").alias("pdist")
-    )
+    lut_wide = spark.createDataFrame(lut_rows, lut_schema)
+    adist = " + ".join(f"element_at(l{m}, code{m} + 1)" for m in range(PQ_M))
     if cand is None:
-        joined = codes.join(F.broadcast(lut), ["m", "k"]).where(
-            F.col("ib") != F.col("ia")
+        return (
+            enc.crossJoin(F.broadcast(lut_wide))
+            .where(F.col("ib") != F.col("ia"))
+            .select("ia", "ib", F.expr(adist).alias("adist"))
         )
-    else:
-        joined = cand.join(codes, "ib").join(
-            F.broadcast(lut), ["ia", "m", "k"]
-        )
-    return joined.groupBy("ia", "ib").agg(
-        F.expr("CAST(SUM(pdist) AS DOUBLE)").alias("adist")
+    # cand path: every cand.ia is integrity-present by construction —
+    # the probe set derives from the same _emb scan the LUT collect
+    # reads — so the inner join drops nothing.
+    return cand.join(enc, "ib").join(F.broadcast(lut_wide), "ia").select(
+        "ia", "ib", F.expr(adist).alias("adist")
     )
 
 

@@ -357,15 +357,29 @@ def test_q21_decorrelated_no_nested_loop(spark):
 
 def test_pq_encode_and_adc_shapes(spark):
     """PQ: codebooks compile into literal argmin codegen (encode is
-    join-free), the LUT joins as a broadcast hash join on (m, code),
-    and nothing falls to Python or a cartesian product."""
+    join-free) and ADC scoring is map-only against the broadcast wide
+    LUT (one bounded row per query, N_QUERIES rows total). The full
+    pairs path is a deliberate BroadcastNestedLoopJoin: crossJoin with
+    the constant-size LUT + the ib != ia non-equi filter — the n x NQ
+    expansion the query IS, with no corpus-side shuffle. Nothing falls
+    to Python, no (ia, ib) aggregation Exchange remains (r11: the old
+    explode + per-(m,k) LUT join + groupBy shape is gone)."""
     from spark_ij_spark.operators import similarity
 
     plan = _plan(similarity.q_ann_pq(spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
     assert "EvalPython" not in plan
+    # the ADC sum is a projection over element_at lookups — the old
+    # explode-codes + per-(m,k) LUT join + (ia, ib) groupBy shape left
+    # a Generate and a HashAggregate here; both must stay gone
+    assert "Generate" not in plan
+    assert "HashAggregate" not in plan
+    # cand path (ivfpq): LUT attaches via broadcast hash join on ia
+    cand_plan = _plan(similarity.q_ann_ivfpq(spark, SF_DIR))
+    assert "BroadcastHashJoin" in cand_plan
+    assert "CartesianProduct" not in cand_plan
+    assert "EvalPython" not in cand_plan
 
 
 def test_q2_q12_q16_q20_shapes(spark):
