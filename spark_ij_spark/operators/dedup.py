@@ -1070,9 +1070,22 @@ def _pagerank_over_edges(edges: DataFrame, id_alias: str) -> DataFrame:
     ).cache()
     n_parts = cc_partitions(sym0.count())  # materializes the edge cache
     sym = sym0.repartition(n_parts, "src")
-    deg = sym.groupBy("src").agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("deg"))
+    # deg is consumed three times (symdeg build, pr init, final join);
+    # uncheckpointed, each consumer re-shuffled and re-aggregated the
+    # whole symmetrized edge frame off the cache. One |V|-row
+    # localCheckpoint makes deg a static side computed exactly once
+    # (r11, guide §5 cache-reuse / §2.4 shared exchange).
+    deg = (
+        sym.groupBy("src")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("deg"))
+        .localCheckpoint()
+    )
     symdeg = sym.join(deg, "src").select("src", "dst", "deg").localCheckpoint()
-    n_nodes = symdeg.select("src").distinct().count()  # O(1) model scalar
+    # deg has exactly one row per node (groupBy src over the
+    # symmetrized frame), so the node count is a count of the
+    # checkpointed |V|-row frame — the old distinct() re-shuffled all
+    # E rows of symdeg for the same scalar (r11, guide §2.4).
+    n_nodes = deg.count()  # O(1) model scalar
     # max(…, 1): a dup-free corpus yields an empty graph — every loop
     # frame is empty and the query returns 0 rows (matching the
     # oracle's empty set) instead of ZeroDivisionError on the driver.

@@ -579,6 +579,23 @@ FROM r GROUP BY source
 # --- deterministic stratified sample ----------------------------------
 
 SAMPLE_PER_STRATUM = 20
+# Stage-1 salt fan-out for the per-stratum top-k / budget-walk windows
+# (r11, the RETRIEVAL_SALTS pattern / guide §2.5): lang strata are FEW
+# and corpus-sized, so a bare per-lang window lands each stratum on
+# ONE reducer at 100 TB. Stage 1 ranks within (lang, doc_id % SALTS),
+# stage 2 merges the bounded survivors. Top-k exactness: the order
+# (key, doc_id) is total, so every global top-k row is inside its salt
+# bucket's top-k. Budget-walk exactness (token_budget): a doc's salt-
+# bucket prefix lower-bounds its true prefix, so stage-1 drops are
+# sound; if ANY doc of a bucket is dropped, that bucket's survivors
+# already hold >= BUDGET tokens and all precede every later doc, so
+# stage 2 still drops everything the true walk drops; and every
+# predecessor of a truly-kept doc survives stage 1, so the emitted
+# cum_tokens equals the true prefix sum. (The INCLUSIVE cum <= budget
+# walk in calibrated_mix does NOT decompose this way — a huge doc can
+# be dropped in stage 1 while still owing its tokens to later true
+# prefixes — so that query keeps its per-tier window, see its note.)
+PIPE_SALTS = 32
 
 
 def q_pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,10 +609,18 @@ def q_pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT per group)."""
 
     h = f"{hash60_spark('CAST(doc_id AS STRING)')}"
-    w = Window.partitionBy("lang").orderBy(F.expr(h), F.col("doc_id"))
+    # salted two-stage top-k (see PIPE_SALTS): exact, and the stage-2
+    # window ranks <= SALTS*K survivors per stratum instead of the
+    # whole corpus slice (r11)
+    w1 = Window.partitionBy(
+        "lang", F.pmod(F.col("doc_id"), F.lit(PIPE_SALTS))
+    ).orderBy("h", "doc_id")
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
     return (
         _docs(spark, sf_dir)
         .select("lang", "doc_id", F.expr(h).alias("h"))
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= SAMPLE_PER_STRATUM)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= SAMPLE_PER_STRATUM)
         .select("lang", "rk", "doc_id")
@@ -629,16 +654,31 @@ def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-bound (the same ~90 rows at every SF)."""
 
     h = hash60_spark("CAST(doc_id AS STRING)")
+    # salted two-stage budget walk (see PIPE_SALTS for the exactness
+    # proof): stage 1 prunes on the per-(lang, salt) prefix — a lower
+    # bound of the true prefix — so the stage-2 cumsum runs over a
+    # budget-bounded survivor set per stratum, not the corpus slice,
+    # and emits the identical rows and cum_tokens values (r11)
+    w1 = (
+        Window.partitionBy("lang", F.pmod(F.col("doc_id"), F.lit(PIPE_SALTS)))
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     w = (
         Window.partitionBy("lang")
-        .orderBy(F.expr(h), F.col("doc_id"))
+        .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t = _docs(spark, sf_dir).select(
-        "lang", "doc_id", F.expr(f"size({TOKENS_SPARK})").alias("n_tok")
+        "lang",
+        "doc_id",
+        F.expr(f"size({TOKENS_SPARK})").alias("n_tok"),
+        F.expr(h).alias("h"),
     )
     return (
-        t.withColumn("cum_tokens", F.sum("n_tok").over(w))
+        t.withColumn("bcum", F.sum("n_tok").over(w1))
+        .filter(F.col("bcum") - F.col("n_tok") < TOKEN_BUDGET_PER_LANG)
+        .withColumn("cum_tokens", F.sum("n_tok").over(w))
         .filter(
             F.col("cum_tokens") - F.col("n_tok") < TOKEN_BUDGET_PER_LANG
         )
@@ -1142,6 +1182,11 @@ def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"-ln((CAST(({h}) AS DOUBLE) + 1) / {_TWO_60}.0)"
         f" / CAST(size({TOKENS_SPARK}) AS DOUBLE)"
     )
+    # salted two-stage top-k (see PIPE_SALTS): exact under the total
+    # (draw_key, doc_id) order (r11)
+    w1 = Window.partitionBy(
+        "lang", F.pmod(F.col("doc_id"), F.lit(PIPE_SALTS))
+    ).orderBy("draw_key", "doc_id")
     w = Window.partitionBy("lang").orderBy("draw_key", "doc_id")
     return (
         _docs(spark, sf_dir)
@@ -1151,6 +1196,8 @@ def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)").alias("n_tokens"),
             F.expr(key).alias("draw_key"),
         )
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= WS_K)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= WS_K)
         .select(

@@ -662,6 +662,7 @@ FROM p GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50
 HV_DIM = 64
 HV_PROBES = 20
 HV_TOPK = 5
+HV_SALTS = 32  # stage-1 salt fan-out of the per-probe top-k (r11)
 
 
 def q_text_hash_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,9 +723,21 @@ def q_text_hash_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
+    # Salted two-stage top-k (r11, the RETRIEVAL_SALTS pattern / guide
+    # §2.5): with HV_PROBES constant, a bare per-pid window lands each
+    # probe's corpus-sized candidate list on ONE reducer at scale.
+    # Stage 1 ranks within (pid, doc_id % HV_SALTS); stage 2 merges
+    # the <= HV_SALTS*HV_TOPK survivors. Exact: the order
+    # (cos DESC, doc_id ASC) is total, so every global top-k row is
+    # inside its salt bucket's top-k.
+    w1 = Window.partitionBy(
+        "pid", F.pmod(F.col("doc_id"), F.lit(HV_SALTS))
+    ).orderBy(F.desc("cos"), F.asc("doc_id"))
     w = Window.partitionBy("pid").orderBy(F.desc("cos"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= HV_TOPK)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= HV_TOPK)
         .select("pid", "doc_id", "rank", F.expr("round(cos, 6)").alias("cos_sim"))
         .orderBy("pid", "rank")

@@ -350,6 +350,33 @@ FROM events GROUP BY event_type
 # whole estimate is exactly oracle-checkable across engines.
 KMV_K = 64
 _TWO60 = "1152921504606846976.0"  # 2^60 as an exact double literal
+# The per-type k-min sample runs as a salted two-stage window (r11,
+# the RETRIEVAL_SALTS pattern / guide §2.5): stage 1 ranks within
+# (event_type, h % SALTS) so a type's corpus-sized distinct-user list
+# spreads over SALTS reducers instead of ONE (the global-per-type
+# window straggler at 100 TB); stage 2 merges the <= SALTS*KMV_K
+# survivors per type. Exact: h is distinct within a type (the frame is
+# distinct on (type, h)), the order is total, and every global k-min
+# is inside its salt bucket's k-min.
+KMV_SALTS = 32
+
+
+def _kmv_sample(d: DataFrame) -> DataFrame:
+    """Per-type KMV_K smallest h off the distinct (event_type, h)
+    frame — the salted two-stage form (see KMV_SALTS). Shared by
+    q_events_kmv_users and q_events_kmv_overlap so the sketch both
+    queries reuse is ONE code path."""
+    w1 = Window.partitionBy(
+        "event_type", F.pmod(F.col("h"), F.lit(KMV_SALTS))
+    ).orderBy("h")
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    return (
+        d.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= KMV_K)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
 
 
 def q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,12 +408,15 @@ def q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
         .distinct()
+        # cached (r11): the exact count and the sketch sample both
+        # consume the distinct collapse — uncached, each re-ran the
+        # events scan + corpus-sized distinct shuffle (the overlap
+        # query already cached its copy).
+        .cache()
     )
     n = d.groupBy("event_type").agg(F.count("*").alias("n_users"))
-    w = Window.partitionBy("event_type").orderBy("h")
     km = (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= KMV_K)
+        _kmv_sample(d)
         .groupBy("event_type")
         .agg(F.max("h").alias("hk"), F.count("*").alias("m"))
     )
@@ -474,12 +504,10 @@ def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    w = Window.partitionBy("event_type").orderBy("h")
-    samp = (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= KMV_K)
-        .select("event_type", "h")
-    )
+    # cached (r11): sa/sb reference the sample four times below and
+    # each uncached reference re-ran the corpus-wide sample windows;
+    # the frame is provably bounded (<= types * KMV_K rows).
+    samp = _kmv_sample(d).cache()
     sa = samp.select(F.col("event_type").alias("ta"), "h")
     sb = samp.select(F.col("event_type").alias("tb"), "h")
     # union sketch per ordered type pair: k smallest of merged samples

@@ -282,3 +282,68 @@ def test_dsir_select_structure_and_determinism(spark, sf_dir):
     assert {(r.doc_id, r.imp_ppm) for r in rows} == {
         (r.doc_id, r.imp_ppm) for r in again
     }
+
+
+def test_salted_stratum_windows_fire_and_match_oracle(spark, duck, tmp_path):
+    """The r11 salted two-stage stratum windows (stratified_sample /
+    weighted_sample top-k, token_budget budget walk — see PIPE_SALTS)
+    are DORMANT at the driver's correctness SF: sf0.01 holds ~4 docs
+    per (lang, salt) bucket, under every K and budget, so a drift
+    between the two-stage form and the unchanged single-window DuckDB
+    oracles would grade green and only diverge at sf0.1+. Inject a
+    corpus dense enough that EVERY stage-1 prune fires — including
+    token_budget's dropped-doc interplay (docs whose bucket prefix
+    exceeds the budget mid-walk, the subtle branch of the exactness
+    proof) — and assert full driver-style cross-engine identity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 6000
+    doc_ids, texts, langs, sources, ntoks = [], [], [], [], []
+    for i in range(n):
+        # 2 strata x 32 salt buckets ~ 94 docs/bucket: > SAMPLE_PER_
+        # STRATUM (20), > WS_K (10), and bucket token prefixes blow
+        # through TOKEN_BUDGET_PER_LANG (1000) mid-walk. Every 97th
+        # doc is a 1200-token giant so stage-1 budget drops interleave
+        # with survivors (the proof's hard case).
+        ntok = 1200 if i % 97 == 0 else 5 + (i * 13) % 60
+        ntoks.append(ntok)
+        doc_ids.append(i)
+        texts.append(" ".join(f"w{j % 11}" for j in range(ntok)))
+        langs.append("en" if i % 2 == 0 else "de")
+        sources.append(f"src{i % 8}")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    # the prunes actually fire: every (lang, salt) bucket holds more
+    # rows than the largest K and more tokens than the budget
+    from collections import Counter
+
+    bucket_rows: Counter = Counter()
+    bucket_toks: Counter = Counter()
+    for i, nt in zip(doc_ids, ntoks):
+        key = (langs[i], i % pipeline.PIPE_SALTS)
+        bucket_rows[key] += 1
+        bucket_toks[key] += nt
+    assert min(bucket_rows.values()) > pipeline.SAMPLE_PER_STRATUM
+    assert pipeline.SAMPLE_PER_STRATUM > pipeline.WS_K
+    assert min(bucket_toks.values()) > pipeline.TOKEN_BUDGET_PER_LANG
+    for name in (
+        "pipeline_stratified_sample",
+        "pipeline_weighted_sample",
+        "pipeline_token_budget",
+    ):
+        assert_oracle_match(
+            spark,
+            duck,
+            pipeline.QUERIES[name],
+            pipeline.ORACLES[name],
+            sf_dir=str(tmp_path),
+        )

@@ -121,11 +121,14 @@ def test_gopher_and_c4_filters_stay_jvm_side(spark):
 
 
 def test_stratified_sample_single_shuffle(spark):
-    """Per-stratum rank = one hash-partition exchange on lang, no join."""
+    """Per-stratum rank = the salted two-stage pair of hash-partition
+    exchanges ((lang, salt) then lang over the bounded survivors — see
+    PIPE_SALTS), no join."""
     plan = _plan(pipeline.q_pipeline_stratified_sample(spark, SF_DIR))
     assert "EvalPython" not in plan
     assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "pmod" in plan
 
 
 def test_semdedup_no_join_before_cell_group(spark):
@@ -603,14 +606,25 @@ def test_pagerank_keyed_joins_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapCoGroupsInPandas" not in plan  # pure Catalyst path
     assert "ArrowEvalPython" not in plan
-    assert "partial" in plan.lower()
+    # r11: pr AND deg are localCheckpoint()ed (deg was re-aggregated
+    # from the cached edge frame for each of its three consumers), so
+    # the result plan is checkpoint-shallow — a join of two
+    # materialized RDD scans, every per-round join/partial-agg having
+    # run eagerly inside the loop
+    assert plan.count("Scan ExistingRDD") == 2
 
     plan_exact = _plan(dedup.q_dedup_pagerank_exact(spark, SF_DIR))
     assert "CartesianProduct" not in plan_exact
-    for line in plan_exact.splitlines():
+    assert plan_exact.count("Scan ExistingRDD") == 2  # checkpoint-shallow too
+    # the exact twin's loop output no longer carries the edge
+    # generator's lineage (deg is checkpointed), so assert the
+    # cogrouped block-matmul shape on the EDGE frame itself
+    plan_edges = _plan(dedup.q_dedup_embedding(spark, SF_DIR))
+    assert "CartesianProduct" not in plan_edges
+    for line in plan_edges.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "ob#" in line, line
-    assert "FlatMapCoGroupsInPandas" in plan_exact  # edge baseline, by design
+    assert "FlatMapCoGroupsInPandas" in plan_edges  # edge baseline, by design
 
 
 def test_phrase_search_filters_postings_before_join(spark):
@@ -656,14 +670,15 @@ def test_calibrated_mix_broadcast_budgets_one_window(spark):
 
 def test_weighted_sample_single_shuffle_no_join(spark):
     """ES weighted sampling: draw key is map-only codegen; selection
-    is one per-stratum window shuffle — no join, no global sort of the
-    corpus, no Python."""
+    is the salted two-stage per-stratum window pair (see PIPE_SALTS) —
+    no join, no global sort of the corpus, no Python."""
     from spark_ij_spark.operators import pipeline
 
     plan = _plan(pipeline.q_pipeline_weighted_sample(spark, SF_DIR))
     assert "Join" not in plan
     assert "EvalPython" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "pmod" in plan
 
 
 def test_cooccurrence_equi_self_join_broadcast_marginals(spark):
