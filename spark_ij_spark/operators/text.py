@@ -121,6 +121,26 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _round6_duck(e: str) -> str:
+    """DuckDB round(DOUBLE, 6) with SPARK's rounding semantics.
+
+    DuckDB's native double round multiplies by 1e6 first; when that
+    product IEEE-rounds INTO an exact .5 the result goes the wrong way
+    (k10 sweep, r11 optimization half: quality 0.72406249999999994
+    — strictly below the tie — multiplied to exactly 724062.5 and
+    rounded UP where Spark's BigDecimal.valueOf(double).setScale(6,
+    HALF_UP) correctly rounds down). The VARCHAR hop reproduces
+    Spark's semantics exactly: both engines print the shortest
+    round-trip decimal repr (Double.toString == DuckDB's double
+    VARCHAR cast), the DECIMAL parse is exact, and round(DECIMAL, 6)
+    is half-away-from-zero on exact digits — the same function Spark
+    computes. The inverse-direction rule (DECIMAL→DOUBLE via STRING,
+    dsum_sql) is CLAUDE.md round-11; this is its round() twin. Only
+    for provably finite values: 'nan'/'inf' strings crash the DECIMAL
+    parse."""
+    return f"CAST(round(CAST(CAST(({e}) AS VARCHAR) AS DECIMAL(28,17)), 6) AS DOUBLE)"
+
+
 Q_TEXT_QUALITY_SQL = f"""
 WITH t AS (SELECT doc_id, text, {TOKENS_DUCK} AS toks FROM documents),
 m AS (
@@ -132,12 +152,14 @@ m AS (
            / len(toks) AS stop_ratio
   FROM t)
 SELECT doc_id, n_tokens, n_types,
-       round(mean_token_len, 6) AS mean_token_len,
-       round(stop_ratio, 6) AS stop_ratio,
-       round(0.25 * least(n_tokens / 100.0, 1.0)
-           + 0.25 * (1.0 - stop_ratio)
-           + 0.25 * (CAST(n_types AS DOUBLE) / n_tokens)
-           + 0.25 * least(mean_token_len / 8.0, 1.0), 6) AS quality_score
+       {_round6_duck('mean_token_len')} AS mean_token_len,
+       {_round6_duck('stop_ratio')} AS stop_ratio,
+       {_round6_duck(
+           "0.25 * least(n_tokens / 100.0, 1.0)"
+           " + 0.25 * (1.0 - stop_ratio)"
+           " + 0.25 * (CAST(n_types AS DOUBLE) / n_tokens)"
+           " + 0.25 * least(mean_token_len / 8.0, 1.0)"
+       )} AS quality_score
 FROM m
 """
 

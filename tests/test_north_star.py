@@ -703,6 +703,26 @@ def test_round_agrees_at_exact_binary_fraction_tie(spark, duck):
     assert s_round == d_round == 0.757813
 
 
+def test_round6_duck_hop_matches_spark_at_multiply_tie(spark, duck):
+    """The OTHER round(DOUBLE, 6) divergence class (r11 optimization
+    half, found by the k10 sweep on text_quality): a double strictly
+    BELOW a 6-decimal tie whose *1e6 product IEEE-rounds INTO the
+    exact .5 — DuckDB's native multiply-based round then goes up
+    where Spark's BigDecimal.valueOf(x).setScale(6, HALF_UP) correctly
+    goes down. `text._round6_duck` (VARCHAR shortest-repr → DECIMAL →
+    round) must reproduce Spark bit-for-bit on the observed value and
+    the native DuckDB form must still disagree — if DuckDB ever fixes
+    its double round, the second assertion flags the hop as removable."""
+    from spark_ij_spark.operators.text import _round6_duck
+
+    x = "CAST(0.7240624999999999 AS DOUBLE)"  # *1e6 == 724062.5 exactly
+    s = spark.sql(f"SELECT round({x}, 6) AS v").collect()[0]["v"]
+    hop = duck.execute(f"SELECT {_round6_duck(x)} AS v").fetchone()[0]
+    native = duck.execute(f"SELECT round({x}, 6) AS v").fetchone()[0]
+    assert s == hop == 0.724062
+    assert native == 0.724063  # the divergence the hop exists for
+
+
 def test_ann_recall_floors(spark, sf_dir):
     """Round-9 calibrated operating points must hold their measured
     recall floors (judge r8 'Next round' #3: a hard-negative miner at
