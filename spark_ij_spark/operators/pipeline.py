@@ -592,9 +592,10 @@ SAMPLE_PER_STRATUM = 20
 # stage 2 still drops everything the true walk drops; and every
 # predecessor of a truly-kept doc survives stage 1, so the emitted
 # cum_tokens equals the true prefix sum. (The INCLUSIVE cum <= budget
-# walk in calibrated_mix does NOT decompose this way — a huge doc can
-# be dropped in stage 1 while still owing its tokens to later true
-# prefixes — so that query keeps its per-tier window, see its note.)
+# walk in calibrated_mix does NOT decompose over doc_id salts — a huge
+# doc can be dropped in stage 1 while still owing its tokens to later
+# true prefixes — so that query instead uses ORDER-ALIGNED h-range
+# buckets, whose offsets compose exactly: see MIX_RANGE_BITS.)
 PIPE_SALTS = 32
 
 
@@ -1238,6 +1239,16 @@ Q_PIPELINE_WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
 # binary-fraction TOKEN shares. Written as (numerator, denominator)
 # pairs so the budget arithmetic stays pure-integer in both engines.
 MIX_TIER_SHARES = {0: (1, 2), 1: (1, 4), 2: (1, 8), 3: (1, 8)}
+# Order-aligned bucket fan-out for the calibrated-mix INCLUSIVE budget
+# walk (r11): buckets are h-RANGES (b = h div 2^(60-bits)), aligned
+# with the walk's (h, doc_id) sort order, so per-bucket local prefix
+# sums compose exactly with broadcast bucket offsets — unlike the
+# doc_id % SALTS decomposition (see PIPE_SALTS), which interleaves the
+# order and cannot express an inclusive walk. 2^10 buckets x 4 tiers
+# bounds the offsets frame at 4096 rows (broadcast-safe by
+# construction); at 100 TB each (tier, bucket) window stratum holds
+# ~corpus/4096 rows instead of corpus/4.
+MIX_RANGE_BITS = 10
 
 
 def q_pipeline_calibrated_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1251,10 +1262,24 @@ def q_pipeline_calibrated_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data, the calibrate-then-apply pattern real mixture tuning
     uses, instead of fixed constants).
 
-    Scale shape: calibration is one partial-aggregating groupBy to
-    O(tiers) rows; budgets join back broadcast; selection is ONE
-    tier-keyed window shuffle. Determinism: token counts and budgets
-    are exact integers (shares are rational pairs, floor division)."""
+    Scale shape (r11): the INCLUSIVE ``cum <= budget`` walk does not
+    salt-decompose (a doc_id-salted bucket prefix only lower-bounds
+    the true prefix, and a stage-1-dropped giant still owes its tokens
+    to later docs' true prefixes) — but it DOES decompose over buckets
+    that are ALIGNED WITH THE WALK ORDER: bucket b = h div
+    2^(60-MIX_RANGE_BITS) is monotone in the sort key h (ties in h
+    share a bucket), so true_cum(d) = offset(tier, b) + local_cum(d)
+    EXACTLY, where offset is the total tokens of all earlier buckets.
+    Bucket totals are one partial-aggregating groupBy to O(tiers·2^10)
+    rows (which also yields avail_tokens for calibration), offsets a
+    window over that tiny frame, and the corpus walk becomes a window
+    per (tier, bucket) — 4096 well-spread strata instead of one
+    reducer per tier. Buckets whose offset already exceeds the budget
+    are dropped whole BEFORE the window shuffle (sound: every doc in
+    such a bucket has cum >= offset > budget; bucket-granular, so no
+    surviving doc's local_cum changes). Determinism: token counts,
+    budgets, offsets are exact integers (shares are rational pairs,
+    floor division)."""
 
     tier = "CAST(substring(source, 4) AS INT) % 4"
     toks = f"CAST(size({TOKENS_SPARK}) AS BIGINT)"
@@ -1264,9 +1289,21 @@ def q_pipeline_calibrated_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(tier).alias("tier"),
         F.expr(toks).alias("n_tokens"),
         F.expr(h).alias("h"),
+    ).withColumn(
+        "b", F.expr(f"h div {1 << (60 - MIX_RANGE_BITS)}")
     )
-    avail = docs.groupBy("tier").agg(
-        F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("avail_tokens")
+    # per-(tier, order-bucket) token totals: bounded at tiers·2^bits
+    # rows by construction, and avail = their per-tier sum (exact
+    # BIGINT adds in any grouping), so ONE corpus aggregation pass
+    # feeds both calibration and the walk offsets. localCheckpoint
+    # materializes that pass ONCE — offs and budgets are separate
+    # broadcast subtrees, and without it each re-runs the corpus
+    # tokenize (measured 3 scans → 2, 3.7 s → 1.3 s at sf0.1).
+    bt = docs.groupBy("tier", "b").agg(
+        F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("b_tokens")
+    ).localCheckpoint()
+    avail = bt.groupBy("tier").agg(
+        F.expr("CAST(SUM(b_tokens) AS BIGINT)").alias("avail_tokens")
     )
     # K = min_t(avail_t * den_t / num_t); budget_t = avail-independent
     # share_t * K — all BIGINT floor arithmetic, identical cross-engine.
@@ -1283,14 +1320,26 @@ def q_pipeline_calibrated_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("k", F.expr("CAST(MIN(cap) OVER () AS BIGINT)"))
         .select("tier", "avail_tokens", F.expr(f"CAST({budget} AS BIGINT)").alias("budget_tokens"))
     )
-    w = (
+    woff = (
         Window.partitionBy("tier")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bt.select(
+        "tier",
+        "b",
+        F.coalesce(F.sum("b_tokens").over(woff), F.lit(0).cast("long")).alias("off"),
+    )
+    wloc = (
+        Window.partitionBy("tier", "b")
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     kept = (
-        docs.join(F.broadcast(budgets), "tier")
-        .withColumn("cum", F.sum("n_tokens").over(w))
+        docs.join(F.broadcast(offs), ["tier", "b"])
+        .join(F.broadcast(budgets), "tier")
+        .filter(F.col("off") <= F.col("budget_tokens"))
+        .withColumn("cum", F.col("off") + F.sum("n_tokens").over(wloc))
         .filter(F.col("cum") <= F.col("budget_tokens"))
     )
     return (

@@ -335,10 +335,58 @@ def test_salted_stratum_windows_fire_and_match_oracle(spark, duck, tmp_path):
     assert min(bucket_rows.values()) > pipeline.SAMPLE_PER_STRATUM
     assert pipeline.SAMPLE_PER_STRATUM > pipeline.WS_K
     assert min(bucket_toks.values()) > pipeline.TOKEN_BUDGET_PER_LANG
+    # calibrated_mix's r11 order-aligned bucket decomposition (see
+    # MIX_RANGE_BITS): replay the bucket walk in plain Python and
+    # assert every interesting branch is LIVE on this corpus — whole
+    # buckets pruned (off > budget), buckets holding >= 2 docs (the
+    # local_cum + offset composition), and a boundary bucket where the
+    # walk keeps some docs and drops others mid-bucket.
+    import hashlib
+    from collections import defaultdict
+
+    bt_tok: Counter = Counter()
+    bucket_docs = defaultdict(list)
+    avail_t: Counter = Counter()
+    for i, nt in zip(doc_ids, ntoks):
+        t = int(sources[i][3:]) % 4
+        h = int(hashlib.md5(f"mix:{i}".encode()).hexdigest()[:15], 16)
+        b = h >> (60 - pipeline.MIX_RANGE_BITS)
+        bt_tok[(t, b)] += nt
+        bucket_docs[(t, b)].append((h, i, nt))
+        avail_t[t] += nt
+    k = min(
+        avail_t[t] * d // nn for t, (nn, d) in pipeline.MIX_TIER_SHARES.items()
+    )
+    budget_t = {
+        t: k * nn // d for t, (nn, d) in pipeline.MIX_TIER_SHARES.items()
+    }
+    pruned = multi = midbucket_drop = 0
+    for t in pipeline.MIX_TIER_SHARES:
+        off = 0
+        for b in sorted(b for (tt, b) in bt_tok if tt == t):
+            if off > budget_t[t]:
+                pruned += 1
+            elif off <= budget_t[t] < off + bt_tok[(t, b)]:
+                cum, kept, drop = off, 0, 0
+                for h, i, nt in sorted(bucket_docs[(t, b)]):
+                    cum += nt
+                    kept, drop = kept + (cum <= budget_t[t]), drop + (
+                        cum > budget_t[t]
+                    )
+                if kept and drop:
+                    midbucket_drop += 1
+            off += bt_tok[(t, b)]
+        multi += sum(
+            1
+            for (tt, b), ds in bucket_docs.items()
+            if tt == t and len(ds) >= 2
+        )
+    assert pruned > 0 and multi > 0 and midbucket_drop > 0
     for name in (
         "pipeline_stratified_sample",
         "pipeline_weighted_sample",
         "pipeline_token_budget",
+        "pipeline_calibrated_mix",
     ):
         assert_oracle_match(
             spark,

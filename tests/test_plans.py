@@ -656,9 +656,13 @@ def test_hash_retrieval_sparse_dot_broadcast_probes(spark):
 
 
 def test_calibrated_mix_broadcast_budgets_one_window(spark):
-    """Calibrated mix: O(tiers) budgets join back broadcast; selection
-    is one tier-keyed window — the corpus is never joined big-to-big
-    and never globally sorted."""
+    """Calibrated mix: O(tiers) budgets and O(tiers·2^MIX_RANGE_BITS)
+    bucket offsets join back broadcast; the corpus walk is ONE window
+    keyed by (tier, b) — the r11 order-aligned bucket decomposition
+    (4096 strata, no per-tier single-reducer sort) — and the corpus is
+    never joined big-to-big or globally sorted."""
+    import re
+
     from spark_ij_spark.operators import pipeline
 
     plan = _plan(pipeline.q_pipeline_calibrated_mix(spark, SF_DIR))
@@ -666,6 +670,9 @@ def test_calibrated_mix_broadcast_budgets_one_window(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+    # the corpus window's exchange must carry the order-aligned bucket
+    # key, not bare tier (which would be a 4-reducer straggler at scale)
+    assert re.search(r"hashpartitioning\(tier#\d+, b#\d+L?, ", plan)
 
 
 def test_weighted_sample_single_shuffle_no_join(spark):
