@@ -185,10 +185,16 @@ def _user_totals_fn(key, pdf_iter, state):
 def user_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-user event count + value
     total, state kept across micro-batches (the
-    ``applyInPandasWithState`` pattern for operators Spark lacks)."""
+    ``applyInPandasWithState`` pattern for operators Spark lacks).
+
+    Projected to (user_id, value) BEFORE the stateful op: Spark cannot
+    see which columns the Python body touches, so an unprojected frame
+    ships every column through the groupBy shuffle AND the Arrow
+    boundary (props alone is ~23% of the row bytes; the guide §4.1
+    rule the interval joins already follow)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         _user_totals_fn,
         USER_TOTAL_SCHEMA,
         _STATE_SCHEMA,
@@ -244,10 +250,15 @@ def user_transitions(events: DataFrame) -> DataFrame:
     in arrival order — the usual log-ingest contract). Under
     out-of-order delivery the boundary pair may differ from the batch
     twin; a watermark-buffered reorder would be the fix, at the cost
-    of O(buffer) state."""
+    of O(buffer) state.
+
+    Projected to the four columns the body reads before the stateful
+    op (see user_running_totals for the shuffle/Arrow rationale)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    return events.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
         _transitions_fn,
         TRANSITIONS_OUTPUT_SCHEMA,
         _TRANS_STATE_SCHEMA,
@@ -316,10 +327,15 @@ def user_latest_state(events: DataFrame) -> DataFrame:
     Unlike the transitions operator this one is ORDER-INSENSITIVE
     across batches: the latest event is selected by comparing
     (ts, event_id) against the carried state, so late or out-of-order
-    delivery converges to the same final state as the batch twin."""
+    delivery converges to the same final state as the batch twin.
+
+    Projected to the four columns the body reads before the stateful
+    op (see user_running_totals for the shuffle/Arrow rationale)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    return events.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
         _latest_state_fn,
         CDC_OUTPUT_SCHEMA,
         _CDC_STATE_SCHEMA,
@@ -434,10 +450,13 @@ def user_high_watermarks_v1(events: DataFrame) -> DataFrame:
     the default state store): same semantics as
     :func:`user_high_watermarks`, kept as the runnable twin in
     containers lacking protobuf (which transformWithState's state
-    server protocol needs)."""
+    server protocol needs). Projected to the four columns _hwm_scan
+    reads (see user_running_totals for the shuffle/Arrow rationale)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    return events.select(
+        "user_id", "ts", "event_id", "value"
+    ).groupBy("user_id").applyInPandasWithState(
         _hwm_fn,
         HWM_OUTPUT_SCHEMA,
         "mx double",
@@ -453,8 +472,11 @@ def user_high_watermarks(events: DataFrame) -> DataFrame:
     event, value, prev_max) whenever a user's event value sets a new
     personal record. Not expressible as a windowed aggregate — the
     emitted rows depend on running state. State is one double per
-    user: flat at any event volume."""
-    return events.groupBy("user_id").transformWithStateInPandas(
+    user: flat at any event volume. Projected to the four columns
+    _hwm_scan reads (see user_running_totals for the rationale)."""
+    return events.select(
+        "user_id", "ts", "event_id", "value"
+    ).groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_hwm_processor_cls()(),
         outputStructType=HWM_OUTPUT_SCHEMA,
         outputMode="append",
