@@ -3,8 +3,16 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Tiered timing protocol (round 11 — deterministic warm cadence):
+Tiered timing protocol (round 11 — deterministic warm cadence;
+round 12 adds the pinned SENTINEL tier, the stale-carry drop and the
+bounded-reps headline fallback):
 
+- SENTINEL tier (r12): a pinned cross-family set (SENTINELS) runs
+  FIRST, always warm min-of-3, exempt from every budget degradation,
+  and is always printed in the compact line — a stable warm-vs-warm
+  comparison surface across rounds regardless of tier rotation
+  (VERDICT r11 #1: the r10/r11 driver-comparable surface shrank to 5
+  queries and both flagged "regressions" were box noise).
 - HEADLINE tier: the HEADLINE_N heaviest queries by the previous
   committed BENCH_FULL.json run FIRST and are timed warm (untimed
   warmup pass + min-of-3). These are the numbers cross-round
@@ -54,6 +62,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE_N = 40
 WARM_EVERY_K_ROUNDS = 5
+
+# Pinned cross-round regression sentinels (VERDICT r11 #1): ALWAYS
+# warm-timed (min-of-3, exempt from every budget degradation) and
+# ALWAYS printed in the compact line, so consecutive rounds share a
+# stable warm-vs-warm comparison surface (n_common >= 12) no matter
+# how the tiers rotate. One per heavy family: dedup graph/pair, ANN,
+# PQ, pipeline, img-Arrow, events, embed-clustering, media, layout.
+SENTINELS = [
+    "dedup_source_matrix",
+    "dedup_containment",
+    "dedup_pagerank",
+    "ann_lsh_multiprobe_recall",
+    "ann_ivfpq",
+    "pipeline_leakage_split",
+    "pipeline_calibrated_mix",
+    "img_group_average",
+    "events_kmv_overlap",
+    "embed_kmeans",
+    "media_feature_retrieval",
+    "bucketed_join_revenue",
+]
+
+# A carried warm timing contradicted by a >= K x slower COLD run this
+# round is stale (VERDICT r11 #4: bucketed_join_revenue carried 0.17 s
+# warm against a 4.4 s real cold cost and could never re-earn a warm
+# slot): drop the carry so the query re-enters the FRESH warm tier
+# next round. Cold runs legitimately exceed warm by the cache-build
+# cost, so K must clear that band; 3x is above every same-box
+# cold/warm ratio observed for healthy carries in r10-r11.
+STALE_CARRY_K = 3.0
 
 
 def _round_index(repo: str) -> int:
@@ -117,28 +155,52 @@ def _prior_warm(repo: str) -> dict[str, float]:
     return {n: t for n, t in full.get("queries", {}).items() if n not in cold}
 
 
+def _carry_warm(
+    order: list[str],
+    timings: dict[str, float],
+    truly_warm: set[str],
+    prior_warm: dict[str, float],
+) -> dict[str, float]:
+    """Carry each query's last-known WARM timing forward: this run's
+    warm min-of-N where we have one, else the prior artifact's number
+    (scheduled colds and budget-degraded queries keep their
+    ranking/cohort standing instead of re-entering the fresh tier) —
+    UNLESS this round's cold run contradicts the carry by more than
+    STALE_CARRY_K x (VERDICT r11 #4): then drop the carry so the query
+    re-enters the FRESH warm tier next round."""
+    return {
+        n: (timings[n] if n in truly_warm else prior_warm[n])
+        for n in order
+        if n in truly_warm
+        or (n in prior_warm and timings[n] <= STALE_CARRY_K * prior_warm[n])
+    }
+
+
 def _plan_order(
     names: list[str], repo: str, prior: dict[str, float] | None = None
-) -> tuple[list[str], set[str], set[str]]:
-    """Return (run order, headline set, warm set): heaviest-by-prior-run
-    headline tier first, then never-warm-benched queries, then this
-    round's tail cohort (all warm), then the cold remainder. Ranking
-    uses WARM timings only (`prior`, defaulting to _prior_warm(repo) —
-    pass it in when the caller already parsed the artifact) — a
-    cold-inflated 5x number can't evict a genuine heavy query from the
-    headline tier (round-10 review)."""
+) -> tuple[list[str], set[str], set[str], set[str]]:
+    """Return (run order, headline set, warm set, sentinel set):
+    pinned sentinels first (always warm), then the heaviest-by-prior-run
+    headline tier, then never-warm-benched queries, then this round's
+    tail cohort (all warm), then the cold remainder. Ranking uses WARM
+    timings only (`prior`, defaulting to _prior_warm(repo) — pass it in
+    when the caller already parsed the artifact) — a cold-inflated 5x
+    number can't evict a genuine heavy query from the headline tier
+    (round-10 review)."""
     if prior is None:
         prior = _prior_warm(repo)
-    known = [n for n in names if n in prior]
+    sent = [n for n in SENTINELS if n in names]
+    sent_set = set(sent)
+    known = [n for n in names if n in prior and n not in sent_set]
     headline = sorted(known, key=lambda n: -prior[n])[:HEADLINE_N]
     head_set = set(headline)
-    fresh = [n for n in names if n not in prior]
+    fresh = [n for n in names if n not in prior and n not in sent_set]
     tail = sorted(n for n in known if n not in head_set)
     slot = _round_index(repo) % WARM_EVERY_K_ROUNDS
     cohort = [n for n in tail if _cohort_slot(n) == slot]
     cold_rest = [n for n in tail if _cohort_slot(n) != slot]
-    warm_set = head_set | set(fresh) | set(cohort)
-    return headline + fresh + cohort + cold_rest, head_set, warm_set
+    warm_set = sent_set | head_set | set(fresh) | set(cohort)
+    return sent + headline + fresh + cohort + cold_rest, head_set, warm_set, sent_set
 
 
 def main() -> None:
@@ -155,7 +217,7 @@ def main() -> None:
 
     qs = entrymod.queries()
     prior_warm = _prior_warm(repo)
-    order, head_set, warm_set = _plan_order(list(qs), repo, prior_warm)
+    order, head_set, warm_set, sent_set = _plan_order(list(qs), repo, prior_warm)
 
     session_warmup(spark, qs, sf_dir)
 
@@ -175,7 +237,12 @@ def main() -> None:
     for name in order:
         fn = qs[name]
         elapsed = time.monotonic() - t_start
-        if name not in warm_set:
+        if name in sent_set:
+            # sentinels: always warm min-of-3, exempt from budget
+            # degradation — they run first, so their cost is bounded
+            # and the cross-round comparison surface always exists
+            warmup, reps = True, 3
+        elif name not in warm_set:
             # cold-by-design remainder: single run, never used for
             # ranking/comparison (flagged via degraded_names)
             degraded_names.append(name)
@@ -185,6 +252,11 @@ def main() -> None:
                 degraded_names.append(name)
                 budget_degraded.append(name)
                 warmup, reps = True, 1
+            elif elapsed > budget / 2:
+                # bounded-reps fallback (VERDICT r11 #2): on a slow box
+                # trim headline warm cost (min-of-2 is still warm) so
+                # the WARM tier absorbs the overrun, not the coverage
+                warmup, reps = True, 2
             else:
                 warmup, reps = True, 3
         elif elapsed > budget:
@@ -195,16 +267,8 @@ def main() -> None:
             warmup, reps = True, 3
         timings[name] = round(warm_time(spark, fn, sf_dir, reps, warmup), 4)
 
-    # Carry each query's last-known WARM timing forward: this run's
-    # warm min-of-3 where we have one, else the prior artifact's
-    # number (scheduled colds and budget-degraded queries keep their
-    # ranking/cohort standing instead of re-entering the fresh tier).
     truly_warm = warm_set - set(budget_degraded)
-    warm_queries = {
-        n: (timings[n] if n in truly_warm else prior_warm[n])
-        for n in order
-        if n in truly_warm or n in prior_warm
-    }
+    warm_queries = _carry_warm(order, timings, truly_warm, prior_warm)
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -219,6 +283,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "headline": sorted(head_set),
+        "sentinels": [n for n in SENTINELS if n in timings],
         "warm": sorted(truly_warm),
         "warm_queries": warm_queries,
         "warm_every_k_rounds": WARM_EVERY_K_ROUNDS,
@@ -230,7 +295,14 @@ def main() -> None:
     }
     with open(os.path.join(repo, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1)
+    # Compact line: the 10 slowest PLUS every sentinel (always warm
+    # min-of-3, always present — the stable cross-round warm-vs-warm
+    # surface; VERDICT r11 #1). ~22 entries stays well under the
+    # driver's ~2000-char stdout capture.
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    for n in SENTINELS:
+        if n in timings:
+            slowest[n] = timings[n]
     print(
         json.dumps(
             {
@@ -239,6 +311,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": slowest,
+                "sentinels": [n for n in SENTINELS if n in timings],
                 "n_warm": len(truly_warm),
                 "warm_every_k_rounds": WARM_EVERY_K_ROUNDS,
                 "degraded": len(degraded_names),

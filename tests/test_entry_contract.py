@@ -324,27 +324,44 @@ def test_bench_two_tier_plan_order():
     full = json.load(open(os.path.join(REPO, "BENCH_FULL.json")))
     prior = bench._prior_warm(REPO)
     names = list(full["queries"]) + ["zz_new_query"]
-    order, head, warm_set = bench._plan_order(names, REPO)
+    order, head, warm_set, sent = bench._plan_order(names, REPO)
     assert sorted(order) == sorted(names) and len(set(order)) == len(order)
+    # sentinels present in the query set run FIRST and are always warm
+    assert sent == set(bench.SENTINELS) & set(names)
+    n_sent = len(sent)
+    assert order[:n_sent] == [n for n in bench.SENTINELS if n in names]
+    assert sent <= warm_set
     assert len(head) == bench.HEADLINE_N
-    assert set(order[: bench.HEADLINE_N]) == head
+    assert set(order[n_sent : n_sent + bench.HEADLINE_N]) == head
     assert "zz_new_query" not in head
-    # headline = the N heaviest by carried WARM timings
-    known = [n for n in names if n in prior]
+    # headline = the N heaviest by carried WARM timings (sentinels
+    # excluded — they already run warm unconditionally)
+    known = [n for n in names if n in prior and n not in sent]
     heaviest = sorted(known, key=lambda n: -prior[n])[: bench.HEADLINE_N]
     assert head == set(heaviest)
     # fresh tier (no warm carry) comes right after headline, is warm,
     # and contains ONLY genuinely never-warm-benched names
-    fresh = [n for n in names if n not in prior]
+    fresh = [n for n in names if n not in prior and n not in sent]
     assert "zz_new_query" in fresh
-    assert set(order[bench.HEADLINE_N : bench.HEADLINE_N + len(fresh)]) == set(
-        fresh
-    )
+    base = n_sent + bench.HEADLINE_N
+    assert set(order[base : base + len(fresh)]) == set(fresh)
     assert set(fresh) <= warm_set
     # a scheduled cold from last run stays ranked (not fresh) as long
     # as it has a carried warm timing
     carried_colds = [n for n in full.get("degraded_names", []) if n in prior]
     assert not (set(carried_colds) & set(fresh))
+
+
+def test_bench_sentinels_are_declared_queries():
+    """Every pinned sentinel must be a real declared query — a renamed
+    or dropped sentinel would silently shrink the cross-round warm
+    comparison surface the set exists to guarantee."""
+    import bench
+
+    qs = entry.queries()
+    missing = [n for n in bench.SENTINELS if n not in qs]
+    assert not missing, f"sentinels not in queries(): {missing}"
+    assert len(set(bench.SENTINELS)) == len(bench.SENTINELS) >= 10
 
 
 def test_bench_warm_carry_forward(tmp_path):
@@ -364,16 +381,37 @@ def test_bench_warm_carry_forward(tmp_path):
     (tmp_path / "BENCH_FULL.json").write_text(json.dumps(art))
     prior = bench._prior_warm(str(tmp_path))
     assert prior == {"a": 5.0, "b": 1.0, "c": 2.0}
-    order, head, warm = bench._plan_order(["a", "b", "c", "new"], str(tmp_path))
+    order, head, warm, sent = bench._plan_order(
+        ["a", "b", "c", "new"], str(tmp_path)
+    )
     # c ranks by its carried-forward warm timing, NOT as never-benched;
     # only the genuinely new query is fresh (warm regardless of cohort)
     assert "new" in warm
+    assert not sent  # synthetic names: no sentinels present
     assert order[: len(prior)] == ["a", "c", "b"]  # headline by warm rank
     # legacy artifact (no warm_queries): cold names re-enter as fresh
     (tmp_path / "BENCH_FULL.json").write_text(
         json.dumps({"queries": art["queries"], "degraded_names": ["c"]})
     )
     assert bench._prior_warm(str(tmp_path)) == {"a": 5.0, "b": 1.0}
+
+
+def test_bench_stale_carry_dropped():
+    """A carried warm timing contradicted by a >= STALE_CARRY_K x
+    slower cold run this round is dropped (VERDICT r11 #4:
+    bucketed_join_revenue carried 0.17 s against a 4.4 s cold reality
+    and could never re-earn a warm slot); a cold run inside the band
+    keeps the carry, and warm-timed queries always record this run."""
+    import bench
+
+    order = ["stale", "fine", "warm", "new_warm"]
+    timings = {"stale": 4.4, "fine": 2.0, "warm": 1.5, "new_warm": 0.7}
+    prior = {"stale": 0.17, "fine": 1.0, "warm": 9.9}
+    out = bench._carry_warm(order, timings, {"warm", "new_warm"}, prior)
+    assert "stale" not in out  # 4.4 > 3 * 0.17: carry dropped
+    assert out["fine"] == 1.0  # 2.0 <= 3 * 1.0: carry kept
+    assert out["warm"] == 1.5  # warm this run: always recorded
+    assert out["new_warm"] == 0.7
 
 
 def test_bench_cohort_cadence_is_deterministic():

@@ -40,8 +40,10 @@ def main() -> None:
     spark = get_spark("spark_ij_spark-headline")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    order, head_set = bench._plan_order(list(qs), REPO, prior)[:2]
-    headline = [n for n in order if n in head_set]
+    order, head_set, _warm, sent_set = bench._plan_order(list(qs), REPO, prior)
+    # sentinels are part of the adjudication surface too (r12): re-run
+    # them alongside the headline tier, in bench order
+    headline = [n for n in order if n in head_set or n in sent_set]
 
     # bench.py's exact protocol (shared helpers): session warmup, then
     # per-query warm min-of-3 with isolated caches
