@@ -28,14 +28,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
     DoubleType,
-    IntegerType,
     LongType,
     StructField,
     StructType,
 )
 
-from spark_ij_spark.datamodel import IMAGE_SCHEMA, image_to_np, meta_of, np_to_image
+from spark_ij_spark.datamodel import IMAGE_SCHEMA, image_to_np, meta_of
 from spark_ij_spark.kernels.histogram import histogram
 from spark_ij_spark.kernels.particles import analyze_particles
 from spark_ij_spark.registry import run_op
@@ -71,23 +72,28 @@ def order_quantity_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(pix, e -> CAST(e.l_quantity AS FLOAT))").alias("q"),
     )
 
-    from spark_ij_spark.datamodel import DEFAULT_META
+    from spark_ij_spark.datamodel import DEFAULT_META, LOG_ENTRY_SCHEMA
 
-    meta = dict(DEFAULT_META)
+    # Python returns ONLY the packed float32 bytes (one tobytes per
+    # order, no per-row dicts, no nested struct through Arrow on the
+    # return side); dtype/shape/meta/log are constant JVM-side struct
+    # fields (guide §4.2 — shrink what crosses the boundary). Measured
+    # r12 (tools/exp1_r12.py, identical results asserted): cold build
+    # 1.26 -> 0.98 s at sf0.1; a zero-copy mapInArrow offsets-reslice
+    # variant measured 1.10 s and was rejected.
+    @F.pandas_udf(BinaryType())
+    def pack_pixels(q: pd.Series) -> pd.Series:
+        return pd.Series(
+            [np.ascontiguousarray(vals, dtype=np.float32).tobytes() for vals in q]
+        )
 
-    @F.pandas_udf(IMAGE_SCHEMA)
-    def mk_image(q: pd.Series) -> pd.DataFrame:
-        rows = [
-            {
-                "data": np.ascontiguousarray(vals, dtype=np.float32).tobytes(),
-                "dtype": "float32",
-                "shape": [1, len(vals), 1],
-                "meta": meta,
-                "log": [],
-            }
-            for vals in q
+    meta_lit = F.struct(
+        *[
+            (F.lit(v).cast("double") if isinstance(v, float) else F.lit(v)).alias(k)
+            for k, v in DEFAULT_META.items()
         ]
-        return pd.DataFrame(rows, columns=["data", "dtype", "shape", "meta", "log"])
+    )
+    empty_log = F.expr("array()").cast(ArrayType(LOG_ENTRY_SCHEMA))
 
     # Cache the built image table: every img_* query derives from this
     # identical plan, so Spark's CacheManager (canonical-plan matching)
@@ -95,7 +101,24 @@ def order_quantity_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read columnar cache instead of re-running the groupBy + build UDF.
     # This is the "materialized feature table" pattern a real pipeline
     # uses at scale; MEMORY_AND_DISK spills instead of OOMing.
-    return flat.select("l_orderkey", mk_image("q").alias("image")).cache()
+    return (
+        flat.select(
+            "l_orderkey",
+            pack_pixels("q").alias("data"),
+            F.size("q").alias("n"),
+        )
+        .select(
+            "l_orderkey",
+            F.struct(
+                F.col("data").alias("data"),
+                F.lit("float32").alias("dtype"),
+                F.array(F.lit(1), F.col("n"), F.lit(1)).alias("shape"),
+                meta_lit.alias("meta"),
+                empty_log.alias("log"),
+            ).alias("image"),
+        )
+        .cache()
+    )
 
 
 def q_img_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,23 +137,34 @@ def q_img_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
+    # Vectorized per Arrow batch over the FLAT pixel payload (the
+    # nested-struct hop plus a per-image Python loop dominated this
+    # query): one concatenate + segmented reduceat per batch. Exact
+    # equivalence with the per-image kernel form: min/max are
+    # identical reductions, and the segment sums are sums of integral
+    # float32 quantities (< 2^53), so the summation-order difference
+    # (reduceat is strictly sequential, ndarray.sum pairwise) cannot
+    # change a bit; mean divides the same operands.
     @F.pandas_udf(out_schema)
-    def stats_struct(img: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for r in img.itertuples(index=False):
-            a = image_to_np(r).astype("float64")
-            rows.append(
-                {
-                    "min_qty": float(a.min()),
-                    "mean_qty": float(a.sum() / a.size),
-                    "max_qty": float(a.max()),
-                    "n_pixels": int(a.size),
-                }
-            )
-        return pd.DataFrame(rows)
+    def stats_struct(data: pd.Series, dtype: pd.Series) -> pd.DataFrame:
+        if not len(data):
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        pix = [np.frombuffer(d, dtype=t) for d, t in zip(data, dtype)]
+        lens = np.fromiter((len(p) for p in pix), dtype=np.int64, count=len(pix))
+        bounds = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        allpix = np.concatenate(pix).astype("float64")
+        return pd.DataFrame(
+            {
+                "min_qty": np.minimum.reduceat(allpix, bounds),
+                "mean_qty": np.add.reduceat(allpix, bounds) / lens,
+                "max_qty": np.maximum.reduceat(allpix, bounds),
+                "n_pixels": lens,
+            }
+        )
 
     return imgs.select(
-        "l_orderkey", stats_struct("image").alias("s")
+        "l_orderkey",
+        stats_struct(F.col("image.data"), F.col("image.dtype")).alias("s"),
     ).select(
         "l_orderkey",
         F.col("s.min_qty").alias("min_qty"),
@@ -156,18 +190,26 @@ def q_img_scale_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exercises the scale and subtract kernels against an exact oracle)."""
     imgs = order_quantity_images(spark, sf_dir)
 
+    # Same vectorized flat-payload form as q_img_order_stats: the
+    # scale/subtract arithmetic is elementwise (bit-identical batched
+    # or per-image) and the residuals are integral float32 quantities,
+    # so the segmented sum is exact regardless of summation order.
     @F.pandas_udf(DoubleType())
-    def pipeline_mean(img: pd.DataFrame) -> pd.Series:
-        out = []
-        for r in img.itertuples(index=False):
-            a = image_to_np(r).astype("float64")
-            scaled = a * 3.0
-            residual = scaled - a - a
-            out.append(float(residual.sum() / residual.size))
-        return pd.Series(out)
+    def pipeline_mean(data: pd.Series, dtype: pd.Series) -> pd.Series:
+        if not len(data):
+            return pd.Series([], dtype="float64")
+        pix = [np.frombuffer(d, dtype=t) for d, t in zip(data, dtype)]
+        lens = np.fromiter((len(p) for p in pix), dtype=np.int64, count=len(pix))
+        bounds = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        a = np.concatenate(pix).astype("float64")
+        residual = a * 3.0 - a - a
+        return pd.Series(np.add.reduceat(residual, bounds) / lens)
 
     return imgs.select(
-        "l_orderkey", pipeline_mean("image").alias("residual_mean")
+        "l_orderkey",
+        pipeline_mean(F.col("image.data"), F.col("image.dtype")).alias(
+            "residual_mean"
+        ),
     )
 
 
@@ -332,21 +374,40 @@ def q_img_sweep_multiply(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_op=False,
     )
 
+    # One run_op call PER DISTINCT SWEEP ARG per batch over the
+    # concatenated pixel payload, not one per image (Multiply is
+    # elementwise, so running it on the concatenation of a batch's
+    # images is pixel-identical to per-image calls — and the products
+    # stay integral in float32, so the segmented means are exact).
+    # Flat (data, dtype) inputs per the Arrow-boundary rule.
     @F.pandas_udf(DoubleType())
-    def op_mean(img: pd.DataFrame, args: pd.Series) -> pd.Series:
+    def op_mean(data: pd.Series, dtype: pd.Series, args: pd.Series) -> pd.Series:
         from spark_ij_spark.registry import run_op
 
-        out = []
-        for i, r in enumerate(img.itertuples(index=False)):
+        if not len(data):
+            return pd.Series([], dtype="float64")
+        pix = [np.frombuffer(d, dtype=t) for d, t in zip(data, dtype)]
+        lens = np.fromiter((len(p) for p in pix), dtype=np.int64, count=len(pix))
+        out = np.empty(len(pix), dtype="float64")
+        arg_arr = args.to_numpy()
+        for a in pd.unique(args):
+            sel = np.flatnonzero(arg_arr == a)
+            allpix = np.concatenate([pix[i] for i in sel])
             arr, _ = run_op(
-                image_to_np(r), "Multiply...", str(args.iloc[i] or ""), meta_of(r)
+                allpix.reshape(1, -1, 1), "Multiply...", str(a or ""), {}
             )
-            out.append(float(arr.astype("float64").mean()))
+            seg = lens[sel]
+            bounds = np.concatenate([[0], np.cumsum(seg)[:-1]])
+            out[sel] = (
+                np.add.reduceat(arr.astype("float64").ravel(), bounds) / seg
+            )
         return pd.Series(out)
 
     return fanned.select(
         F.col("sample").alias("sweep_key"),
-        op_mean("image", "_sweep_args").alias("mean_val"),
+        op_mean(
+            F.col("image.data"), F.col("image.dtype"), "_sweep_args"
+        ).alias("mean_val"),
     )
 
 
@@ -456,13 +517,19 @@ def q_img_lineage_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("Multiply...", "value=2"), ("Add...", "value=5"), ("Square", "")],
     )
 
+    # Flat-payload vectorized mean (same exactness argument as
+    # q_img_order_stats: (2q+5)^2 <= 11025 is integral in float32, so
+    # the segmented sum is order-exact); the log audit columns stay
+    # pure Catalyst and only the pixel bytes cross to Python.
     @F.pandas_udf(DoubleType())
-    def img_mean(img: pd.DataFrame) -> pd.Series:
-        out = []
-        for r in img.itertuples(index=False):
-            a = image_to_np(r).astype("float64")
-            out.append(float(a.sum() / a.size))
-        return pd.Series(out)
+    def img_mean(data: pd.Series, dtype: pd.Series) -> pd.Series:
+        if not len(data):
+            return pd.Series([], dtype="float64")
+        pix = [np.frombuffer(d, dtype=t) for d, t in zip(data, dtype)]
+        lens = np.fromiter((len(p) for p in pix), dtype=np.int64, count=len(pix))
+        bounds = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        allpix = np.concatenate(pix).astype("float64")
+        return pd.Series(np.add.reduceat(allpix, bounds) / lens)
 
     return chained.select(
         "l_orderkey",
@@ -473,7 +540,7 @@ def q_img_lineage_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "concat_ws(';', transform(image.log, e -> e.optype))"
         ).alias("op_types"),
-        img_mean("image").alias("chain_mean"),
+        img_mean(F.col("image.data"), F.col("image.dtype")).alias("chain_mean"),
     )
 
 

@@ -99,11 +99,14 @@ def main() -> None:
         )
 
     def build_b():
-        @F.pandas_udf(BinaryType())
-        def pack(q: pd.Series) -> pd.Series:
-            return pd.Series(
+        # no type hints: `from __future__ import annotations` stringifies
+        # them and the local pd import defeats pandas_udf's resolver
+        pack = F.pandas_udf(
+            lambda q: pd.Series(
                 [np.ascontiguousarray(v, dtype=np.float32).tobytes() for v in q]
-            )
+            ),
+            BinaryType(),
+        )
 
         flat = grouped_q()
         packed = flat.select(
