@@ -118,32 +118,41 @@ def shingle_postings(
     sf_dir: str,
     max_doc_frac: float | None = MAX_SHINGLE_DOC_FRAC,
 ) -> DataFrame:
-    """(doc_id, shingle) inverted-index postings, distinct word-3-grams.
+    """(doc_id, s, n) inverted-index postings: distinct word-3-grams
+    plus ``n``, the doc's POST-CAP shingle-set size, computed map-side
+    from the per-doc array before the explode. Carrying n on every
+    posting row is what lets the whole Jaccard family skip the
+    per-doc ``sizes`` aggregate AND the two pair-frame re-joins that
+    attached na/nb after the pair aggregation (r12, guide §2.4: three
+    corpus-scale exchanges removed for ~8 bytes per posting row on the
+    one exchange that remains; consumers that don't read n never
+    compute it — Catalyst prunes the size()).
 
     Shingles with document frequency > ``max_doc_frac`` of the corpus
-    are dropped (``None`` disables). Cost: one partial-aggregating
-    groupBy over the postings plus a broadcast anti-join against the
-    (tiny) hot-shingle set — the classic stop-feature mitigation for
-    hot-key skew in posting-list self-joins.
+    are dropped (``None`` disables). The hot-shingle set is still a
+    tiny aggregate (bounded above by avg_shingles_per_doc/max_doc_frac
+    values by construction), but it now comes back as ONE collect_set
+    row cross-joined onto the per-doc arrays, so the cap subtracts
+    from the ARRAY (keeping size(arr) == the capped posting count)
+    instead of anti-joining the exploded postings — same result set,
+    and n stays exactly the count the sizes aggregate used to produce.
 
-    Shape notes (measured r5→6, re-measured r11):
+    Shape notes (measured r5→6, re-measured r11/r12):
     - a window count over the shingle key computes df in ONE scan but
       shuffles the ENTIRE postings frame before the self-join — +31%
       wall at sf0.1 where the cap never binds; the aggregate +
-      broadcast-anti-join form stays.
+      broadcast form stays.
     - (doc_id, shingle) duplicates only ever occur WITHIN one
       document, so ``array_distinct`` on the per-doc shingle array
       dedupes map-side and the global ``distinct()`` — a full shuffle
       of the postings — is dropped outright (guide §2.4; identical
       result set, measured 2.1x on the postings pass at sf0.1).
     - with the shuffle gone the postings pass is a pure map, so the
-      df aggregate and the anti-join left side re-run it instead of
-      persisting the raw superset (measured: recompute 1.17 s vs
-      persist 1.60 s at sf0.1; at scale it trades one extra map pass
-      over the scan for not materializing a corpus-sized postings
-      frame twice — downstream consumers cache the CAPPED output
-      already, and the anti-join still broadcasts a near-empty hot
-      set, so the full postings are never re-shuffled either way)."""
+      df aggregate re-runs it instead of persisting the raw superset
+      (measured: recompute 1.17 s vs persist 1.60 s at sf0.1; at
+      scale it trades one extra map pass over the scan for not
+      materializing a corpus-sized postings frame twice — downstream
+      consumers cache the CAPPED output already)."""
     # spread BEFORE tokenize (session.spread, no-op at scale): the
     # driver testdata is single-row-group parquet, so the tokenize+
     # shingle pass — and every postings frame CACHED off it by the
@@ -154,17 +163,29 @@ def shingle_postings(
     # layout alone).
     from spark_ij_spark.session import spread
 
-    sh = (
-        spread(_docs(spark, sf_dir), "doc_id")
-        .withColumn("toks", F.expr(TOKENS_SPARK))
-        .select(
-            "doc_id",
-            F.explode(F.expr(f"array_distinct({SHINGLES_SPARK})")).alias("s"),
-        )
+    base = spread(_docs(spark, sf_dir), "doc_id").withColumn(
+        "toks", F.expr(TOKENS_SPARK)
+    )
+    docs_arr = base.select(
+        "doc_id", F.expr(f"array_distinct({SHINGLES_SPARK})").alias("arr")
     )
     if max_doc_frac is not None and max_doc_frac < 1.0:
+        # The df aggregate keeps the FUSED explode(array_distinct(...))
+        # generator form: exploding a pre-projected `arr` column
+        # measured 4.7 s vs 1.1 s for the same aggregate at sf0.1 (the
+        # Project→Generate split does not fuse). The hot set comes back
+        # as ONE collect_set row cross-joined on (lazy — an eager
+        # driver collect serialized a full corpus job ahead of the main
+        # job on every call), and the cap subtracts from the per-doc
+        # ARRAY via array_except, so size(arr) below is exactly the
+        # capped posting count the old sizes aggregate produced.
         hot = (
-            sh.groupBy("s")
+            base.select(
+                F.explode(
+                    F.expr(f"array_distinct({SHINGLES_SPARK})")
+                ).alias("s")
+            )
+            .groupBy("s")
             .agg(F.count("*").alias("df"))
             .filter(
                 F.expr(
@@ -172,10 +193,26 @@ def shingle_postings(
                     f" * {max_doc_frac}"
                 )
             )
-            .select("s")
+            .agg(F.collect_set("s").alias("hot"))
         )
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
-    return sh
+        docs_arr = docs_arr.crossJoin(F.broadcast(hot)).select(
+            "doc_id",
+            F.expr("array_except(arr, coalesce(hot, array()))").alias("arr"),
+        )
+    # ONE Generate emits (s, n) structs with the array bound once as a
+    # lambda variable (CLAUDE.md bind-once rule): size(arr) alongside
+    # an explode(arr) would let CollapseProject inline the whole
+    # tokenize+shingle pipeline TWICE per row (measured 4.8 s vs
+    # 0.8 s for this pass at sf0.1), and a size() computed after the
+    # explode would keep the array required downstream, copying it
+    # into every exploded row.
+    return docs_arr.select(
+        "doc_id",
+        F.expr(
+            "inline(flatten(transform(array(arr), a -> "
+            "transform(a, x -> named_struct('s', x, 'n', size(a))))))"
+        ),
+    )
 
 
 # Mirrors shingle_postings EXACTLY, including the MAX_SHINGLE_DOC_FRAC
@@ -204,25 +241,31 @@ _POSTINGS_DUCK = f"""
 # literal parses as DECIMAL in Spark and poisons the output type.
 
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
-    """Inverted-index self-join → (da, db, jaccard) for all co-shingled
-    pairs. Shuffles on the shingle key, then on the (da, db) pair key —
-    both partial-aggregated map-side.
+    """Inverted-index self-join → (da, db, i, na, nb, jaccard) for all
+    co-shingled pairs. Shuffles on the shingle key, then on the
+    (da, db) pair key — both partial-aggregated map-side.
 
-    The postings frame feeds three subtrees (sizes, both join sides);
-    persist it so tokenize+explode+cap run once, not three times.
-    MEMORY_AND_DISK (cache default) spills rather than OOMs when the
-    posting list outgrows executor memory at scale."""
+    The set sizes ride the postings rows (shingle_postings carries the
+    map-side n), so the pair frame never re-joins a per-doc sizes
+    aggregate: any_value over the group is exact because n is a pure
+    function of the doc id. r12 (guide §2.4): removes the sizes
+    groupBy exchange plus BOTH pair-frame size joins — the pair frame
+    is shuffled exactly once, on its own (da, db) key.
+
+    The postings frame feeds both self-join sides; persist it so
+    tokenize+explode+cap run once. MEMORY_AND_DISK (cache default)
+    spills rather than OOMs when the posting list outgrows executor
+    memory at scale."""
     sh = sh.cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("i"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .agg(
+            F.count("*").alias("i"),
+            F.expr("any_value(a.n)").alias("na"),
+            F.expr("any_value(b.n)").alias("nb"),
+        )
         .withColumn("jaccard", F.expr("round(CAST(i AS DOUBLE) / (na + nb - i), 6)"))
     )
 
@@ -371,19 +414,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computing Jaccard for every co-shingled pair in the corpus. The
     # candidate set is tiny (LSH's point), so both joins stay small.
     # Same cached postings frame as the signatures — one scan total.
-    sh = post
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pa = sh.withColumnRenamed("doc_id", "da")
-    pb = sh.withColumnRenamed("doc_id", "db")
-    inter = (
-        cand.join(pa, "da")          # (da, db, s) for each shingle of da
+    # Set sizes ride the posting rows (shingle_postings n), so no
+    # per-doc sizes aggregate and no post-agg size joins (r12 §2.4).
+    pa = post.select(F.col("doc_id").alias("da"), "s", F.col("n").alias("na"))
+    pb = post.select(F.col("doc_id").alias("db"), "s", F.col("n").alias("nb"))
+    return (
+        cand.join(pa, "da")          # (da, db, s, na) for each shingle of da
         .join(pb, ["db", "s"])       # keep shingles db also has
         .groupBy("da", "db")
-        .agg(F.count("*").alias("i"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .agg(
+            F.count("*").alias("i"),
+            F.expr("any_value(na)").alias("na"),
+            F.expr("any_value(nb)").alias("nb"),
+        )
         .select(
             "da",
             "db",
@@ -991,18 +1034,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d.doc_id").alias("dd"), F.col("c.doc_id").alias("dc"))
         .distinct()
     )
-    sizes = post.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pa = post.withColumnRenamed("doc_id", "dd")
-    pb = post.withColumnRenamed("doc_id", "dc")
-    inter = (
+    # set sizes ride the posting rows (shingle_postings n): no per-doc
+    # sizes aggregate, no post-agg size joins (r12 §2.4)
+    pa = post.select(F.col("doc_id").alias("dd"), "s", F.col("n").alias("na"))
+    pb = post.select(F.col("doc_id").alias("dc"), "s", F.col("n").alias("nb"))
+    return (
         cand.join(pa, "dd")
         .join(pb, ["dc", "s"])
         .groupBy("dd", "dc")
-        .agg(F.count("*").alias("i"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "dd").withColumnRenamed("n", "na"), "dd")
-        .join(sizes.withColumnRenamed("doc_id", "dc").withColumnRenamed("n", "nb"), "dc")
+        .agg(
+            F.count("*").alias("i"),
+            F.expr("any_value(na)").alias("na"),
+            F.expr("any_value(nb)").alias("nb"),
+        )
         .select(
             F.col("dd").alias("delta_doc"),
             F.col("dc").alias("corpus_doc"),
@@ -1573,32 +1617,35 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares."""
     # Same capped inverted-index pipeline as the whole Jaccard family —
     # single-sourced so a cap/join-shape fix there applies here too
-    # (the unused jaccard column is pruned by Catalyst). cache(): the
-    # fwd/rev union references the pair frame twice.
-    pairs = _jaccard_pairs(shingle_postings(spark, sf_dir)).cache()
-    fwd = pairs.where(
-        F.expr(
-            f"{CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * na"
-            f" AND na >= {CONTAIN_MIN_SHINGLES}"
-        )
-    ).select(
-        F.col("da").alias("contained_doc"),
-        F.col("db").alias("container_doc"),
-        F.col("i").alias("n_common"),
-        F.expr("round(CAST(i AS DOUBLE) / na, 6)").alias("containment"),
+    # (the unused jaccard column is pruned by Catalyst). Each unordered
+    # pair conditionally emits its 0-2 directed rows MAP-SIDE in one
+    # pass (explode of a CASE-built array) — the r11 form cached the
+    # full pre-threshold pair frame and scanned it twice (fwd UNION
+    # rev); dropping that cache + double scan measured 3.37 -> 2.23 s
+    # cold at sf0.1 (tools/exp2_r12.py, identical results asserted).
+    pairs = _jaccard_pairs(shingle_postings(spark, sf_dir))
+    fwd_ok = (
+        f"{CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * na"
+        f" AND na >= {CONTAIN_MIN_SHINGLES}"
     )
-    rev = pairs.where(
-        F.expr(
-            f"{CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * nb"
-            f" AND nb >= {CONTAIN_MIN_SHINGLES}"
-        )
-    ).select(
-        F.col("db").alias("contained_doc"),
-        F.col("da").alias("container_doc"),
-        F.col("i").alias("n_common"),
-        F.expr("round(CAST(i AS DOUBLE) / nb, 6)").alias("containment"),
+    rev_ok = (
+        f"{CONTAIN_T_DEN} * i >= {CONTAIN_T_NUM} * nb"
+        f" AND nb >= {CONTAIN_MIN_SHINGLES}"
     )
-    return fwd.union(rev)
+    emit = F.expr(
+        "explode(concat("
+        f"CASE WHEN {fwd_ok} THEN array(named_struct("
+        "'contained_doc', da, 'container_doc', db, 'n_common', i,"
+        " 'containment', round(CAST(i AS DOUBLE) / na, 6))) ELSE array() END,"
+        f" CASE WHEN {rev_ok} THEN array(named_struct("
+        "'contained_doc', db, 'container_doc', da, 'n_common', i,"
+        " 'containment', round(CAST(i AS DOUBLE) / nb, 6))) ELSE array() END))"
+    )
+    return (
+        pairs.where(f"({fwd_ok}) OR ({rev_ok})")
+        .select(emit.alias("e"))
+        .select("e.*")
+    )
 
 
 Q_DEDUP_CONTAINMENT_SQL = f"""
@@ -1681,7 +1728,9 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcasts it at toy SF and shuffle-joins it at scale
         sh.join(dfreq, "s")
         .withColumn("rn", F.row_number().over(wdoc.orderBy("df", "s")))
-        .withColumn("sz", F.count("*").over(wdoc))
+        # set size rides the posting rows (shingle_postings n) — the
+        # former count-over-doc window is gone (r12 §2.4)
+        .withColumn("sz", F.col("n"))
     )
     # prefix length for Jaccard t: sz - ceil(t*sz) + 1; ceil(sz/2) is
     # the integer (sz+1) div 2 — no float ceil in either engine

@@ -852,10 +852,10 @@ def q_pipeline_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus on doc_id (labels exist only for docs in near-dup pairs — a
     small fraction by construction, but not broadcast-safe at 100 TB,
     so it's a keyed shuffle join AQE can downgrade to broadcast when
-    small); everything downstream is the map-only hash-split plus two
-    tiny aggregates. The witness aggregates the PRODUCTION split
-    column of the joined frame (cached — referenced by both the
-    witness and the accounting aggregate), exactly as the oracle does:
+    small); everything downstream is the map-only hash-split plus one
+    (split, cluster_rep) pre-aggregate that both outputs derive from.
+    The witness aggregates the PRODUCTION split column of the joined
+    frame (through that pre-aggregate), exactly as the oracle does:
     a witness recomputed from cluster_rep would be 1 by construction
     (countDistinct of a pure function of the group key) and could
     never catch a split assignment edited to depend on doc-level data
@@ -879,12 +879,28 @@ def q_pipeline_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(labels, "doc_id", "left")
         .withColumn("rep", F.coalesce("cluster_rep", "doc_id"))
         .withColumn("split", F.expr(split_of("rep")))
+    )
+    # ONE corpus pass into the (split, cluster_rep) pre-aggregate; the
+    # witness and the accounting both derive from it (r12, guide
+    # §2.3/§5: the r11 form cached the corpus-sized joined frame and
+    # aggregated it twice — at 100 TB that cache write is the cost).
+    # The witness still aggregates the PRODUCTION split column (g is
+    # an aggregate OF s.split; per-cluster countDistinct(split) ==
+    # row count in g because g is distinct on the pair) — the round-7
+    # shared-generator rule is preserved. Cache the AGGREGATE
+    # (O(|clusters|) rows), never the corpus.
+    g = (
+        s.groupBy("split", "cluster_rep")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("sc"),
+        )
         .cache()
     )
     wit = F.broadcast(
-        s.where(F.col("cluster_rep").isNotNull())
+        g.where(F.col("cluster_rep").isNotNull())
         .groupBy("cluster_rep")
-        .agg(F.countDistinct("split").alias("ns"))
+        .agg(F.count("*").alias("ns"))
         .agg(
             F.coalesce(F.max("ns"), F.lit(0))
             .cast("bigint")
@@ -892,15 +908,15 @@ def q_pipeline_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        s.crossJoin(wit)
+        g.crossJoin(wit)
         .groupBy("split", "max_splits_per_cluster")
         .agg(
-            F.count("*").alias("n_docs"),
+            F.expr("CAST(SUM(n) AS BIGINT)").alias("n_docs"),
             F.expr(
-                "CAST(SUM(CASE WHEN cluster_rep IS NOT NULL THEN 1 ELSE 0 END)"
-                " AS BIGINT)"
+                "CAST(SUM(CASE WHEN cluster_rep IS NOT NULL THEN n"
+                " ELSE 0 END) AS BIGINT)"
             ).alias("n_clustered_docs"),
-            F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("sum_chars"),
+            F.expr("CAST(SUM(sc) AS BIGINT)").alias("sum_chars"),
         )
     )
 
