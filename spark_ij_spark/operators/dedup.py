@@ -1447,11 +1447,17 @@ def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("deg") >= KCORE_K)
             .select("src")
         )
+        # no per-round repartition (r12): when AQE broadcasts the keep
+        # side (toy SF) the semi-joins are narrow and the checkpoint
+        # keeps the initial n_parts layout for free; when they shuffle
+        # (at scale) the checkpoint inherits the AQE-coalesced
+        # post-join partitioning — either way the extra full edge
+        # shuffle per round bought nothing (measured 3.29 -> 2.81 s,
+        # identical result).
         cur = (
             cur.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
-            .repartition(n_parts, "src")
             .localCheckpoint()
         )
         n = cur.count()

@@ -433,25 +433,29 @@ GROUP BY a.event_id
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-active week;
     for each (cohort, weeks-since-cohort) the count of cohort members
-    still active. Two shuffles — the distinct on (user, week) and the
-    final (cohort, week_index) count — both key-partitioned with
-    map-side partial aggregation; the first-week lookup is a per-user
-    min, not a self-join. Monday-start week truncation matches DuckDB's
+    still active. Three keyed shuffles, no join (r12, guide §2.4):
+    the distinct on (user, week), a min-over-user window for the
+    first-active week (replacing the former aggregate + self-join —
+    same shuffle key, one pass), and the final (cohort, week_index)
+    count. The final count is a plain COUNT(*): the frame is distinct
+    per (user, week) and week_index is injective in week for a fixed
+    user, so each (cohort, week_index, user) appears exactly once and
+    countDistinct(user_id) == COUNT(*) — dropping the distinct-agg
+    expand. Monday-start week truncation matches DuckDB's
     date_trunc('week')."""
     ev = _events(spark, sf_dir).select(
         "user_id", F.expr("CAST(date_trunc('week', ts) AS DATE)").alias("week")
     )
     ua = ev.distinct()
-    first = ua.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    w = Window.partitionBy("user_id")
     return (
-        ua.join(first, "user_id")
+        ua.withColumn("cohort_week", F.min("week").over(w))
         .select(
-            "user_id",
             "cohort_week",
             F.expr("datediff(week, cohort_week) DIV 7").alias("week_index"),
         )
         .groupBy("cohort_week", "week_index")
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        .agg(F.count("*").alias("n_active"))
         # DATE renders as midnight-datetime through pandas (the
         # driver's DuckDB fetch path) but as a bare date from Spark;
         # string it on both sides so the hash is renderer-independent.

@@ -42,24 +42,39 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tl = f"bkt_lineitem_{_tag(sf_dir)}"
     if not spark.catalog.tableExists(to) or not spark.catalog.tableExists(tl):
         t = load_tables(spark, sf_dir, ["orders", "lineitem"])
-        write_bucketed(
-            t["orders"].select("o_orderkey", "o_orderpriority"),
-            to,
-            "o_orderkey",
-            JOIN_BUCKETS,
-            sort_by="o_orderkey",
-        )
-        write_bucketed(
-            t["lineitem"].select(
-                F.col("l_orderkey").alias("o_orderkey"),
-                "l_extendedprice",
-                "l_discount",
-            ),
-            tl,
-            "o_orderkey",
-            JOIN_BUCKETS,
-            sort_by="o_orderkey",
-        )
+        # The two writes are independent jobs: submit them from a
+        # 2-thread pool so the second back-fills executors freed by
+        # the first's tail (guide §2.6) instead of running strictly
+        # after it — the write pair dominates the amortized-once
+        # session setup (measured r12: 3.4 s serial -> see
+        # OPTIMIZATION_r12.md).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_orders() -> None:
+            write_bucketed(
+                t["orders"].select("o_orderkey", "o_orderpriority"),
+                to,
+                "o_orderkey",
+                JOIN_BUCKETS,
+                sort_by="o_orderkey",
+            )
+
+        def _write_lineitem() -> None:
+            write_bucketed(
+                t["lineitem"].select(
+                    F.col("l_orderkey").alias("o_orderkey"),
+                    "l_extendedprice",
+                    "l_discount",
+                ),
+                tl,
+                "o_orderkey",
+                JOIN_BUCKETS,
+                sort_by="o_orderkey",
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(_write_orders), pool.submit(_write_lineitem)]:
+                fut.result()
     return (
         bucketed_join(spark, to, tl, "o_orderkey")
         .groupBy("o_orderpriority")

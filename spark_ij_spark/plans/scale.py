@@ -40,7 +40,15 @@ def write_bucketed(
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     shutil.rmtree(f"{wh}/{table_name.lower()}", ignore_errors=True)
 
-    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    # Repartition on the bucket key into `buckets` partitions first:
+    # Spark's bucket id IS hashpartitioning(key) pmod buckets, so each
+    # task then holds exactly one bucket and writes exactly one file —
+    # `buckets` parallel sort+encode tasks and `buckets` output files,
+    # instead of a single task serially writing every bucket when the
+    # input is one scan partition (toy-SF parquet; measured r12: the
+    # two demo writes 1.41+2.09 s -> see layout.py). At scale the same
+    # repartition is the write-side shuffle bucketing always needs.
+    w = df.repartition(buckets, key).write.mode("overwrite").bucketBy(buckets, key)
     if sort_by:
         w = w.sortBy(sort_by)
     w.saveAsTable(table_name)
