@@ -107,13 +107,21 @@ def _cohort_slot(name: str) -> int:
 
 
 def session_warmup(spark, qs, sf_dir: str) -> None:
-    """Absorb one-time JVM/codegen startup (q1, pure JVM) and
-    Python-worker pool startup (a pandas-UDF query) so timed runs
-    measure steady-state throughput, not process spawning. Shared by
-    bench.py / tools/headline_run.py / tools/fixed_delta.py so their
-    artifacts stay protocol-comparable (r11 review)."""
+    """Absorb one-time JVM/codegen startup (q1, pure JVM),
+    Python-worker pool startup (a pandas-UDF query), and the first
+    cold read of every base table (one full noop scan each — r12: a
+    dropped OS page cache charged multi-second cold file reads to
+    whichever queries ran first, which under the sentinel-first order
+    was the sentinel tier itself) so timed runs measure steady-state
+    throughput, not process spawning or disk. Shared by bench.py /
+    tools/headline_run.py / tools/fixed_delta.py so their artifacts
+    stay protocol-comparable (r11 review)."""
     qs["q1_pricing_summary"](spark, sf_dir).count()
     qs["img_order_stats"](spark, sf_dir).count()
+    from spark_ij_spark.session import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.write.format("noop").mode("overwrite").save()
     # drop the warmups' cached frames so the first timed query runs
     # under the same isolated-cache protocol as the rest
     spark.catalog.clearCache()
